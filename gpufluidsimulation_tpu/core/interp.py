@@ -1,0 +1,169 @@
+"""Staggered bilinear/trilinear samplers — the gather core of the engine.
+
+TPU-native design: positions are whole-grid coordinate arrays; each sample is
+one XLA gather over a flattened field (4 corners in 2D / 8 in 3D fused into a
+single `take` with a stacked index tensor), which XLA fuses with the
+surrounding arithmetic. Per-corner index clamping reproduces the reference's
+`boundedAt` semantics (include/array2.h) and is a no-op when positions are
+pre-clamped as the 3D kernels guarantee (GPU_kernel.cu:43-62, 87-88).
+
+Reference parity notes:
+* sample2  <-> BimocqSolver2D::sampleField      (bimocq2D/BimocqSolver2D.cpp:2328-2334)
+* sample3  <-> sample_buffer                    (bimocq3D/GPU_kernel.cu:43-62)
+* mac_velocity_2d <-> BimocqSolver2D::getVelocity (zero outside valid band,
+  bimocq2D/BimocqSolver2D.cpp:2307-2325)
+* mac_velocity_3d <-> getVelocity               (bimocq3D/GPU_kernel.cu:64-72)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _gather2(field, i, j):
+    """Gather field[i, j] with per-index clamping; one fused XLA gather."""
+    nx, ny = field.shape
+    ic = jnp.clip(i, 0, nx - 1)
+    jc = jnp.clip(j, 0, ny - 1)
+    return jnp.take(field.reshape(-1), ic * ny + jc)
+
+
+def _gather3(field, i, j, k):
+    nx, ny, nz = field.shape
+    ic = jnp.clip(i, 0, nx - 1)
+    jc = jnp.clip(j, 0, ny - 1)
+    kc = jnp.clip(k, 0, nz - 1)
+    return jnp.take(field.reshape(-1), (ic * ny + jc) * nz + kc)
+
+
+def sample2(field, px, py, h, off):
+    """Bilinear sample of `field` at world positions (px, py).
+
+    `off` is the field's sampling offset in units of h: the sample lattice is
+    x = (i + off_x)*h. Corner indices are clamped individually (boundedAt).
+    """
+    gx = px / h - off[0]
+    gy = py / h - off[1]
+    i0 = jnp.floor(gx)
+    j0 = jnp.floor(gy)
+    fx = gx - i0
+    fy = gy - j0
+    i0 = i0.astype(jnp.int32)
+    j0 = j0.astype(jnp.int32)
+
+    v00 = _gather2(field, i0, j0)
+    v10 = _gather2(field, i0 + 1, j0)
+    v01 = _gather2(field, i0, j0 + 1)
+    v11 = _gather2(field, i0 + 1, j0 + 1)
+    return (
+        (1 - fy) * ((1 - fx) * v00 + fx * v10)
+        + fy * ((1 - fx) * v01 + fx * v11)
+    )
+
+
+def sample3(field, px, py, pz, h, off):
+    """Trilinear sample at world positions; 3D convention (lattice (i+off)*h).
+
+    Note the 3D reference expresses offsets as *world* subtraction
+    (samplepos = pos - off_world, GPU_kernel.cu:45); off here equals
+    off_world/h, so e.g. the u-field uses off = (-0.5, 0, 0).
+    """
+    gx = px / h - off[0]
+    gy = py / h - off[1]
+    gz = pz / h - off[2]
+    i0 = jnp.floor(gx)
+    j0 = jnp.floor(gy)
+    k0 = jnp.floor(gz)
+    fx = gx - i0
+    fy = gy - j0
+    fz = gz - k0
+    i0 = i0.astype(jnp.int32)
+    j0 = j0.astype(jnp.int32)
+    k0 = k0.astype(jnp.int32)
+
+    v000 = _gather3(field, i0, j0, k0)
+    v100 = _gather3(field, i0 + 1, j0, k0)
+    v010 = _gather3(field, i0, j0 + 1, k0)
+    v110 = _gather3(field, i0 + 1, j0 + 1, k0)
+    v001 = _gather3(field, i0, j0, k0 + 1)
+    v101 = _gather3(field, i0 + 1, j0, k0 + 1)
+    v011 = _gather3(field, i0, j0 + 1, k0 + 1)
+    v111 = _gather3(field, i0 + 1, j0 + 1, k0 + 1)
+
+    # triLerp corner order of GPU_kernel.cu:27-41: a blends x, b blends y, c z.
+    c00 = (1 - fx) * v000 + fx * v100
+    c10 = (1 - fx) * v010 + fx * v110
+    c01 = (1 - fx) * v001 + fx * v101
+    c11 = (1 - fx) * v011 + fx * v111
+    c0 = (1 - fy) * c00 + fy * c10
+    c1 = (1 - fy) * c01 + fy * c11
+    return (1 - fz) * c0 + fz * c1
+
+
+def mac_velocity_2d(u, v, px, py, h):
+    """Sample the 2D MAC velocity; returns (u, v) arrays shaped like px.
+
+    Faithful to BimocqSolver2D::getVelocity: out-of-band samples return 0
+    (NOT clamped), bands: u valid for i in [0, ni-1], j in [0, nj-2];
+    v valid for i in [0, ni-2], j in [0, nj-1] (ni x nj = cell counts).
+    """
+    ni = v.shape[0]
+    nj = u.shape[1]
+
+    gx = px / h
+    gy = py / h - 0.5
+    i0 = jnp.floor(gx)
+    j0 = jnp.floor(gy)
+    fx = gx - i0
+    fy = gy - j0
+    i0i = i0.astype(jnp.int32)
+    j0i = j0.astype(jnp.int32)
+    valid_u = (i0 >= 0) & (i0 <= ni - 1) & (j0 >= 0) & (j0 <= nj - 2)
+    u00 = _gather2(u, i0i, j0i)
+    u10 = _gather2(u, i0i + 1, j0i)
+    u01 = _gather2(u, i0i, j0i + 1)
+    u11 = _gather2(u, i0i + 1, j0i + 1)
+    us = (1 - fy) * ((1 - fx) * u00 + fx * u10) + fy * ((1 - fx) * u01 + fx * u11)
+    us = jnp.where(valid_u, us, 0.0)
+
+    gx = px / h - 0.5
+    gy = py / h
+    i0 = jnp.floor(gx)
+    j0 = jnp.floor(gy)
+    fx = gx - i0
+    fy = gy - j0
+    i0i = i0.astype(jnp.int32)
+    j0i = j0.astype(jnp.int32)
+    valid_v = (i0 >= 0) & (i0 <= ni - 2) & (j0 >= 0) & (j0 <= nj - 1)
+    v00 = _gather2(v, i0i, j0i)
+    v10 = _gather2(v, i0i + 1, j0i)
+    v01 = _gather2(v, i0i, j0i + 1)
+    v11 = _gather2(v, i0i + 1, j0i + 1)
+    vs = (1 - fy) * ((1 - fx) * v00 + fx * v10) + fy * ((1 - fx) * v01 + fx * v11)
+    vs = jnp.where(valid_v, vs, 0.0)
+    return us, vs
+
+
+def mac_velocity_3d(u, v, w, px, py, pz, h):
+    """Sample the 3D MAC velocity at world positions (GPU_kernel.cu:64-72)."""
+    us = sample3(u, px, py, pz, h, (-0.5, 0.0, 0.0))
+    vs = sample3(v, px, py, pz, h, (0.0, -0.5, 0.0))
+    ws = sample3(w, px, py, pz, h, (0.0, 0.0, -0.5))
+    return us, vs, ws
+
+
+def clamp_pos_2d(px, py, h, ni, nj, eps=1.0):
+    """Clamp world positions to [eps*h, L - eps*h] (clampPos, solver2D.h:128-132)."""
+    return (
+        jnp.clip(px, eps * h, ni * h - eps * h),
+        jnp.clip(py, eps * h, nj * h - eps * h),
+    )
+
+
+def clamp_pos_3d(px, py, pz, h, ni, nj, nk, lo=1.0, hi=1.0):
+    """Clamp to [lo*h, L - hi*h] per axis (GPU_kernel.cu:87-88, 281, 419)."""
+    return (
+        jnp.clip(px, lo * h, ni * h - hi * h),
+        jnp.clip(py, lo * h, nj * h - hi * h),
+        jnp.clip(pz, lo * h, nk * h - hi * h),
+    )

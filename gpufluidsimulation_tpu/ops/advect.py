@@ -1,0 +1,353 @@
+"""Advection primitives: RK3 characteristic tracing (CFL-substepped),
+semi-Lagrangian transport, MacCormack/BFECC with extrema clamping, and the
+DMC (exponential modified-MacCormack) backward-map step.
+
+All functions operate on whole-grid coordinate arrays and compile to a handful
+of fused XLA gathers per op — the TPU replacement for the reference's
+one-thread-per-cell CUDA kernels (GPU_kernel.cu:74-233) and TBB loops
+(BimocqSolver2D.cpp:93-123).
+
+Control flow: the CFL substep loops are `lax.while_loop`s over whole position
+arrays (trace count is data-dependent, shapes static) — mirroring
+GPU_kernel.cu:92-125 / Mapping.cpp:13-20 without host round-trips.
+
+Documented deviations from the reference (intent preserved):
+* 2D solveODE's per-point adaptive Richardson halving (BimocqSolver2D.cpp:21-43)
+  is replaced by uniform CFL substepping (the 3D reference's own scheme,
+  GPU_kernel.cu:92-125) — data-dependent per-point loop depth is hostile to
+  SIMD/XLA and the substepped tracer is the same order of accuracy.
+* DMC's |a|<1e-4 fallback uses explicit Euler (the 3D kernel's choice,
+  GPU_kernel.cu:194-196) rather than 2D's recursive solveODE call.
+* The 3D MacCormack clamp kernel writes through a scatter at the *backtraced*
+  cell and floors world coordinates without dividing by h
+  (GPU_kernel.cu:892-950) — an evident defect making it a near-no-op; we
+  implement the intended gather-style clamp (the 2D semantics,
+  BimocqSolver2D.cpp:276-295).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gpufluidsimulation_tpu.core import interp
+
+# ---------------------------------------------------------------------------
+# RK3 tracing (Ralston's third-order scheme, GPU_kernel.cu:74-90)
+# ---------------------------------------------------------------------------
+
+
+def trace_rk3_3d(u, v, w, h, dt, px, py, pz, lo=1.0, hi=1.0):
+    ni, nj, nk = v.shape[0], u.shape[1], u.shape[2]
+    c1, c2, c3 = 2.0 / 9.0 * dt, 3.0 / 9.0 * dt, 4.0 / 9.0 * dt
+    u1, v1, w1 = interp.mac_velocity_3d(u, v, w, px, py, pz, h)
+    m1x, m1y, m1z = px + 0.5 * dt * u1, py + 0.5 * dt * v1, pz + 0.5 * dt * w1
+    u2, v2, w2 = interp.mac_velocity_3d(u, v, w, m1x, m1y, m1z, h)
+    m2x, m2y, m2z = px + 0.75 * dt * u2, py + 0.75 * dt * v2, pz + 0.75 * dt * w2
+    u3, v3, w3 = interp.mac_velocity_3d(u, v, w, m2x, m2y, m2z, h)
+    ox = px + c1 * u1 + c2 * u2 + c3 * u3
+    oy = py + c1 * v1 + c2 * v2 + c3 * v3
+    oz = pz + c1 * w1 + c2 * w2 + c3 * w3
+    return interp.clamp_pos_3d(ox, oy, oz, h, ni, nj, nk, lo, hi)
+
+
+def trace_rk3_2d(u, v, h, dt, px, py):
+    """2D RK3 with the reference's 0.001h clamp (BimocqSolver2D.cpp:16-17)."""
+    ni, nj = v.shape[0], u.shape[1]
+    c1, c2, c3 = 2.0 / 9.0 * dt, 3.0 / 9.0 * dt, 4.0 / 9.0 * dt
+    u1, v1 = interp.mac_velocity_2d(u, v, px, py, h)
+    m1x, m1y = px + 0.5 * dt * u1, py + 0.5 * dt * v1
+    u2, v2 = interp.mac_velocity_2d(u, v, m1x, m1y, h)
+    m2x, m2y = px + 0.75 * dt * u2, py + 0.75 * dt * v2
+    u3, v3 = interp.mac_velocity_2d(u, v, m2x, m2y, h)
+    ox = px + c1 * u1 + c2 * u2 + c3 * u3
+    oy = py + c1 * v1 + c2 * v2 + c3 * v3
+    return interp.clamp_pos_2d(ox, oy, h, ni, nj, eps=0.001)
+
+
+def _substepped(step_fn, cfldt, dt, pos):
+    """Run `step_fn(substep_signed, pos)` until |dt| is covered (trace()).
+
+    Equivalent to GPU_kernel.cu:92-125: fixed substep = cfldt, last partial.
+    """
+    total = jnp.abs(dt)
+    sign = jnp.where(dt >= 0, 1.0, -1.0).astype(jnp.float32)
+    cfldt = jnp.maximum(jnp.asarray(cfldt, jnp.float32), 1e-30)
+
+    def cond(carry):
+        return carry[0] < total
+
+    def body(carry):
+        t, p = carry
+        sub = jnp.minimum(cfldt, total - t)
+        return (t + sub, step_fn(sign * sub, p))
+
+    _, out = lax.while_loop(cond, body, (jnp.float32(0.0), pos))
+    return out
+
+
+def trace_3d(u, v, w, h, cfldt, dt, px, py, pz):
+    def step(sdt, p):
+        return trace_rk3_3d(u, v, w, h, sdt, *p)
+
+    return _substepped(step, cfldt, dt, (px, py, pz))
+
+
+def trace_2d(u, v, h, cfldt, dt, px, py):
+    def step(sdt, p):
+        return trace_rk3_2d(u, v, h, sdt, *p)
+
+    return _substepped(step, cfldt, dt, (px, py))
+
+
+# ---------------------------------------------------------------------------
+# Semi-Lagrangian advection
+# ---------------------------------------------------------------------------
+
+
+def semilag_3d(grid, kind, field_src, u, v, w, cfldt, dt):
+    """Trace each node of `kind`'s lattice by `dt` (signed; pass -dt to
+    backtrace) and sample field_src there. Nodes outside the reference's
+    update band (semilag_kernel guard, GPU_kernel.cu:222) keep src values.
+    """
+    px, py, pz = grid.node_coords(kind)
+    bx, by, bz = trace_3d(u, v, w, grid.h, cfldt, dt, px, py, pz)
+    off = grid.off_of(kind)
+    out = interp.sample3(field_src, bx, by, bz, grid.h, off)
+    mask = grid.interior_mask(kind, lo=2, hi=3)
+    return jnp.where(mask, out, field_src)
+
+
+def semilag_2d(grid, kind, field_src, u, v, w_unused, cfldt, dt):
+    """2D semiLagAdvect (BimocqSolver2D.cpp:110-123): traces with -dt."""
+    del w_unused
+    px, py = grid.node_coords(kind)
+    bx, by = trace_2d(u, v, grid.h, cfldt, -dt, px, py)
+    off = grid.off_of(kind)
+    return interp.sample2(field_src, bx, by, grid.h, off)
+
+
+# ---------------------------------------------------------------------------
+# Extrema clamping
+# ---------------------------------------------------------------------------
+
+
+def _window_minmax(x, ndim):
+    window = (3,) * ndim
+    strides = (1,) * ndim
+    mx = lax.reduce_window(x, -jnp.inf, lax.max, window, strides, "SAME")
+    mn = lax.reduce_window(x, jnp.inf, lax.min, window, strides, "SAME")
+    return mn, mx
+
+
+def clamp_extrema_neighborhood(before, after):
+    """27-point (3D) / 9-point (2D) neighborhood clamp.
+
+    3D: clampExtrema_kernel (GPU_kernel.cu:146-167), interior-only update.
+    2D: clampExtrema2 (BimocqSolver2D.cpp:1261-1274) updates every node but
+    initializes min at 1e6 / max at 0 — we reproduce the mathematically
+    intended pure min/max window (identical in interior for typical fields).
+    """
+    ndim = before.ndim
+    mn, mx = _window_minmax(before, ndim)
+    clamped = jnp.clip(after, mn, mx)
+    if ndim == 3:
+        interior = jnp.zeros(before.shape, bool).at[1:-1, 1:-1, 1:-1].set(True)
+        return jnp.where(interior, clamped, after)
+    return clamped
+
+
+def _maccormack_clamp_2d(grid, kind, src, dst, u, v, cfldt, dt):
+    """Corner min/max fallback clamp of solveMaccormack (BimocqSolver2D.cpp:282-295)."""
+    h = grid.h
+    off = grid.off_of(kind)
+    px, py = grid.node_coords(kind)
+    bx, by = trace_2d(u, v, h, cfldt, -dt, px, py)
+    gx = bx / h - off[0]
+    gy = by / h - off[1]
+    i0 = jnp.floor(gx).astype(jnp.int32)
+    j0 = jnp.floor(gy).astype(jnp.int32)
+    v00 = interp._gather2(src, i0, j0)
+    v10 = interp._gather2(src, i0 + 1, j0)
+    v01 = interp._gather2(src, i0, j0 + 1)
+    v11 = interp._gather2(src, i0 + 1, j0 + 1)
+    mn = jnp.minimum(jnp.minimum(v00, v10), jnp.minimum(v01, v11))
+    mx = jnp.maximum(jnp.maximum(v00, v10), jnp.maximum(v01, v11))
+    fallback = interp.sample2(src, bx, by, h, off)
+    return jnp.where((dst < mn) | (dst > mx), fallback, dst)
+
+
+def maccormack_2d(grid, kind, src, u, v, cfldt, dt):
+    """solveMaccormack (BimocqSolver2D.cpp:272-296)."""
+    fwd = semilag_2d(grid, kind, src, u, v, None, cfldt, dt)
+    back = semilag_2d(grid, kind, fwd, u, v, None, cfldt, -dt)
+    dst = fwd + 0.5 * (src - back)
+    return _maccormack_clamp_2d(grid, kind, src, dst, u, v, cfldt, dt)
+
+
+def bfecc_2d(grid, kind, src, u, v, cfldt, dt):
+    """solveBFECC (BimocqSolver2D.cpp:298-328)."""
+    fwd = semilag_2d(grid, kind, src, u, v, None, cfldt, dt)
+    back = semilag_2d(grid, kind, fwd, u, v, None, cfldt, -dt)
+    mid = 0.5 * (3.0 * src - back)
+    dst = semilag_2d(grid, kind, mid, u, v, None, cfldt, dt)
+    return _maccormack_clamp_2d(grid, kind, src, dst, u, v, cfldt, dt)
+
+
+def maccormack_3d(grid, kind, src, u, v, w, cfldt, dt):
+    """3D MacCormack: forward/backward semilag + 0.5 correction + clamp.
+
+    Orchestration of BimocqGPUSolver::advanceReflection scalar blocks
+    (BimocqGPUSolver.cpp:238-247): tmp = SL(src, -dt); aux = SL(tmp, +dt);
+    tmp += 0.5*(src - aux); clamp. Here SL(x, -dt) backtraces. The clamp is
+    the intended gather-style one (see module docstring).
+    """
+    fwd = semilag_3d(grid, kind, src, u, v, w, cfldt, -dt)
+    back = semilag_3d(grid, kind, fwd, u, v, w, cfldt, dt)
+    dst = fwd + 0.5 * (src - back)
+
+    h = grid.h
+    off = grid.off_of(kind)
+    px, py, pz = grid.node_coords(kind)
+    # two-stage midpoint backtrace of clamp_extrema_kernel (GPU_kernel.cu:900-911)
+    u1, v1, w1 = interp.mac_velocity_3d(u, v, w, px, py, pz, h)
+    mx_, my_, mz_ = px - 0.5 * dt * u1, py - 0.5 * dt * v1, pz - 0.5 * dt * w1
+    u2, v2, w2 = interp.mac_velocity_3d(u, v, w, mx_, my_, mz_, h)
+    bx, by, bz = px - dt * u2, py - dt * v2, pz - dt * w2
+    gx, gy, gz = bx / h - off[0], by / h - off[1], bz / h - off[2]
+    i0 = jnp.floor(gx).astype(jnp.int32)
+    j0 = jnp.floor(gy).astype(jnp.int32)
+    k0 = jnp.floor(gz).astype(jnp.int32)
+    corners = [
+        interp._gather3(src, i0 + a, j0 + b, k0 + c)
+        for c in (0, 1)
+        for b in (0, 1)
+        for a in (0, 1)
+    ]
+    mn = corners[0]
+    mx = corners[0]
+    for cval in corners[1:]:
+        mn = jnp.minimum(mn, cval)
+        mx = jnp.maximum(mx, cval)
+    fallback = interp.sample3(src, bx, by, bz, h, off)
+    return jnp.where((dst < mn) | (dst > mx), fallback, dst)
+
+
+# ---------------------------------------------------------------------------
+# DMC backward-map step (GPU_kernel.cu:169-204, BimocqSolver2D.cpp:45-91)
+# ---------------------------------------------------------------------------
+
+
+def _dmc_newpos(pos, vel, a, substep):
+    safe_a = jnp.where(jnp.abs(a) > 1e-4, a, 1.0)
+    exp_step = pos - (1.0 - jnp.exp(-safe_a * substep)) * vel / safe_a
+    euler_step = pos - vel * substep
+    return jnp.where(jnp.abs(a) > 1e-4, exp_step, euler_step)
+
+
+def dmc_backward_step_3d(grid, u, v, w, map_x, map_y, map_z, substep):
+    """One DMC substep of the 3D backward map (DMC_backward_kernel).
+
+    Nodes are cell centers at i*h; the upwind neighbor is +-h per axis;
+    a = du/dx finite difference; gather the old map at the new position.
+    Interior band i in [2, n-3]; boundary keeps the old map.
+    """
+    h = grid.h
+    px, py, pz = grid.node_coords("c")
+    vel_u, vel_v, vel_w = interp.mac_velocity_3d(u, v, w, px, py, pz, h)
+    tx = jnp.where(vel_u > 0, px - h, px + h)
+    ty = jnp.where(vel_v > 0, py - h, py + h)
+    tz = jnp.where(vel_w > 0, pz - h, pz + h)
+    tu, tv, tw = interp.mac_velocity_3d(u, v, w, tx, ty, tz, h)
+    ax = (vel_u - tu) / (px - tx)
+    ay = (vel_v - tv) / (py - ty)
+    az = (vel_w - tw) / (pz - tz)
+    nx_ = _dmc_newpos(px, vel_u, ax, substep)
+    ny_ = _dmc_newpos(py, vel_v, ay, substep)
+    nz_ = _dmc_newpos(pz, vel_w, az, substep)
+    off = (0.0, 0.0, 0.0)
+    out_x = interp.sample3(map_x, nx_, ny_, nz_, h, off)
+    out_y = interp.sample3(map_y, nx_, ny_, nz_, h, off)
+    out_z = interp.sample3(map_z, nx_, ny_, nz_, h, off)
+    mask = grid.interior_mask("c", lo=2, hi=3)
+    return (
+        jnp.where(mask, out_x, map_x),
+        jnp.where(mask, out_y, map_y),
+        jnp.where(mask, out_z, map_z),
+    )
+
+
+def dmc_backward_step_2d(grid, u, v, map_x, map_y, substep):
+    """2D DMC substep (semiLagAdvectDMC, BimocqSolver2D.cpp:45-107).
+
+    Nodes are cell centers at (i+0.5)h; out-of-range map samples use
+    boundedAt clamping; the traced position is clamped to [h, L-h].
+    """
+    h = grid.h
+    ni, nj = grid.ni, grid.nj
+    px, py = grid.node_coords("c")
+    vel_u, vel_v = interp.mac_velocity_2d(u, v, px, py, h)
+    tx = jnp.where(vel_u > 0, px - h, px + h)
+    ty = jnp.where(vel_v > 0, py - h, py + h)
+    tu, tv = interp.mac_velocity_2d(u, v, tx, ty, h)
+    ax = (vel_u - tu) / (px - tx)
+    ay = (vel_v - tv) / (py - ty)
+    nx_ = _dmc_newpos(px, vel_u, ax, substep)
+    ny_ = _dmc_newpos(py, vel_v, ay, substep)
+    nx_, ny_ = interp.clamp_pos_2d(nx_, ny_, h, ni, nj)
+    out_x = interp.sample2(map_x, nx_, ny_, h, grid.OFF_C)
+    out_y = interp.sample2(map_y, nx_, ny_, h, grid.OFF_C)
+    return out_x, out_y
+
+
+def update_backward_map_3d(grid, u, v, w, map_xyz, cfldt, dt):
+    """CFL-substepped backward-map update (Mapping.cpp:7-24)."""
+
+    def cond(carry):
+        return carry[0] < dt
+
+    def body(carry):
+        t, (mx, my, mz) = carry
+        sub = jnp.minimum(cfldt, dt - t)
+        return (t + sub, dmc_backward_step_3d(grid, u, v, w, mx, my, mz, sub))
+
+    _, out = lax.while_loop(cond, body, (jnp.float32(0.0), map_xyz))
+    return out
+
+
+def update_backward_map_2d(grid, u, v, map_xy, cfldt, dt):
+    """2D substepped backward-map update (BimocqSolver2D.cpp:1242-1259)."""
+
+    def cond(carry):
+        return carry[0] < dt
+
+    def body(carry):
+        t, (mx, my) = carry
+        sub = jnp.minimum(cfldt, dt - t)
+        return (t + sub, dmc_backward_step_2d(grid, u, v, mx, my, sub))
+
+    _, out = lax.while_loop(cond, body, (jnp.float32(0.0), map_xy))
+    return out
+
+
+def update_forward_map_3d(grid, u, v, w, map_xyz, cfldt, dt):
+    """Forward-map march: X <- trace(X, +dt) (forward_kernel, GPU_kernel.cu:127-144)."""
+    mx, my, mz = map_xyz
+    ox, oy, oz = trace_3d(u, v, w, grid.h, cfldt, dt, mx, my, mz)
+    mask = grid.interior_mask("c", lo=2, hi=3)
+    return (
+        jnp.where(mask, ox, mx),
+        jnp.where(mask, oy, my),
+        jnp.where(mask, oz, mz),
+    )
+
+
+def update_forward_map_2d(grid, u, v, map_xy, cfldt, dt):
+    """2D forward-map march (updateForward, BimocqSolver2D.cpp:1228-1240)."""
+    mx, my = map_xy
+    ox, oy = trace_2d(u, v, grid.h, cfldt, dt, mx, my)
+    ox, oy = interp.clamp_pos_2d(ox, oy, grid.h, grid.ni, grid.nj)
+    return ox, oy

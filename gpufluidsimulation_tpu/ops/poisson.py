@@ -1,0 +1,322 @@
+"""Pressure projection: MAC divergence/gradient + a geometric-multigrid
+preconditioned CG solver, fully jit-resident (no host sync per iteration).
+
+This replaces BOTH reference pressure stacks with one TPU-native design:
+* the CPU AMG-PCG (utils/AlgebraicMultigrid.h:289-423, Galerkin RAP hierarchy,
+  red-black GS smoothing) — here: geometric MG with damped-Jacobi smoothing
+  (Jacobi = the parallel-correct smoother; red-black lives in the Pallas
+  variant), matrix-free 5/7-point stencils instead of CSR SpMV;
+* the GPU MG-CG (GPU_kernel.cu:1764-1815: fixed 50 iterations, double
+  precision, device-scoreboard alpha/beta) — here: `lax.while_loop` CG with a
+  residual-based exit (improving on the fixed iteration count), f32 fields,
+  scalars carried in the loop state so XLA keeps everything on-chip.
+
+Conventions (grid units — the h factors cancel through the solve):
+  div  = sum of face differences            (h * physical divergence)
+  L p  = (2*ndim) p - sum(neighbors)        (unscaled Laplacian, = -h^2 lap p)
+  projection solves L p = div, then subtracts face gradients (p_i - p_{i-1}),
+  which zeroes the discrete divergence exactly — unlike the GPU reference's
+  halfrdx=0.5 scaling (BimocqGPUSolver.cpp:445) which only removes part of it
+  per call (compensated there by MAC_REFLECTION's double projection).
+
+Boundary conditions:
+  bc='neumann'   closed box (solid walls), the 2D PURE_NEUMANN mode incl.
+                 null-space mean subtraction (AlgebraicMultigrid.h:376-413);
+  bc='dirichlet' open boundary p=0 ghost (the 2D !PURE_NEUMANN wall term,
+                 BimocqSolver2D.cpp:2187-2221, and the 3D GPU solver's
+                 zero-boundary behavior).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# Divergence / gradient (GPU_kernel.cu:967-1041, grid units)
+# ---------------------------------------------------------------------------
+
+
+def divergence_2d(u, v):
+    return (u[1:, :] - u[:-1, :]) + (v[:, 1:] - v[:, :-1])
+
+
+def divergence_3d(u, v, w):
+    return (
+        (u[1:, :, :] - u[:-1, :, :])
+        + (v[:, 1:, :] - v[:, :-1, :])
+        + (w[:, :, 1:] - w[:, :, :-1])
+    )
+
+
+def subtract_gradient_2d(u, v, p, bc):
+    if bc == "neumann":
+        u = u.at[1:-1, :].add(-(p[1:, :] - p[:-1, :]))
+        v = v.at[:, 1:-1].add(-(p[:, 1:] - p[:, :-1]))
+    else:  # dirichlet: ghost p = 0 outside, update every face
+        gp = jnp.pad(p, ((1, 1), (0, 0)))
+        u = u - (gp[1:, :] - gp[:-1, :])
+        gp = jnp.pad(p, ((0, 0), (1, 1)))
+        v = v - (gp[:, 1:] - gp[:, :-1])
+    return u, v
+
+
+def subtract_gradient_3d(u, v, w, p, bc):
+    if bc == "neumann":
+        u = u.at[1:-1, :, :].add(-(p[1:, :, :] - p[:-1, :, :]))
+        v = v.at[:, 1:-1, :].add(-(p[:, 1:, :] - p[:, :-1, :]))
+        w = w.at[:, :, 1:-1].add(-(p[:, :, 1:] - p[:, :, :-1]))
+    else:
+        gp = jnp.pad(p, ((1, 1), (0, 0), (0, 0)))
+        u = u - (gp[1:, :, :] - gp[:-1, :, :])
+        gp = jnp.pad(p, ((0, 0), (1, 1), (0, 0)))
+        v = v - (gp[:, 1:, :] - gp[:, :-1, :])
+        gp = jnp.pad(p, ((0, 0), (0, 0), (1, 1)))
+        w = w - (gp[:, :, 1:] - gp[:, :, :-1])
+    return u, v, w
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free Laplacian and Jacobi smoothing
+# ---------------------------------------------------------------------------
+
+
+def _neighbor_sum(p, bc):
+    """Sum of the 2*ndim axis neighbors; edge-replicate encodes Neumann
+    (outside neighbor := center, so its stencil pair vanishes), zero-pad
+    encodes Dirichlet ghost cells."""
+    mode = "edge" if bc == "neumann" else "constant"
+    total = jnp.zeros_like(p)
+    for axis in range(p.ndim):
+        padw = [(0, 0)] * p.ndim
+        padw[axis] = (1, 1)
+        pp = jnp.pad(p, padw, mode=mode)
+        lo = [slice(None)] * p.ndim
+        hi = [slice(None)] * p.ndim
+        lo[axis] = slice(0, -2)
+        hi[axis] = slice(2, None)
+        total = total + pp[tuple(lo)] + pp[tuple(hi)]
+    return total
+
+
+def laplacian(p, bc):
+    """L p = (2*ndim) p - neighbor_sum (SPD for dirichlet, SPSD for neumann).
+
+    Matches calc_poisson_value (GPU_kernel.cu:1048-1060) up to overall sign
+    (the reference uses sum(nbr) - 6c; we use the positive-definite form).
+    """
+    return (2 * p.ndim) * p - _neighbor_sum(p, bc)
+
+
+def _diag(shape, bc):
+    """Diagonal of L (neighbor count for neumann, 2*ndim for dirichlet)."""
+    ndim = len(shape)
+    if bc == "dirichlet":
+        return np.float32(2 * ndim) * np.ones(shape, np.float32)
+    d = np.zeros(shape, np.float32)
+    for axis in range(ndim):
+        cnt = np.full(shape[axis], 2.0, np.float32)
+        cnt[0] = 1.0
+        cnt[-1] = 1.0
+        bshape = [1] * ndim
+        bshape[axis] = shape[axis]
+        d = d + cnt.reshape(bshape)
+    return d
+
+
+def jacobi_smooth(x, b, bc, diag, iters, omega=0.8):
+    """Damped Jacobi x <- x + w D^-1 (b - L x); ping-pong-free (functional)."""
+
+    def body(_, x):
+        return x + omega * (b - laplacian(x, bc)) / diag
+
+    return lax.fori_loop(0, iters, body, x)
+
+
+# ---------------------------------------------------------------------------
+# Geometric multigrid (restriction = 2x mean pool, prolongation = linear)
+# ---------------------------------------------------------------------------
+
+
+def _coarse_shape(shape):
+    return tuple(max((n + 1) // 2, 2) for n in shape)
+
+
+def mg_shapes(shape, min_size=8, max_levels=8):
+    """Static level list, coarsened until every axis <= min_size.
+
+    Mirrors LEVEL_COUNT=6 (GPU_Advection.h:14) / <=16^2 (GeometricLevelGen.h:143)
+    but adapts to the grid rather than hard-coding six levels.
+    """
+    shapes = [tuple(shape)]
+    while len(shapes) < max_levels and max(shapes[-1]) > min_size:
+        nxt = _coarse_shape(shapes[-1])
+        if nxt == shapes[-1]:
+            break
+        shapes.append(nxt)
+    return shapes
+
+
+def restrict_full(r, coarse_shape):
+    """Mean-pool 2x restriction with edge padding for odd sizes."""
+    ndim = r.ndim
+    padw = []
+    for n, cn in zip(r.shape, coarse_shape):
+        padw.append((0, 2 * cn - n))
+    rp = jnp.pad(r, padw, mode="edge")
+    # reshape (c0,2,c1,2,...) and mean over the 2s
+    newshape = []
+    for cn in coarse_shape:
+        newshape.extend([cn, 2])
+    rp = rp.reshape(newshape)
+    axes = tuple(range(1, 2 * ndim, 2))
+    return rp.mean(axis=axes)
+
+
+def prolong_linear(e, fine_shape):
+    return jax.image.resize(e, fine_shape, method="linear")
+
+
+class MGContext:
+    """Static per-resolution data: level shapes + Jacobi diagonals."""
+
+    def __init__(self, shape, bc):
+        self.bc = bc
+        self.shapes = mg_shapes(shape)
+        self.diags = [jnp.asarray(_diag(s, bc)) for s in self.shapes]
+
+    def v_cycle(self, r, level=0, n_pre=2, n_post=2, n_coarse=40, omega=0.8):
+        """Approximately solve L e = r; returns e. The 4x residual scaling per
+        level accounts for the unscaled stencil under 2x coarsening (the
+        reference's alpha*8 'scale' hack, GPU_kernel.cu:1639-1673, plays the
+        same role)."""
+        bc = self.bc
+        diag = self.diags[level]
+        if level == len(self.shapes) - 1:
+            e = jnp.zeros_like(r)
+            return jacobi_smooth(e, r, bc, diag, n_coarse, omega)
+        e = jacobi_smooth(jnp.zeros_like(r), r, bc, diag, n_pre, omega)
+        rr = r - laplacian(e, bc)
+        rc = 4.0 * restrict_full(rr, self.shapes[level + 1])
+        ec = self.v_cycle(rc, level + 1, n_pre, n_post, n_coarse, omega)
+        e = e + prolong_linear(ec, self.shapes[level])
+        return jacobi_smooth(e, r, bc, diag, n_post, omega)
+
+
+# ---------------------------------------------------------------------------
+# Solvers
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, dtype=jnp.float32)
+
+
+def mgpcg(b, ctx: MGContext, tol=1e-6, max_iters=100):
+    """MG-preconditioned CG on L p = b. Returns (p, iters, rel_res_inf).
+
+    The whole loop (V-cycles included) runs inside one lax.while_loop: the
+    TPU analogue of the reference's device-resident scoreboard CG
+    (GPU_kernel.cu:1764-1815) with a tolerance exit instead of iter=50.
+    """
+    bc = ctx.bc
+    if bc == "neumann":
+        b = b - jnp.mean(b)
+    b_inf = jnp.maximum(jnp.max(jnp.abs(b)), 1e-30)
+
+    p0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = ctx.v_cycle(r0)
+    if bc == "neumann":
+        z0 = z0 - jnp.mean(z0)
+    s0 = z0
+    rz0 = _dot(r0, z0)
+
+    def cond(carry):
+        _, r, _, _, k, _ = carry
+        return (k < max_iters) & (jnp.max(jnp.abs(r)) > tol * b_inf)
+
+    def body(carry):
+        p, r, s, rz, k, _ = carry
+        As = laplacian(s, bc)
+        alpha = rz / jnp.maximum(_dot(s, As), 1e-30)
+        p = p + alpha * s
+        r = r - alpha * As
+        if bc == "neumann":
+            r = r - jnp.mean(r)
+        z = ctx.v_cycle(r)
+        if bc == "neumann":
+            z = z - jnp.mean(z)
+        rz_new = _dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        s = z + beta * s
+        res = jnp.max(jnp.abs(r)) / b_inf
+        return (p, r, s, rz_new, k + 1, res)
+
+    init_res = jnp.max(jnp.abs(r0)) / b_inf
+    p, r, _, _, iters, res = lax.while_loop(
+        cond, body, (p0, r0, s0, rz0, jnp.int32(0), init_res)
+    )
+    return p, iters, jnp.max(jnp.abs(r)) / b_inf
+
+
+def cg(b, bc, tol=1e-6, max_iters=400):
+    """Plain CG (gpu_conjugate_gradient parity, GPU_kernel.cu:1336-1416)."""
+    if bc == "neumann":
+        b = b - jnp.mean(b)
+    b_inf = jnp.maximum(jnp.max(jnp.abs(b)), 1e-30)
+    p0 = jnp.zeros_like(b)
+    r0 = b
+    s0 = r0
+    rr0 = _dot(r0, r0)
+
+    def cond(carry):
+        _, r, _, _, k = carry
+        return (k < max_iters) & (jnp.max(jnp.abs(r)) > tol * b_inf)
+
+    def body(carry):
+        p, r, s, rr, k = carry
+        As = laplacian(s, bc)
+        alpha = rr / jnp.maximum(_dot(s, As), 1e-30)
+        p = p + alpha * s
+        r = r - alpha * As
+        rr_new = _dot(r, r)
+        s = r + (rr_new / jnp.maximum(rr, 1e-30)) * s
+        return (p, r, s, rr_new, k + 1)
+
+    p, r, _, _, iters = lax.while_loop(cond, body, (p0, r0, s0, rr0, jnp.int32(0)))
+    return p, iters, jnp.max(jnp.abs(r)) / b_inf
+
+
+def jacobi_solve(b, bc, iters=100):
+    """Plain Jacobi projection solver (gpu_projection_jacobi parity,
+    GPU_kernel.cu:1818-1895)."""
+    diag = jnp.asarray(_diag(b.shape, bc))
+    p = jacobi_smooth(jnp.zeros_like(b), b, bc, diag, iters, omega=1.0)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Full projection ops
+# ---------------------------------------------------------------------------
+
+
+def project_2d(u, v, ctx: MGContext, tol=1e-6, max_iters=200):
+    """rhs = -div (the 2D reference solves -div/h with 1/h^2 matrix,
+    BimocqSolver2D.cpp:356-385 — identical p up to units)."""
+    div = divergence_2d(u, v)
+    p, iters, res = mgpcg(-div, ctx, tol, max_iters)
+    u, v = subtract_gradient_2d(u, v, p, ctx.bc)
+    return u, v, p, iters, res
+
+
+def project_3d(u, v, w, ctx: MGContext, tol=1e-4, max_iters=100):
+    div = divergence_3d(u, v, w)
+    p, iters, res = mgpcg(-div, ctx, tol, max_iters)
+    u, v, w = subtract_gradient_3d(u, v, w, p, ctx.bc)
+    return u, v, w, p, iters, res

@@ -1,0 +1,69 @@
+import numpy as np
+import jax.numpy as jnp
+
+from gpufluidsimulation_tpu.core import interp
+from tests import oracles
+
+
+def test_sample2_matches_oracle(rng):
+    h = 0.1
+    field = rng.standard_normal((9, 7)).astype(np.float32)
+    pts = rng.uniform(-0.2, 1.0, size=(50, 2)).astype(np.float32)
+    off = (0.5, 0.5)
+    got = np.asarray(
+        interp.sample2(jnp.asarray(field), jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), h, off)
+    )
+    want = np.array([oracles.sample2(field, p[0], p[1], h, off) for p in pts])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sample3_matches_oracle(rng):
+    h = 0.25
+    field = rng.standard_normal((6, 5, 7)).astype(np.float32)
+    pts = rng.uniform(-0.3, 1.8, size=(40, 3)).astype(np.float32)
+    off = (-0.5, 0.0, 0.0)
+    got = np.asarray(
+        interp.sample3(
+            jnp.asarray(field),
+            jnp.asarray(pts[:, 0]),
+            jnp.asarray(pts[:, 1]),
+            jnp.asarray(pts[:, 2]),
+            h,
+            off,
+        )
+    )
+    want = np.array([oracles.sample3(field, *p, h, off) for p in pts])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_mac_velocity_2d_zero_outside(rng):
+    h = 0.5
+    ni, nj = 8, 6
+    u = rng.standard_normal((ni + 1, nj)).astype(np.float32)
+    v = rng.standard_normal((ni, nj + 1)).astype(np.float32)
+    pts = rng.uniform(-1.0, 5.0, size=(60, 2)).astype(np.float32)
+    us, vs = interp.mac_velocity_2d(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), h
+    )
+    for n, p in enumerate(pts):
+        wu, wv = oracles.mac_velocity_2d(u, v, p[0], p[1], h)
+        np.testing.assert_allclose(float(us[n]), wu, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(float(vs[n]), wv, rtol=1e-5, atol=1e-5)
+
+
+def test_mac_velocity_3d(rng):
+    h = 0.2
+    ni, nj, nk = 5, 6, 4
+    u = rng.standard_normal((ni + 1, nj, nk)).astype(np.float32)
+    v = rng.standard_normal((ni, nj + 1, nk)).astype(np.float32)
+    w = rng.standard_normal((ni, nj, nk + 1)).astype(np.float32)
+    pts = rng.uniform(h, (min(ni, nj, nk) - 1) * h, size=(30, 3)).astype(np.float32)
+    us, vs, ws = interp.mac_velocity_3d(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(w),
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2]), h,
+    )
+    for n, p in enumerate(pts):
+        wu, wv, ww = oracles.mac_velocity_3d(u, v, w, *p, h)
+        np.testing.assert_allclose(float(us[n]), wu, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(vs[n]), wv, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(ws[n]), ww, rtol=1e-4, atol=1e-5)
