@@ -1,0 +1,413 @@
+"""BiMocq bidirectional characteristic-mapping engine (TPU-native).
+
+Implements the two-level mapping advection of Qu et al. 2019 as pure
+functions over a `MappingState` pytree that lives permanently in HBM —
+the device-resident analogue of `MapperBaseGPU` (bimocq3D/Mapping.cpp:276-447)
+with the `MapperBase` host staging fabric (Mapping.cpp:7-236) deleted.
+
+Kernel parity (all in bimocq3D/GPU_kernel.cu unless noted):
+* advect_with_map_3d     <-> advect_kernel          (:312-374)
+* double_advect_3d       <-> doubleAdvect_kernel    (:236-310)
+* accumulate_3d          <-> cumulate_kernel        (:376-436)
+* compensate_3d          <-> gpu_compensate_velocity/field orchestration
+                             (:438-499, 640-682)
+* estimate_distortion_3d <-> estimate_kernel + host max/sqrt
+                             (:501-537, Mapping.cpp:91-118)
+* reinitialize           <-> MapperBaseGPU::reinitializeMapping (Mapping.cpp:430-447)
+
+2D equivalents mirror the hand-inlined loops of bimocq2D/BimocqSolver2D.cpp
+(:727-1424) including the 5-point volume stencil w = [1/8 x4, 1/2] with
++-0.25h offsets and the per-loop interior guards.
+
+Every sample point is evaluated with the 8-corner (2D: 4-corner) +-0.25h
+volume average blended 50/50 with the center sample — the reference's
+anti-aliasing of the pulled-back fields (GPU_kernel.cu:371,432,492).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpufluidsimulation_tpu.core import interp
+from gpufluidsimulation_tpu.ops import advect
+
+# 8-corner volume offsets (units of h), GPU_kernel.cu:243-247.
+_VOL3 = [
+    (0.25, 0.25, 0.25), (0.25, 0.25, -0.25), (0.25, -0.25, 0.25), (0.25, -0.25, -0.25),
+    (-0.25, 0.25, 0.25), (-0.25, 0.25, -0.25), (-0.25, -0.25, 0.25), (-0.25, -0.25, -0.25),
+]
+# 2D 5-point stencil (BimocqSolver2D.cpp:738-745): 4 corners w=1/8 + center w=1/2.
+_VOL2 = [(-0.25, -0.25), (0.25, -0.25), (-0.25, 0.25), (0.25, 0.25)]
+
+
+@flax.struct.dataclass
+class MappingState:
+    """Forward/backward/backward-prev maps, stacked (D, ...) world coords."""
+
+    fwd: jnp.ndarray
+    bwd: jnp.ndarray
+    bwd_prev: jnp.ndarray
+    reinit_count: jnp.ndarray  # int32 scalar (MapperBaseGPU::TotalReinitCount)
+
+
+def identity_map_3d(grid) -> jnp.ndarray:
+    x, y, z = grid.node_coords("c")
+    return jnp.stack([x, y, z])
+
+
+def identity_map_2d(grid) -> jnp.ndarray:
+    x, y = grid.node_coords("c")
+    return jnp.stack([x, y])
+
+
+def init_mapping(grid, ndim: int) -> MappingState:
+    ident = identity_map_3d(grid) if ndim == 3 else identity_map_2d(grid)
+    return MappingState(
+        fwd=ident, bwd=ident, bwd_prev=ident, reinit_count=jnp.int32(0)
+    )
+
+
+def reinitialize(mapping: MappingState, grid) -> MappingState:
+    ndim = mapping.fwd.shape[0]
+    ident = identity_map_3d(grid) if ndim == 3 else identity_map_2d(grid)
+    return MappingState(
+        fwd=ident,
+        bwd=ident,
+        bwd_prev=mapping.bwd,
+        reinit_count=mapping.reinit_count + 1,
+    )
+
+
+def update_mapping_3d(mapping: MappingState, grid, u, v, w, cfldt, dt) -> MappingState:
+    """Backward (DMC substepped) then forward march (Mapping.cpp:347-373)."""
+    bx, by, bz = advect.update_backward_map_3d(
+        grid, u, v, w, (mapping.bwd[0], mapping.bwd[1], mapping.bwd[2]), cfldt, dt
+    )
+    fx, fy, fz = advect.update_forward_map_3d(
+        grid, u, v, w, (mapping.fwd[0], mapping.fwd[1], mapping.fwd[2]), cfldt, dt
+    )
+    return mapping.replace(bwd=jnp.stack([bx, by, bz]), fwd=jnp.stack([fx, fy, fz]))
+
+
+def update_mapping_2d(mapping: MappingState, grid, u, v, cfldt, dt) -> MappingState:
+    bx, by = advect.update_backward_map_2d(
+        grid, u, v, (mapping.bwd[0], mapping.bwd[1]), cfldt, dt
+    )
+    fx, fy = advect.update_forward_map_2d(
+        grid, u, v, (mapping.fwd[0], mapping.fwd[1]), cfldt, dt
+    )
+    return mapping.replace(bwd=jnp.stack([bx, by]), fwd=jnp.stack([fx, fy]))
+
+
+# ---------------------------------------------------------------------------
+# Band masks — literal transcriptions of the CUDA guards
+# ---------------------------------------------------------------------------
+
+
+def _band3(shape, a: Tuple[int, int, int], b: Tuple[int, int, int]):
+    """Mask for guard `a[d] < idx_d < n_d - b[d]` per axis."""
+    nx, ny, nz = shape
+    ii = np.arange(nx)[:, None, None]
+    jj = np.arange(ny)[None, :, None]
+    kk = np.arange(nz)[None, None, :]
+    return jnp.asarray(
+        (ii > a[0]) & (ii < nx - b[0])
+        & (jj > a[1]) & (jj < ny - b[1])
+        & (kk > a[2]) & (kk < nz - b[2])
+    )
+
+
+def _band2(shape, a: Tuple[int, int], b: Tuple[int, int]):
+    nx, ny = shape
+    ii = np.arange(nx)[:, None]
+    jj = np.arange(ny)[None, :]
+    return jnp.asarray(
+        (ii > a[0]) & (ii < nx - b[0]) & (jj > a[1]) & (jj < ny - b[1])
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3D volume-averaged pull-back / push-forward
+# ---------------------------------------------------------------------------
+
+
+def _map_sample_3d(grid, maps, px, py, pz, clamp_lo, clamp_hi):
+    """Sample a (3, ni, nj, nk) map at world pos; clamp result into domain."""
+    h = grid.h
+    mx = interp.sample3(maps[0], px, py, pz, h, (0.0, 0.0, 0.0))
+    my = interp.sample3(maps[1], px, py, pz, h, (0.0, 0.0, 0.0))
+    mz = interp.sample3(maps[2], px, py, pz, h, (0.0, 0.0, 0.0))
+    return (
+        jnp.clip(mx, clamp_lo * h, grid.ni * h - clamp_hi * h),
+        jnp.clip(my, clamp_lo * h, grid.nj * h - clamp_hi * h),
+        jnp.clip(mz, clamp_lo * h, grid.nk * h - clamp_hi * h),
+    )
+
+
+def _volume_eval_3d(grid, kind, eval_fn, is_point=False):
+    """0.5 * mean(8 corner evals) + 0.5 * center eval at each node of `kind`.
+
+    The 9 stencil points are stacked on a leading axis so every map/field
+    lookup in eval_fn is ONE batched gather — not 9 separate gather chains
+    (key for both XLA compile time and HBM-pass count on TPU).
+    """
+    h = grid.h
+    px, py, pz = grid.node_coords(kind)
+    if is_point:
+        return eval_fn(px, py, pz)
+    offs = jnp.asarray(_VOL3 + [(0.0, 0.0, 0.0)], px.dtype) * h  # (9, 3)
+    sh = (9,) + (1,) * px.ndim
+    bx = px[None] + offs[:, 0].reshape(sh)
+    by = py[None] + offs[:, 1].reshape(sh)
+    bz = pz[None] + offs[:, 2].reshape(sh)
+    vals = eval_fn(bx, by, bz)  # (9, ...)
+    return 0.5 * jnp.mean(vals[:8], axis=0) + 0.5 * vals[8]
+
+
+def advect_with_map_3d(grid, kind, field_cur, field_init, bwd, is_point=False):
+    """Pull field_init back through the backward map (advect_kernel).
+
+    Outside the guard band (`2+dim < idx < n-3`) the *current* field value is
+    kept — in the reference pipeline those nodes retain the pre-advection
+    velocity that updateMapping left in the working buffer.
+    """
+    off = grid.off_of(kind)
+
+    def ev(px, py, pz):
+        mx, my, mz = _map_sample_3d(grid, bwd, px, py, pz, 1.0, 1.0)
+        return interp.sample3(field_init, mx, my, mz, grid.h, off)
+
+    out = _volume_eval_3d(grid, kind, ev, is_point)
+    dim = grid.dim_of(kind)
+    band = _band3(field_cur.shape, (2 + dim[0], 2 + dim[1], 2 + dim[2]), (3, 3, 3))
+    return jnp.where(band, out, field_cur)
+
+
+def double_advect_3d(grid, kind, field, field_prev, bwd, bwd_prev, blend_coeff,
+                     is_point=False):
+    """Two-level pull-back through bwd_prev o bwd, blended with `field`
+    (doubleAdvect_kernel): field <- blend*field + (1-blend)*prev_value."""
+    off = grid.off_of(kind)
+
+    def ev(px, py, pz):
+        mx, my, mz = _map_sample_3d(grid, bwd, px, py, pz, 1.0, 1.0)
+        ox, oy, oz = _map_sample_3d(grid, bwd_prev, mx, my, mz, 1.0, 1.0)
+        return interp.sample3(field_prev, ox, oy, oz, grid.h, off)
+
+    prev_value = _volume_eval_3d(grid, kind, ev, is_point)
+    out = field * blend_coeff + (1.0 - blend_coeff) * prev_value
+    dim = grid.dim_of(kind)
+    band = _band3(field.shape, (2 + dim[0], 2 + dim[1], 2 + dim[2]), (3, 3, 3))
+    return jnp.where(band, out, field)
+
+
+def accumulate_3d(grid, kind, dfield_init, field_change, fwd, coeff=1.0,
+                  is_point=False):
+    """Push a change at time t through the *forward* map into the init buffer
+    (cumulate_kernel): dfield_init += volume<coeff * change(fwd(x))>."""
+    off = grid.off_of(kind)
+
+    def ev(px, py, pz):
+        mx, my, mz = _map_sample_3d(grid, fwd, px, py, pz, 0.0, 0.0)
+        return coeff * interp.sample3(field_change, mx, my, mz, grid.h, off)
+
+    delta = _volume_eval_3d(grid, kind, ev, is_point)
+    dim = grid.dim_of(kind)
+    band = _band3(dfield_init.shape, (1 + dim[0], 1 + dim[1], 1 + dim[2]), (2, 2, 2))
+    return jnp.where(band, dfield_init + delta, dfield_init)
+
+
+def compensate_3d(grid, kind, field_adv, field_init, fwd, bwd, is_point=False):
+    """BFECC-style error compensation of the mapping advection
+    (gpu_compensate_velocity/field, GPU_kernel.cu:640-682):
+
+      err   = volume<field_adv(fwd(x))> - field_init        (error at t=0)
+      out   = field_adv - 0.5 * volume<err(bwd(x))>
+      final = clamp27(out, around field_adv)
+    """
+    off = grid.off_of(kind)
+    dim = grid.dim_of(kind)
+
+    def ev_fwd(px, py, pz):
+        mx, my, mz = _map_sample_3d(grid, fwd, px, py, pz, 0.0, 0.0)
+        return interp.sample3(field_adv, mx, my, mz, grid.h, off)
+
+    err = _volume_eval_3d(grid, kind, ev_fwd, is_point) - field_init
+    band = _band3(field_adv.shape, (1 + dim[0], 1 + dim[1], 1 + dim[2]), (2, 2, 2))
+    err = jnp.where(band, err, 0.0)
+
+    def ev_bwd(px, py, pz):
+        mx, my, mz = _map_sample_3d(grid, bwd, px, py, pz, 0.0, 0.0)
+        return interp.sample3(err, mx, my, mz, grid.h, off)
+
+    correction = _volume_eval_3d(grid, kind, ev_bwd, is_point)
+    out = jnp.where(band, field_adv - 0.5 * correction, field_adv)
+    return advect.clamp_extrema_neighborhood(field_adv, out)
+
+
+def estimate_distortion_3d(grid, mapping: MappingState, exclude_mask=None):
+    """sqrt(max_x max(|x - F(B(x))|^2, |x - B(F(x))|^2)) over interior cells
+    (estimate_kernel + the host reduction in Mapping.cpp:91-118)."""
+    h = grid.h
+    px, py, pz = grid.node_coords("c")
+    bwd, fwd = mapping.bwd, mapping.fwd
+
+    bx = interp.sample3(bwd[0], px, py, pz, h, (0, 0, 0))
+    by = interp.sample3(bwd[1], px, py, pz, h, (0, 0, 0))
+    bz = interp.sample3(bwd[2], px, py, pz, h, (0, 0, 0))
+    fx = interp.sample3(fwd[0], bx, by, bz, h, (0, 0, 0))
+    fy = interp.sample3(fwd[1], bx, by, bz, h, (0, 0, 0))
+    fz = interp.sample3(fwd[2], bx, by, bz, h, (0, 0, 0))
+    d_bf = (px - fx) ** 2 + (py - fy) ** 2 + (pz - fz) ** 2
+
+    fx = interp.sample3(fwd[0], px, py, pz, h, (0, 0, 0))
+    fy = interp.sample3(fwd[1], px, py, pz, h, (0, 0, 0))
+    fz = interp.sample3(fwd[2], px, py, pz, h, (0, 0, 0))
+    bx = interp.sample3(bwd[0], fx, fy, fz, h, (0, 0, 0))
+    by = interp.sample3(bwd[1], fx, fy, fz, h, (0, 0, 0))
+    bz = interp.sample3(bwd[2], fx, fy, fz, h, (0, 0, 0))
+    d_fb = (px - bx) ** 2 + (py - by) ** 2 + (pz - bz) ** 2
+
+    d = jnp.maximum(d_bf, d_fb)
+    band = _band3(d.shape, (1, 1, 1), (2, 2, 2))
+    d = jnp.where(band, d, 0.0)
+    if exclude_mask is not None:
+        d = jnp.where(exclude_mask, 0.0, d)
+    return jnp.sqrt(jnp.max(d))
+
+
+# ---------------------------------------------------------------------------
+# 2D pull-back / correction / push-forward (BimocqSolver2D.cpp:727-1424)
+# ---------------------------------------------------------------------------
+
+
+def _map_sample_2d(grid, maps, px, py):
+    h = grid.h
+    mx = interp.sample2(maps[0], px, py, h, (0.5, 0.5))
+    my = interp.sample2(maps[1], px, py, h, (0.5, 0.5))
+    return interp.clamp_pos_2d(mx, my, h, grid.ni, grid.nj)
+
+
+def _volume_eval_2d(grid, kind, eval_fn):
+    """w = [1/8 x 4 corners, 1/2 center] stencil (BimocqSolver2D.cpp:745),
+    batched on a leading axis (cf. _volume_eval_3d)."""
+    h = grid.h
+    px, py = grid.node_coords(kind)
+    offs = jnp.asarray(_VOL2 + [(0.0, 0.0)], px.dtype) * h  # (5, 2)
+    sh = (5,) + (1,) * px.ndim
+    bx = px[None] + offs[:, 0].reshape(sh)
+    by = py[None] + offs[:, 1].reshape(sh)
+    vals = eval_fn(bx, by)  # (5, ...)
+    return 0.125 * jnp.sum(vals[:4], axis=0) + 0.5 * vals[4]
+
+
+_BANDS_2D_ADVECT = {"u": ((1, 1), (1, 2)), "v": ((1, 2), (1, 1)), "c": ((0, 1), (1, 1))}
+_BANDS_2D_CORRECT = {"u": ((1, 0), (1, 1)), "v": ((0, 1), (1, 1)), "c": ((1, 0), (1, 1))}
+_BANDS_2D_ACCUM = {"u": ((1, 0), (1, 1)), "v": ((0, 1), (1, 1)), "c": ((1, 0), (1, 1))}
+
+
+def advect_bimocq_2d(grid, kind, semi_field, init_field, origin_field,
+                     dfield, dfield_prev, bwd, bwd_prev, blend_coeff):
+    """Two-level blended pull-back (advectVelocity/advectScalars,
+    BimocqSolver2D.cpp:933-1077):
+
+      out = (1-b) * vol< origin(B_prev(B(x))) + d(B(x)) + d_prev(B_prev(B(x))) >
+          +  b    * vol< init(B(x)) + d(B(x)) >
+
+    with semilag fallback outside the band."""
+    off = grid.off_of(kind)
+    h = grid.h
+
+    def ev(px, py):
+        p1x, p1y = _map_sample_2d(grid, bwd, px, py)
+        p2x, p2y = _map_sample_2d(grid, bwd_prev, p1x, p1y)
+        one_level = (
+            interp.sample2(init_field, p1x, p1y, h, off)
+            + interp.sample2(dfield, p1x, p1y, h, off)
+        )
+        two_level = (
+            interp.sample2(origin_field, p2x, p2y, h, off)
+            + interp.sample2(dfield, p1x, p1y, h, off)
+            + interp.sample2(dfield_prev, p2x, p2y, h, off)
+        )
+        return blend_coeff * one_level + (1.0 - blend_coeff) * two_level
+
+    out = _volume_eval_2d(grid, kind, ev)
+    a, b = _BANDS_2D_ADVECT[kind]
+    band = _band2(semi_field.shape, a, b)
+    return jnp.where(band, out, semi_field)
+
+
+def correct_2d(grid, kind, field, field_init, dfield, fwd, bwd):
+    """Back-and-forth error correction (correctVelocity/correctScalars,
+    BimocqSolver2D.cpp:727-931):
+
+      tmp  = vol< field(F(x)) - d(x) > ; tmp = 0.5*(tmp - field_init)
+      out  = field - vol< tmp(B(x)) >
+      final= clamp9(out, around field)
+    """
+    off = grid.off_of(kind)
+    h = grid.h
+    a, b = _BANDS_2D_CORRECT[kind]
+    band = _band2(field.shape, a, b)
+
+    def ev_fwd(px, py):
+        mx, my = _map_sample_2d(grid, fwd, px, py)
+        return interp.sample2(field, mx, my, h, off)
+
+    tmp = _volume_eval_2d(grid, kind, ev_fwd) - dfield
+    tmp = jnp.where(band, tmp, 0.0)
+    tmp = 0.5 * (tmp - field_init)
+
+    def ev_bwd(px, py):
+        mx, my = _map_sample_2d(grid, bwd, px, py)
+        return interp.sample2(tmp, mx, my, h, off)
+
+    corr = _volume_eval_2d(grid, kind, ev_bwd)
+    out = jnp.where(band, field - corr, field)
+    return advect.clamp_extrema_neighborhood(field, out)
+
+
+def accumulate_2d(grid, kind, dfield, change, fwd, coeff=1.0):
+    """dfield += vol< coeff * change(F(x)) > (accumulateVelocity/Scalars with
+    error_correction=false, the only mode the reference exercises)."""
+    off = grid.off_of(kind)
+    h = grid.h
+
+    def ev(px, py):
+        mx, my = _map_sample_2d(grid, fwd, px, py)
+        return coeff * interp.sample2(change, mx, my, h, off)
+
+    delta = _volume_eval_2d(grid, kind, ev)
+    a, b = _BANDS_2D_ACCUM[kind]
+    band = _band2(dfield.shape, a, b)
+    return jnp.where(band, dfield + delta, dfield)
+
+
+def estimate_distortion_2d(grid, bwd, fwd):
+    """2D distortion: max over both compositions of |x - M(x)| (NOT squared;
+    estimateDistortion, BimocqSolver2D.cpp:666-697), band i,j in [3, n-4]."""
+    h = grid.h
+    px, py = grid.node_coords("c")
+    off = (0.5, 0.5)
+
+    fx = fwd[0]
+    fy = fwd[1]
+    bx_at_f = interp.sample2(bwd[0], fx, fy, h, off)
+    by_at_f = interp.sample2(bwd[1], fx, fy, h, off)
+    d1 = jnp.sqrt((bx_at_f - px) ** 2 + (by_at_f - py) ** 2)
+
+    bx = bwd[0]
+    by = bwd[1]
+    fx_at_b = interp.sample2(fwd[0], bx, by, h, off)
+    fy_at_b = interp.sample2(fwd[1], bx, by, h, off)
+    d2 = jnp.sqrt((fx_at_b - px) ** 2 + (fy_at_b - py) ** 2)
+
+    band = _band2(px.shape, (2, 2), (3, 3))
+    d = jnp.where(band, jnp.maximum(d1, d2), 0.0)
+    return jnp.max(d)

@@ -28,12 +28,50 @@ def _gather2(field, i, j):
     return jnp.take(field.reshape(-1), ic * ny + jc)
 
 
+def _gather4_2d(field, i0, j0):
+    """Fetch the 4 bilinear corners with one gather (cf. _gather8_3d)."""
+    nx, ny = field.shape
+    ia = jnp.clip(i0, 0, nx - 1)
+    ib = jnp.clip(i0 + 1, 0, nx - 1)
+    ja = jnp.clip(j0, 0, ny - 1)
+    jb = jnp.clip(j0 + 1, 0, ny - 1)
+    idx = jnp.stack([ia * ny + ja, ib * ny + ja, ia * ny + jb, ib * ny + jb])
+    return jnp.take(field.reshape(-1), idx)
+
+
 def _gather3(field, i, j, k):
     nx, ny, nz = field.shape
     ic = jnp.clip(i, 0, nx - 1)
     jc = jnp.clip(j, 0, ny - 1)
     kc = jnp.clip(k, 0, nz - 1)
     return jnp.take(field.reshape(-1), (ic * ny + jc) * nz + kc)
+
+
+def _gather8_3d(field, i0, j0, k0):
+    """Fetch the 8 cell corners (i0|i0+1, j0|j0+1, k0|k0+1) with ONE XLA
+    gather: the corner axis is folded into the index tensor so the whole
+    trilinear stencil costs a single HBM gather pass instead of eight."""
+    nx, ny, nz = field.shape
+    ia = jnp.clip(i0, 0, nx - 1)
+    ib = jnp.clip(i0 + 1, 0, nx - 1)
+    ja = jnp.clip(j0, 0, ny - 1)
+    jb = jnp.clip(j0 + 1, 0, ny - 1)
+    ka = jnp.clip(k0, 0, nz - 1)
+    kb = jnp.clip(k0 + 1, 0, nz - 1)
+    idx = jnp.stack(
+        [
+            (ia * ny + ja) * nz + ka,
+            (ib * ny + ja) * nz + ka,
+            (ia * ny + jb) * nz + ka,
+            (ib * ny + jb) * nz + ka,
+            (ia * ny + ja) * nz + kb,
+            (ib * ny + ja) * nz + kb,
+            (ia * ny + jb) * nz + kb,
+            (ib * ny + jb) * nz + kb,
+        ]
+    )
+    vals = jnp.take(field.reshape(-1), idx)
+    return vals  # shape (8, *i0.shape)
 
 
 def sample2(field, px, py, h, off):
@@ -51,10 +89,7 @@ def sample2(field, px, py, h, off):
     i0 = i0.astype(jnp.int32)
     j0 = j0.astype(jnp.int32)
 
-    v00 = _gather2(field, i0, j0)
-    v10 = _gather2(field, i0 + 1, j0)
-    v01 = _gather2(field, i0, j0 + 1)
-    v11 = _gather2(field, i0 + 1, j0 + 1)
+    v00, v10, v01, v11 = _gather4_2d(field, i0, j0)
     return (
         (1 - fy) * ((1 - fx) * v00 + fx * v10)
         + fy * ((1 - fx) * v01 + fx * v11)
@@ -81,14 +116,7 @@ def sample3(field, px, py, pz, h, off):
     j0 = j0.astype(jnp.int32)
     k0 = k0.astype(jnp.int32)
 
-    v000 = _gather3(field, i0, j0, k0)
-    v100 = _gather3(field, i0 + 1, j0, k0)
-    v010 = _gather3(field, i0, j0 + 1, k0)
-    v110 = _gather3(field, i0 + 1, j0 + 1, k0)
-    v001 = _gather3(field, i0, j0, k0 + 1)
-    v101 = _gather3(field, i0 + 1, j0, k0 + 1)
-    v011 = _gather3(field, i0, j0 + 1, k0 + 1)
-    v111 = _gather3(field, i0 + 1, j0 + 1, k0 + 1)
+    v000, v100, v010, v110, v001, v101, v011, v111 = _gather8_3d(field, i0, j0, k0)
 
     # triLerp corner order of GPU_kernel.cu:27-41: a blends x, b blends y, c z.
     c00 = (1 - fx) * v000 + fx * v100

@@ -221,17 +221,9 @@ def maccormack_3d(grid, kind, src, u, v, w, cfldt, dt):
     i0 = jnp.floor(gx).astype(jnp.int32)
     j0 = jnp.floor(gy).astype(jnp.int32)
     k0 = jnp.floor(gz).astype(jnp.int32)
-    corners = [
-        interp._gather3(src, i0 + a, j0 + b, k0 + c)
-        for c in (0, 1)
-        for b in (0, 1)
-        for a in (0, 1)
-    ]
-    mn = corners[0]
-    mx = corners[0]
-    for cval in corners[1:]:
-        mn = jnp.minimum(mn, cval)
-        mx = jnp.maximum(mx, cval)
+    corners = interp._gather8_3d(src, i0, j0, k0)
+    mn = jnp.min(corners, axis=0)
+    mx = jnp.max(corners, axis=0)
     fallback = interp.sample3(src, bx, by, bz, h, off)
     return jnp.where((dst < mn) | (dst > mx), fallback, dst)
 

@@ -1,0 +1,456 @@
+"""3D smoke solver — the flagship model. One `jax.jit`-compiled step with
+donated state; every field lives in HBM for the whole run (the device-resident
+loop of BimocqGPUSolver, BimocqGPUSolver.cpp:108-230, minus its ~0 host
+round-trips; the hybrid BimocqSolver's ~30 staging copies per frame,
+SURVEY.md §3.2, have no equivalent here by construction).
+
+Schemes: BIMOCQ, MAC_REFLECTION, MACCORMACK, SEMILAG
+(BimocqSolver.cpp:67-86 dispatch). BIMOCQ supports both reinit policies:
+  reinit_mode='always'   — the GPU solver's unconditional per-frame
+                           reinitialization (BimocqGPUSolver.cpp:218-229)
+  reinit_mode='adaptive' — the hybrid solver's distortion/frame-gap test
+                           (BimocqSolver.cpp:175-185) via lax.cond
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpufluidsimulation_tpu.bimocq import mapping as mp
+from gpufluidsimulation_tpu.core.grids import Grid3D
+from gpufluidsimulation_tpu.ops import advect, forces, poisson
+from gpufluidsimulation_tpu.solvers.schemes import Scheme
+
+
+@dataclasses.dataclass(frozen=True)
+class Emitter3D:
+    """Analytic sphere emitter (gpu_emit_smoke, GPU_kernel.cu:736-802).
+
+    Sets rho/T inside `radius` and a theta-modulated x-velocity
+    sign*0.06*(1 + 0.01*cos(8 theta)); v/w are zeroed inside the sphere.
+    Matches the hard-coded vortex-collision emitters (BimocqGPUSolver.cpp:387-390,
+    bimocq3D/main.cpp:52-79).
+    """
+
+    center: Tuple[float, float, float]
+    radius: float = 0.015
+    density: float = 1.0
+    temperature: float = 50.0
+    sign: float = 1.0
+    emit_frames: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class Smoke3DConfig:
+    ni: int
+    nj: int
+    nk: int
+    L: float                      # domain length in x (h = L/ni, main.cpp:36-38)
+    dt: float = 0.08
+    scheme: Scheme = Scheme.BIMOCQ
+    viscosity: float = 1e-6
+    blend_coeff: float = 1.0
+    alpha: float = 0.0            # smoke drop  (density weight)
+    beta: float = 0.0             # smoke rise  (temperature weight)
+    emitters: Tuple[Emitter3D, ...] = ()
+    bc: str = "dirichlet"         # 3D GPU solver's open-boundary behavior
+    proj_tol: float = 1e-4
+    proj_max_iters: int = 50
+    reinit_mode: str = "always"   # 'always' (GPU solver) | 'adaptive' (hybrid)
+    vel_reinit_gap: int = 10      # BimocqGPUSolver.cpp:200 / BimocqSolver.cpp:175
+    scalar_reinit_gap: int = 30
+    vel_distortion_limit: float = 1.0    # BimocqSolver.cpp:175
+    scalar_distortion_limit: float = 5.0
+
+    @property
+    def h(self) -> float:
+        return self.L / self.ni
+
+    @property
+    def grid(self) -> Grid3D:
+        return Grid3D(self.ni, self.nj, self.nk, self.h)
+
+
+@flax.struct.dataclass
+class Smoke3DState:
+    u: jnp.ndarray
+    v: jnp.ndarray
+    w: jnp.ndarray
+    u_init: jnp.ndarray
+    v_init: jnp.ndarray
+    w_init: jnp.ndarray
+    u_prev: jnp.ndarray
+    v_prev: jnp.ndarray
+    w_prev: jnp.ndarray
+    rho: jnp.ndarray
+    rho_init: jnp.ndarray
+    rho_prev: jnp.ndarray
+    T: jnp.ndarray
+    T_init: jnp.ndarray
+    T_prev: jnp.ndarray
+    vel_map: mp.MappingState
+    scalar_map: mp.MappingState
+    frame: jnp.ndarray              # int32
+    vel_last_reinit: jnp.ndarray    # int32
+    scalar_last_reinit: jnp.ndarray
+    # diagnostics of the last step (cfl, proj iters, proj residual, distortion)
+    cfl: jnp.ndarray
+    proj_iters: jnp.ndarray
+    proj_res: jnp.ndarray
+
+
+def init_state(cfg: Smoke3DConfig) -> Smoke3DState:
+    g = cfg.grid
+    z = g.zeros
+    # counters start so that frame 0 triggers both reinit deadlines
+    # (BimocqGPUSolver.h:109-110: vel=-11, scalar=-31)
+    state = Smoke3DState(
+        u=z("u"), v=z("v"), w=z("w"),
+        u_init=z("u"), v_init=z("v"), w_init=z("w"),
+        u_prev=z("u"), v_prev=z("v"), w_prev=z("w"),
+        rho=z("c"), rho_init=z("c"), rho_prev=z("c"),
+        T=z("c"), T_init=z("c"), T_prev=z("c"),
+        vel_map=mp.init_mapping(g, 3),
+        scalar_map=mp.init_mapping(g, 3),
+        frame=jnp.int32(0),
+        vel_last_reinit=jnp.int32(-11),
+        scalar_last_reinit=jnp.int32(-31),
+        cfl=jnp.float32(0.0),
+        proj_iters=jnp.int32(0),
+        proj_res=jnp.float32(0.0),
+    )
+    # force every leaf onto a distinct buffer: XLA interns constants and the
+    # mapping state shares one identity array, which breaks donate_argnums
+    return jax.tree.map(lambda x: x + jnp.zeros_like(x), state)
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def _max_velocity(u, v, w):
+    """max |component| with the reference's 1e-4 floor (BimocqGPUSolver.cpp:350)."""
+    m = jnp.maximum(
+        jnp.max(jnp.abs(u)), jnp.maximum(jnp.max(jnp.abs(v)), jnp.max(jnp.abs(w)))
+    )
+    return jnp.maximum(m, 1e-4)
+
+
+def _emit_smoke(cfg: Smoke3DConfig, g: Grid3D, u, v, w, rho, T, frame):
+    """Analytic sphere emission; per-emitter gating on frame < emit_frames."""
+    h = g.h
+    for em in cfg.emitters:
+        cx, cy, cz = em.center
+        active = frame < em.emit_frames
+
+        def field_mask(shape, x_is_staggered):
+            nx, ny, nz = shape
+            ii = (jnp.arange(nx, dtype=jnp.float32) - (0.5 if x_is_staggered else 0.0))
+            # emit_smoke_velocity_kernel uses (i-0.5)h on x for every velocity
+            # component; the scalar kernel uses i*h (GPU_kernel.cu:746,770)
+            x = ii * h - cx
+            y = jnp.arange(ny, dtype=jnp.float32) * h - cy
+            z = jnp.arange(nz, dtype=jnp.float32) * h - cz
+            X = x[:, None, None]
+            Y = y[None, :, None]
+            Z = z[None, None, :]
+            r = jnp.sqrt(X**2 + Y**2 + Z**2)
+            band = mp._band3(shape, (1, 1, 1), (2, 2, 2))
+            return (r < em.radius) & band, Y, Z
+
+        # u: theta-modulated emission velocity
+        inside_u, Yu, Zu = field_mask(u.shape, True)
+        hyp = jnp.sqrt(Yu**2 + Zu**2)
+        theta = jnp.arccos(jnp.clip(Yu / jnp.maximum(hyp, 1e-12), -1.0, 1.0))
+        vel_x = em.sign * 0.06 * (1.0 + 0.01 * jnp.cos(8.0 * theta))
+        u = jnp.where(active & inside_u, vel_x + 0.0 * u, u)
+        # v, w zeroed inside (kernel called with emiter=0)
+        inside_v, _, _ = field_mask(v.shape, True)
+        v = jnp.where(active & inside_v, 0.0, v)
+        inside_w, _, _ = field_mask(w.shape, True)
+        w = jnp.where(active & inside_w, 0.0, w)
+        # scalars (cell lattice, no x staggering)
+        inside_c, _, _ = field_mask(rho.shape, False)
+        rho = jnp.where(active & inside_c, em.density, rho)
+        T = jnp.where(active & inside_c, em.temperature, T)
+    return u, v, w, rho, T
+
+
+def _forces_and_project(cfg, g, ctx, u, v, w, rho, T, frame, dt):
+    """emit + buoyancy + viscosity + projection; returns fields and deltas."""
+    u, v, w, rho, T = _emit_smoke(cfg, g, u, v, w, rho, T, frame)
+    v = forces.buoyancy_3d(v, rho, T, cfg.alpha, cfg.beta, dt)
+    if cfg.viscosity:
+        coef = cfg.viscosity * dt / (g.h * g.h)
+        u = forces.diffuse_3d(u, 20, coef)
+        v = forces.diffuse_3d(v, 20, coef)
+        w = forces.diffuse_3d(w, 20, coef)
+    return u, v, w, rho, T
+
+
+def _semilag_vel(g, u, v, w, au, av, aw, cfldt, dt):
+    """Advect the (au,av,aw) staggered triplet by tracing in (u,v,w)."""
+    nu = advect.semilag_3d(g, "u", au, u, v, w, cfldt, dt)
+    nv = advect.semilag_3d(g, "v", av, u, v, w, cfldt, dt)
+    nw = advect.semilag_3d(g, "w", aw, u, v, w, cfldt, dt)
+    return nu, nv, nw
+
+
+def _maccormack_vel(g, u, v, w, au, av, aw, cfldt, dt):
+    """MacCormack of the staggered triplet (fields == tracing velocity is the
+    common case; reflection's second half advects the reflected field)."""
+    fu, fv, fw = _semilag_vel(g, u, v, w, au, av, aw, cfldt, -dt)
+    bu, bv, bw = _semilag_vel(g, u, v, w, fu, fv, fw, cfldt, dt)
+    cu = fu + 0.5 * (au - bu)
+    cv = fv + 0.5 * (av - bv)
+    cw = fw + 0.5 * (aw - bw)
+    cu = advect.clamp_extrema_neighborhood(au, cu)
+    cv = advect.clamp_extrema_neighborhood(av, cv)
+    cw = advect.clamp_extrema_neighborhood(aw, cw)
+    return cu, cv, cw
+
+
+# ---------------------------------------------------------------------------
+# Scheme steps
+# ---------------------------------------------------------------------------
+
+
+def _step_semilag(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
+    dt = cfg.dt
+    cfldt = g.h / _max_velocity(s.u, s.v, s.w)
+    rho = advect.semilag_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, -dt)
+    T = advect.semilag_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, -dt)
+    u, v, w = _semilag_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, -dt)
+    u, v, w, rho, T = _forces_and_project(cfg, g, ctx, u, v, w, rho, T, s.frame, dt)
+    u, v, w, _, iters, res = poisson.project_3d(
+        u, v, w, ctx, cfg.proj_tol, cfg.proj_max_iters
+    )
+    return s.replace(
+        u=u, v=v, w=w, rho=rho, T=T, frame=s.frame + 1,
+        cfl=_max_velocity(s.u, s.v, s.w) * dt / g.h, proj_iters=iters, proj_res=res,
+    )
+
+
+def _step_maccormack(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
+    dt = cfg.dt
+    cfldt = g.h / _max_velocity(s.u, s.v, s.w)
+    rho = advect.maccormack_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, dt)
+    T = advect.maccormack_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, dt)
+    u, v, w = _maccormack_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, dt)
+    u, v, w, rho, T = _forces_and_project(cfg, g, ctx, u, v, w, rho, T, s.frame, dt)
+    u, v, w, _, iters, res = poisson.project_3d(
+        u, v, w, ctx, cfg.proj_tol, cfg.proj_max_iters
+    )
+    return s.replace(
+        u=u, v=v, w=w, rho=rho, T=T, frame=s.frame + 1,
+        cfl=_max_velocity(s.u, s.v, s.w) * dt / g.h, proj_iters=iters, proj_res=res,
+    )
+
+
+def _step_reflection(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
+    """advanceReflection (BimocqGPUSolver.cpp:232-337): MacCormack scalars,
+    half-step velocity advection, project, reflect u* = 2u - u_hat, advect the
+    reflected field another half step, force+project again."""
+    dt = cfg.dt
+    cfldt = g.h / _max_velocity(s.u, s.v, s.w)
+    rho = advect.maccormack_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, dt)
+    T = advect.maccormack_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, dt)
+
+    # first half-step velocity advection (tracing in the original field)
+    u, v, w = _maccormack_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, 0.5 * dt)
+
+    u, v, w, rho, T = _forces_and_project(
+        cfg, g, ctx, u, v, w, rho, T, s.frame, 0.5 * dt
+    )
+    u_save, v_save, w_save = u, v, w
+    u, v, w, _, it1, res1 = poisson.project_3d(
+        u, v, w, ctx, cfg.proj_tol, cfg.proj_max_iters
+    )
+    # reflect
+    ru = 2.0 * u - u_save
+    rv = 2.0 * v - v_save
+    rw = 2.0 * w - w_save
+    # advect the reflected field a half step, tracing in the projected field
+    u2, v2, w2 = _maccormack_vel(g, u, v, w, ru, rv, rw, cfldt, 0.5 * dt)
+
+    v2 = forces.buoyancy_3d(v2, rho, T, cfg.alpha, cfg.beta, 0.5 * dt)
+    if cfg.viscosity:
+        coef = cfg.viscosity * (0.5 * dt) / (g.h * g.h)
+        u2 = forces.diffuse_3d(u2, 20, coef)
+        v2 = forces.diffuse_3d(v2, 20, coef)
+        w2 = forces.diffuse_3d(w2, 20, coef)
+    u2, v2, w2, _, it2, res2 = poisson.project_3d(
+        u2, v2, w2, ctx, cfg.proj_tol, cfg.proj_max_iters
+    )
+    return s.replace(
+        u=u2, v=v2, w=w2, rho=rho, T=T, frame=s.frame + 1,
+        cfl=_max_velocity(s.u, s.v, s.w) * dt / g.h,
+        proj_iters=it1 + it2, proj_res=jnp.maximum(res1, res2),
+    )
+
+
+def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
+    """advanceBimocq (BimocqGPUSolver.cpp:129-230 with the hybrid solver's
+    adaptive reinit available, BimocqSolver.cpp:88-229)."""
+    dt = cfg.dt
+    maxvel = _max_velocity(s.u, s.v, s.w)
+    cfldt = g.h / maxvel
+
+    vel_map = mp.update_mapping_3d(s.vel_map, g, s.u, s.v, s.w, cfldt, dt)
+    scalar_map = mp.update_mapping_3d(s.scalar_map, g, s.u, s.v, s.w, cfldt, dt)
+
+    # --- velocity pull-back + compensation + two-level blend ---
+    blend_v = jnp.where(vel_map.reinit_count != 0, cfg.blend_coeff, 1.0)
+    u = mp.advect_with_map_3d(g, "u", s.u, s.u_init, vel_map.bwd)
+    v = mp.advect_with_map_3d(g, "v", s.v, s.v_init, vel_map.bwd)
+    w = mp.advect_with_map_3d(g, "w", s.w, s.w_init, vel_map.bwd)
+    u = mp.compensate_3d(g, "u", u, s.u_init, vel_map.fwd, vel_map.bwd)
+    v = mp.compensate_3d(g, "v", v, s.v_init, vel_map.fwd, vel_map.bwd)
+    w = mp.compensate_3d(g, "w", w, s.w_init, vel_map.fwd, vel_map.bwd)
+    u = mp.double_advect_3d(g, "u", u, s.u_prev, vel_map.bwd, vel_map.bwd_prev, blend_v)
+    v = mp.double_advect_3d(g, "v", v, s.v_prev, vel_map.bwd, vel_map.bwd_prev, blend_v)
+    w = mp.double_advect_3d(g, "w", w, s.w_prev, vel_map.bwd, vel_map.bwd_prev, blend_v)
+
+    # --- scalar pull-back ---
+    blend_s = jnp.where(scalar_map.reinit_count != 0, cfg.blend_coeff, 1.0)
+    rho = mp.advect_with_map_3d(g, "c", s.rho, s.rho_init, scalar_map.bwd)
+    rho = mp.compensate_3d(g, "c", rho, s.rho_init, scalar_map.fwd, scalar_map.bwd)
+    rho = mp.double_advect_3d(
+        g, "c", rho, s.rho_prev, scalar_map.bwd, scalar_map.bwd_prev, blend_s
+    )
+    T = mp.advect_with_map_3d(g, "c", s.T, s.T_init, scalar_map.bwd)
+    T = mp.compensate_3d(g, "c", T, s.T_init, scalar_map.fwd, scalar_map.bwd)
+    T = mp.double_advect_3d(
+        g, "c", T, s.T_prev, scalar_map.bwd, scalar_map.bwd_prev, blend_s
+    )
+
+    # --- external forces (captured as deltas for accumulation) ---
+    u_t, v_t, w_t = u, v, w
+    rho_t, T_t = rho, T
+    u, v, w, rho, T = _forces_and_project(cfg, g, ctx, u, v, w, rho, T, s.frame, dt)
+    du_ext, dv_ext, dw_ext = u - u_t, v - v_t, w - w_t
+    drho_ext, dT_ext = rho - rho_t, T - T_t
+
+    # --- projection ---
+    u_t, v_t, w_t = u, v, w
+    u, v, w, _, iters, res = poisson.project_3d(
+        u, v, w, ctx, cfg.proj_tol, cfg.proj_max_iters
+    )
+    du_p, dv_p, dw_p = u - u_t, v - v_t, w - w_t
+
+    # --- reinit decision ---
+    if cfg.reinit_mode == "adaptive":
+        d_vel = mp.estimate_distortion_3d(g, vel_map) / (maxvel * dt)
+        d_sc = mp.estimate_distortion_3d(g, scalar_map) / (maxvel * dt)
+        vel_reinit = (d_vel > cfg.vel_distortion_limit) | (
+            s.frame - s.vel_last_reinit > cfg.vel_reinit_gap
+        )
+        scalar_reinit = (d_sc > cfg.scalar_distortion_limit) | (
+            s.frame - s.scalar_last_reinit > cfg.scalar_reinit_gap
+        )
+    else:
+        vel_reinit = s.frame - s.vel_last_reinit > cfg.vel_reinit_gap
+        scalar_reinit = s.frame - s.scalar_last_reinit > cfg.scalar_reinit_gap
+    proj_coeff = jnp.where(vel_reinit, 1.0, 2.0)
+
+    # --- accumulate deltas into init buffers through the forward map ---
+    u_init = mp.accumulate_3d(g, "u", s.u_init, du_ext, vel_map.fwd, 1.0)
+    v_init = mp.accumulate_3d(g, "v", s.v_init, dv_ext, vel_map.fwd, 1.0)
+    w_init = mp.accumulate_3d(g, "w", s.w_init, dw_ext, vel_map.fwd, 1.0)
+    u_init = mp.accumulate_3d(g, "u", u_init, du_p, vel_map.fwd, proj_coeff)
+    v_init = mp.accumulate_3d(g, "v", v_init, dv_p, vel_map.fwd, proj_coeff)
+    w_init = mp.accumulate_3d(g, "w", w_init, dw_p, vel_map.fwd, proj_coeff)
+    rho_init = mp.accumulate_3d(g, "c", s.rho_init, drho_ext, scalar_map.fwd, 1.0)
+    T_init = mp.accumulate_3d(g, "c", s.T_init, dT_ext, scalar_map.fwd, 1.0)
+
+    # --- reinitialization ---
+    def do_vel_reinit(args):
+        vel_map_, u_init_, v_init_, w_init_ = args
+        vm = mp.reinitialize(vel_map_, g)
+        u_prev, v_prev, w_prev = u_init_, v_init_, w_init_
+        # Init <- current velocity, then one more proj accumulation through
+        # the (now identity) forward map (BimocqGPUSolver.cpp:220-222,
+        # BimocqSolver.cpp:212-214)
+        nu = mp.accumulate_3d(g, "u", u, du_p, vm.fwd, 1.0)
+        nv = mp.accumulate_3d(g, "v", v, dv_p, vm.fwd, 1.0)
+        nw = mp.accumulate_3d(g, "w", w, dw_p, vm.fwd, 1.0)
+        return vm, nu, nv, nw, u_prev, v_prev, w_prev
+
+    def no_vel_reinit(args):
+        vel_map_, u_init_, v_init_, w_init_ = args
+        return vel_map_, u_init_, v_init_, w_init_, s.u_prev, s.v_prev, s.w_prev
+
+    vel_map, u_init, v_init, w_init, u_prev, v_prev, w_prev = jax.lax.cond(
+        vel_reinit, do_vel_reinit, no_vel_reinit, (vel_map, u_init, v_init, w_init)
+    )
+
+    def do_scalar_reinit(args):
+        scalar_map_, rho_init_, T_init_ = args
+        sm = mp.reinitialize(scalar_map_, g)
+        return sm, rho, T, rho_init_, T_init_
+
+    def no_scalar_reinit(args):
+        scalar_map_, rho_init_, T_init_ = args
+        return scalar_map_, rho_init_, T_init_, s.rho_prev, s.T_prev
+
+    scalar_map, rho_init, T_init, rho_prev, T_prev = jax.lax.cond(
+        scalar_reinit, do_scalar_reinit, no_scalar_reinit,
+        (scalar_map, rho_init, T_init),
+    )
+
+    return s.replace(
+        u=u, v=v, w=w,
+        u_init=u_init, v_init=v_init, w_init=w_init,
+        u_prev=u_prev, v_prev=v_prev, w_prev=w_prev,
+        rho=rho, rho_init=rho_init, rho_prev=rho_prev,
+        T=T, T_init=T_init, T_prev=T_prev,
+        vel_map=vel_map, scalar_map=scalar_map,
+        frame=s.frame + 1,
+        vel_last_reinit=jnp.where(vel_reinit, s.frame, s.vel_last_reinit),
+        scalar_last_reinit=jnp.where(scalar_reinit, s.frame, s.scalar_last_reinit),
+        cfl=maxvel * dt / g.h, proj_iters=iters, proj_res=res,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+_STEPS = {
+    Scheme.SEMILAG: _step_semilag,
+    Scheme.MACCORMACK: _step_maccormack,
+    Scheme.MAC_REFLECTION: _step_reflection,
+    Scheme.BIMOCQ: _step_bimocq,
+}
+
+
+class Smoke3D:
+    """Driver object: owns the static config, MG context and the jitted step."""
+
+    def __init__(self, cfg: Smoke3DConfig):
+        if cfg.scheme not in _STEPS:
+            raise ValueError(f"3D solver does not support {cfg.scheme!r}")
+        self.cfg = cfg
+        self.grid = cfg.grid
+        self.ctx = poisson.MGContext(self.grid.shape_c, cfg.bc)
+        step_fn = _STEPS[cfg.scheme]
+        self._step = jax.jit(
+            partial(step_fn, cfg, self.grid, self.ctx), donate_argnums=0
+        )
+
+    def init_state(self) -> Smoke3DState:
+        return init_state(self.cfg)
+
+    def step(self, state: Smoke3DState) -> Smoke3DState:
+        return self._step(state)
+
+    def step_fn(self):
+        return self._step

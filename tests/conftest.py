@@ -1,15 +1,36 @@
-"""Test configuration: force the CPU backend with 8 virtual devices so
-multi-chip sharding tests run without TPU hardware (the driver separately
-dry-runs the real multi-chip path via __graft_entry__.dryrun_multichip)."""
+"""Test configuration.
+
+Unit tests run on the CPU backend with 8 virtual devices so multi-chip
+sharding tests work without TPU hardware (the driver separately dry-runs the
+real multi-chip path via __graft_entry__.dryrun_multichip).
+
+This container boots an experimental TPU PJRT plugin from sitecustomize
+*before* any conftest runs, which locks the backend choice at import time —
+so we reset the backend registry in-process and re-select CPU.
+"""
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if repo_root not in sys.path:
+    sys.path.insert(0, repo_root)
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+import jax._src.xla_bridge as _xb  # noqa: E402
+
+if _xb.backends_are_initialized():
+    _xb._clear_backends()
+assert jax.devices()[0].platform == "cpu"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
