@@ -1,0 +1,70 @@
+"""Multi-chip scaling over a jax Mesh — a NEW capability (the reference is
+single-process single-GPU; its only 'communication backend' is the
+cudaMemcpy staging fabric, GPU_Advection.h:249-326, cf. SURVEY.md §2.9).
+
+Design: 1D mesh over axis 'z'; every simulation field is sharded along its
+last (k) grid axis. Stencil ops then need a 1-2 cell halo along z, and
+semi-Lagrangian gathers reach at most CFL-bounded distances. Two layers:
+
+* GSPMD path (`sharded_step`): jit the unmodified step with sharded inputs;
+  XLA inserts collectives for stencils (collective-permute halos) and
+  gathers (all-gathers where displacement is unbounded). Correct everywhere,
+  used by the driver dry-run.
+* shard_map path (`halo.py`, `halo_exchange` + `laplacian_sharded`): explicit
+  ppermute halo exchange for the Poisson smoother — the bandwidth-critical
+  inner loop — so the hot path rides ICI with 1-cell halos instead of
+  all-gathers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int, axis: str = "z") -> Mesh:
+    devices = np.array(jax.devices()[:n_devices])
+    return Mesh(devices, (axis,))
+
+
+def _spec_for(x, n_devices, axis_name="z"):
+    if not hasattr(x, "ndim") or x.ndim < 3:
+        return P()  # scalars / small arrays replicated
+    # shard the innermost grid axis whose extent divides the mesh: staggered
+    # fields carry one extra face plane (e.g. w is (ni,nj,nk+1)), so fall
+    # back to the next axis for those (GSPMD reshards at op boundaries)
+    spec = [None] * x.ndim
+    for axis in range(x.ndim - 1, 0, -1):
+        if x.shape[axis] % n_devices == 0:
+            spec[axis] = axis_name
+            break
+    return P(*spec)
+
+
+def shard_state(state, mesh: Mesh):
+    """device_put every leaf with its z-sharding (fields) or replicated."""
+
+    n = mesh.size
+
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, _spec_for(x, n)))
+
+    return jax.tree.map(put, state)
+
+
+def sharded_step(solver, mesh: Mesh):
+    """Jit the full solver step with in/out shardings pinned to the mesh."""
+    from functools import partial
+
+    from gpufluidsimulation_tpu.solvers import smoke3d
+
+    step_fn = smoke3d._STEPS[solver.cfg.scheme]
+    fn = partial(step_fn, solver.cfg, solver.grid, solver.ctx)
+
+    example = solver.init_state()
+    shardings = jax.tree.map(
+        lambda x: NamedSharding(mesh, _spec_for(x, mesh.size)), example
+    )
+    return jax.jit(fn, in_shardings=(shardings,), out_shardings=shardings)

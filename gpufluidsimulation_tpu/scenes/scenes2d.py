@@ -20,6 +20,7 @@ from gpufluidsimulation_tpu.core.grids import Grid2D
 from gpufluidsimulation_tpu.ops import poisson
 from gpufluidsimulation_tpu.solvers.schemes import Scheme
 from gpufluidsimulation_tpu.solvers.smoke2d import Smoke2D, Smoke2DConfig
+from gpufluidsimulation_tpu.utils.tree import fresh_buffers
 
 
 def _solve_stream_function(grid: Grid2D, curl_nodes):
@@ -56,9 +57,9 @@ def _gaussian_vortex_pair_curl(grid, distance):
 def init_taylor_vortex(solver: Smoke2D, state, distance=0.81):
     curl = _gaussian_vortex_pair_curl(solver.grid, distance)
     u, v = _solve_stream_function(solver.grid, curl)
-    return state.replace(
+    return fresh_buffers(state.replace(
         u=u, v=v, u_init=u, v_init=v, u_origin=u, v_origin=v
-    ), float(np.abs(curl).max())
+    )), float(np.abs(curl).max())
 
 
 def init_leapfrog(solver: Smoke2D, state, dist_a=1.5, dist_b=3.0,
@@ -70,9 +71,7 @@ def init_leapfrog(solver: Smoke2D, state, dist_a=1.5, dist_b=3.0,
     x = np.arange(ni + 1)[:, None] * grid.h - math.pi
     y = np.arange(nj + 1)[None, :] * grid.h - math.pi
     curl = np.zeros((ni + 1, nj + 1), np.float32)
-    for dist, sign in ((dist_a, 1.0), (-dist_a, -1.0), (dist_b, 1.0), (-dist_b, -1.0)):
-        # vortices at (±dist/2, -2); signs alternate +,-,+,- (cpp:2010-2021)
-        pass
+    # vortices at (+-dist/2, -2) with alternating signs (cpp:2010-2021)
     for cx, sgn in ((-0.5 * dist_a, 1.0), (0.5 * dist_a, -1.0),
                     (-0.5 * dist_b, 1.0), (0.5 * dist_b, -1.0)):
         r2 = (x - cx) ** 2 + (y + 2.0) ** 2
@@ -85,10 +84,10 @@ def init_leapfrog(solver: Smoke2D, state, dist_a=1.5, dist_b=3.0,
         & (xc > rho_w) & (xc < 2 * math.pi - rho_w)
     )
     rho = jnp.asarray(np.broadcast_to(strip, (ni, nj)).astype(np.float32))
-    return state.replace(
+    return fresh_buffers(state.replace(
         u=u, v=v, u_init=u, v_init=v, u_origin=u, v_origin=v,
         rho=rho, rho_init=rho, rho_orig=rho,
-    ), float(np.abs(curl).max())
+    )), float(np.abs(curl).max())
 
 
 def init_rayleigh_taylor(solver: Smoke2D, state, layer_height):
@@ -103,7 +102,7 @@ def init_rayleigh_taylor(solver: Smoke2D, state, layer_height):
     light = 1.0 - heavy
     rho = jnp.asarray(np.broadcast_to(heavy, (ni, nj)))
     T = jnp.asarray(np.broadcast_to(light, (ni, nj)))
-    return state.replace(rho=rho, rho_init=rho, rho_orig=rho, T=T, T_init=T, T_orig=T)
+    return fresh_buffers(state.replace(rho=rho, rho_init=rho, rho_orig=rho, T=T, T_init=T, T_orig=T))
 
 
 def init_zalesak(solver: Smoke2D, state):
@@ -136,10 +135,10 @@ def init_zalesak(solver: Smoke2D, state):
     u = jnp.asarray(u.astype(np.float32))
     v = jnp.asarray(v.astype(np.float32))
     rho = jnp.asarray(sdf)
-    return state.replace(
+    return fresh_buffers(state.replace(
         rho=rho, rho_init=rho, rho_orig=rho,
         u=u, v=v, u_init=u, v_init=v, u_origin=u, v_origin=v,
-    )
+    ))
 
 
 def init_vortex_box(solver: Smoke2D, state):
@@ -168,8 +167,8 @@ def init_vortex_box(solver: Smoke2D, state):
     v = 2.0 * np.sin(math.pi * xv) * np.cos(math.pi * xv) * np.sin(math.pi * yv) ** 2
     v = np.broadcast_to(v / normalize, (ni, nj + 1)).astype(np.float32)
     rho = jnp.asarray(sdf)
-    return state.replace(rho=rho, rho_init=rho, rho_orig=rho,
-                         u=jnp.asarray(u), v=jnp.asarray(v))
+    return fresh_buffers(state.replace(rho=rho, rho_init=rho, rho_orig=rho,
+                         u=jnp.asarray(u), v=jnp.asarray(v)))
 
 
 # ---------------------------------------------------------------------------

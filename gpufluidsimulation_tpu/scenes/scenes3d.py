@@ -1,0 +1,46 @@
+"""3D scenes — the vortex-ring collision example of bimocq3D/main.cpp:27-80.
+
+Two counter-propagating sphere emitters (radius 0.015) at (0.04, 0.2, 0.2)
+and (0.16, 0.201, 0.2) — note the deliberate 0.001 y-asymmetry — emitting
+density 1, temperature 50, with theta-modulated x-velocity +-0.06(1+0.01cos8θ)
+for the first 10 frames (Emitter ctor args at main.cpp:76-77, analytic GPU
+emission at BimocqGPUSolver.cpp:387-390).
+"""
+
+from __future__ import annotations
+
+from gpufluidsimulation_tpu.solvers.schemes import Scheme
+from gpufluidsimulation_tpu.solvers.smoke3d import Emitter3D, Smoke3D, Smoke3DConfig
+
+
+def vortex_collision_config(
+    ni: int = 100,
+    nj: int = 200,
+    nk: int = 200,
+    scheme: Scheme = Scheme.MAC_REFLECTION,  # default at main.cpp:51
+    dt: float = 0.08,
+    **overrides,
+) -> Smoke3DConfig:
+    base = dict(
+        ni=ni, nj=nj, nk=nk, L=0.2, dt=dt, scheme=scheme,
+        viscosity=1e-6,          # main.cpp:44
+        blend_coeff=1.0,         # main.cpp:47
+        alpha=0.0, beta=0.0,     # smoke_rise = smoke_drop = 0 (main.cpp:42-43)
+        emitters=(
+            Emitter3D(center=(0.04, 0.2, 0.2), radius=0.015, density=1.0,
+                      temperature=50.0, sign=1.0, emit_frames=10),
+            Emitter3D(center=(0.16, 0.201, 0.2), radius=0.015, density=1.0,
+                      temperature=50.0, sign=-1.0, emit_frames=10),
+        ),
+    )
+    base.update(overrides)
+    return Smoke3DConfig(**base)
+
+
+def make_vortex_collision(scheme: Scheme = Scheme.MAC_REFLECTION, **overrides):
+    cfg = vortex_collision_config(scheme=scheme, **overrides)
+    solver = Smoke3D(cfg)
+    return solver, solver.init_state()
+
+
+TOTAL_FRAMES = 300  # main.cpp:34
