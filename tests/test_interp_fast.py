@@ -1,0 +1,91 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpufluidsimulation_tpu.core import interp
+from gpufluidsimulation_tpu.ops import interp_fast
+
+
+def _positions(shape, h, off, rng, max_disp_cells):
+    """Smooth bounded displacement field around each lattice site."""
+    nx, ny, nz = shape
+    i = np.arange(nx)[:, None, None]
+    j = np.arange(ny)[None, :, None]
+    k = np.arange(nz)[None, None, :]
+    phase = rng.uniform(0, 2 * np.pi, size=3)
+    # wavelengths long relative to the block so in-block variation stays
+    # within the kernel's residual budget (the bounded-smoothness contract)
+    lam = 8.0
+    d = max_disp_cells * np.stack([
+        np.broadcast_to(
+            np.sin(2 * np.pi * i / (lam * nx) + phase[0])
+            * np.cos(2 * np.pi * k / (lam * nz)), shape),
+        np.broadcast_to(np.cos(2 * np.pi * j / (lam * ny) + phase[1]), shape),
+        np.broadcast_to(
+            np.sin(2 * np.pi * (i + j) / (lam * (nx + ny)) + phase[2]), shape),
+    ])
+    px = (i + off[0] + d[0]) * h
+    py = (j + off[1] + d[1]) * h
+    pz = (k + off[2] + d[2]) * h
+    return (np.broadcast_to(px, shape).astype(np.float32),
+            np.broadcast_to(py, shape).astype(np.float32),
+            np.broadcast_to(pz, shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("shape,block", [
+    ((16, 16, 128), (8, 8, 128)),
+    ((17, 16, 130), (8, 8, 128)),   # non-multiple shapes exercise padding
+])
+def test_sample3_fast_matches_gather(rng, shape, block):
+    h = 0.1
+    off = (0.0, -0.5, 0.0)
+    field = rng.standard_normal(shape).astype(np.float32)
+    px, py, pz = _positions(shape, h, off, rng, max_disp_cells=1.5)
+    want = np.asarray(interp.sample3(jnp.asarray(field), jnp.asarray(px),
+                                     jnp.asarray(py), jnp.asarray(pz), h, off))
+    got = np.asarray(interp_fast.sample3_fast(
+        jnp.asarray(field), jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz),
+        h, off, Rr=2, block=block, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_sample3_fast_large_smooth_displacement(rng):
+    # multi-cell displacement with a wall-tapered envelope (real flows have
+    # zero normal velocity at walls): block mean-centering absorbs the bulk
+    shape = (32, 16, 128)
+    h = 0.05
+    off = (0.0, 0.0, 0.0)
+    field = rng.standard_normal(shape).astype(np.float32)
+    px, py, pz = _positions(shape, h, off, rng, max_disp_cells=3.0)
+    i = np.arange(shape[0])[:, None, None]
+    env = np.broadcast_to(np.sin(np.pi * (i + 0.5) / shape[0]), shape)
+    node = np.stack(np.meshgrid(*[np.arange(s) for s in shape],
+                                indexing="ij")).astype(np.float32)
+    px = ((node[0] + (px / h - node[0]) * env) * h).astype(np.float32)
+    py = ((node[1] + (py / h - node[1]) * env) * h).astype(np.float32)
+    pz = ((node[2] + (pz / h - node[2]) * env) * h).astype(np.float32)
+    px = np.clip(px, h, (shape[0] - 1) * h)
+    py = np.clip(py, h, (shape[1] - 1) * h)
+    pz = np.clip(pz, h, (shape[2] - 1) * h)
+    over = int(interp_fast.residual_overflow(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz), h, off, Rr=3))
+    assert over == 0
+    want = np.asarray(interp.sample3(jnp.asarray(field), jnp.asarray(px),
+                                     jnp.asarray(py), jnp.asarray(pz), h, off))
+    got = np.asarray(interp_fast.sample3_fast(
+        jnp.asarray(field), jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz),
+        h, off, Rr=3, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_residual_overflow_detects_violations(rng):
+    shape = (8, 8, 128)
+    h = 1.0
+    # random (non-smooth) displacement of up to 6 cells -> must overflow Rr=2
+    i = np.arange(8)[:, None, None] * h
+    px = np.broadcast_to(i, shape) + rng.uniform(-6, 6, shape).astype(np.float32)
+    py = np.broadcast_to(np.arange(8)[None, :, None] * h, shape).astype(np.float32)
+    pz = np.broadcast_to(np.arange(128)[None, None, :] * h, shape).astype(np.float32)
+    over = int(interp_fast.residual_overflow(
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz), h, (0, 0, 0), Rr=2))
+    assert over > 0
