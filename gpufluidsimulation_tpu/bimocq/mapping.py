@@ -139,9 +139,9 @@ def _band2(shape, a: Tuple[int, int], b: Tuple[int, int]):
 def _map_sample_3d(grid, maps, px, py, pz, clamp_lo, clamp_hi):
     """Sample a (3, ni, nj, nk) map at world pos; clamp result into domain."""
     h = grid.h
-    mx = interp.sample3(maps[0], px, py, pz, h, (0.0, 0.0, 0.0))
-    my = interp.sample3(maps[1], px, py, pz, h, (0.0, 0.0, 0.0))
-    mz = interp.sample3(maps[2], px, py, pz, h, (0.0, 0.0, 0.0))
+    mx = interp.sample3_lattice(maps[0], px, py, pz, h, (0.0, 0.0, 0.0))
+    my = interp.sample3_lattice(maps[1], px, py, pz, h, (0.0, 0.0, 0.0))
+    mz = interp.sample3_lattice(maps[2], px, py, pz, h, (0.0, 0.0, 0.0))
     return (
         jnp.clip(mx, clamp_lo * h, grid.ni * h - clamp_hi * h),
         jnp.clip(my, clamp_lo * h, grid.nj * h - clamp_hi * h),
@@ -156,10 +156,20 @@ def _volume_eval_3d(grid, kind, eval_fn, is_point=False):
     lookup in eval_fn is ONE batched gather — not 9 separate gather chains
     (key for both XLA compile time and HBM-pass count on TPU).
     """
+    from gpufluidsimulation_tpu import config
+
     h = grid.h
     px, py, pz = grid.node_coords(kind)
     if is_point:
         return eval_fn(px, py, pz)
+    if config.use_fast_interp():
+        # fast path: one windowed-DMA kernel launch per stencil offset
+        # (the kernel wants 3D lattices; launch overhead is negligible)
+        acc = None
+        for ox, oy, oz in _VOL3:
+            v = eval_fn(px + ox * h, py + oy * h, pz + oz * h)
+            acc = v if acc is None else acc + v
+        return 0.5 * (acc / 8.0) + 0.5 * eval_fn(px, py, pz)
     offs = jnp.asarray(_VOL3 + [(0.0, 0.0, 0.0)], px.dtype) * h  # (9, 3)
     sh = (9,) + (1,) * px.ndim
     bx = px[None] + offs[:, 0].reshape(sh)
@@ -180,7 +190,7 @@ def advect_with_map_3d(grid, kind, field_cur, field_init, bwd, is_point=False):
 
     def ev(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, bwd, px, py, pz, 1.0, 1.0)
-        return interp.sample3(field_init, mx, my, mz, grid.h, off)
+        return interp.sample3_lattice(field_init, mx, my, mz, grid.h, off)
 
     out = _volume_eval_3d(grid, kind, ev, is_point)
     dim = grid.dim_of(kind)
@@ -197,7 +207,7 @@ def double_advect_3d(grid, kind, field, field_prev, bwd, bwd_prev, blend_coeff,
     def ev(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, bwd, px, py, pz, 1.0, 1.0)
         ox, oy, oz = _map_sample_3d(grid, bwd_prev, mx, my, mz, 1.0, 1.0)
-        return interp.sample3(field_prev, ox, oy, oz, grid.h, off)
+        return interp.sample3_lattice(field_prev, ox, oy, oz, grid.h, off)
 
     prev_value = _volume_eval_3d(grid, kind, ev, is_point)
     out = field * blend_coeff + (1.0 - blend_coeff) * prev_value
@@ -214,7 +224,7 @@ def accumulate_3d(grid, kind, dfield_init, field_change, fwd, coeff=1.0,
 
     def ev(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, fwd, px, py, pz, 0.0, 0.0)
-        return coeff * interp.sample3(field_change, mx, my, mz, grid.h, off)
+        return coeff * interp.sample3_lattice(field_change, mx, my, mz, grid.h, off)
 
     delta = _volume_eval_3d(grid, kind, ev, is_point)
     dim = grid.dim_of(kind)
@@ -235,7 +245,7 @@ def compensate_3d(grid, kind, field_adv, field_init, fwd, bwd, is_point=False):
 
     def ev_fwd(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, fwd, px, py, pz, 0.0, 0.0)
-        return interp.sample3(field_adv, mx, my, mz, grid.h, off)
+        return interp.sample3_lattice(field_adv, mx, my, mz, grid.h, off)
 
     err = _volume_eval_3d(grid, kind, ev_fwd, is_point) - field_init
     band = _band3(field_adv.shape, (1 + dim[0], 1 + dim[1], 1 + dim[2]), (2, 2, 2))
@@ -243,7 +253,7 @@ def compensate_3d(grid, kind, field_adv, field_init, fwd, bwd, is_point=False):
 
     def ev_bwd(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, bwd, px, py, pz, 0.0, 0.0)
-        return interp.sample3(err, mx, my, mz, grid.h, off)
+        return interp.sample3_lattice(err, mx, my, mz, grid.h, off)
 
     correction = _volume_eval_3d(grid, kind, ev_bwd, is_point)
     out = jnp.where(band, field_adv - 0.5 * correction, field_adv)
@@ -257,20 +267,20 @@ def estimate_distortion_3d(grid, mapping: MappingState, exclude_mask=None):
     px, py, pz = grid.node_coords("c")
     bwd, fwd = mapping.bwd, mapping.fwd
 
-    bx = interp.sample3(bwd[0], px, py, pz, h, (0, 0, 0))
-    by = interp.sample3(bwd[1], px, py, pz, h, (0, 0, 0))
-    bz = interp.sample3(bwd[2], px, py, pz, h, (0, 0, 0))
-    fx = interp.sample3(fwd[0], bx, by, bz, h, (0, 0, 0))
-    fy = interp.sample3(fwd[1], bx, by, bz, h, (0, 0, 0))
-    fz = interp.sample3(fwd[2], bx, by, bz, h, (0, 0, 0))
+    bx = interp.sample3_lattice(bwd[0], px, py, pz, h, (0, 0, 0))
+    by = interp.sample3_lattice(bwd[1], px, py, pz, h, (0, 0, 0))
+    bz = interp.sample3_lattice(bwd[2], px, py, pz, h, (0, 0, 0))
+    fx = interp.sample3_lattice(fwd[0], bx, by, bz, h, (0, 0, 0))
+    fy = interp.sample3_lattice(fwd[1], bx, by, bz, h, (0, 0, 0))
+    fz = interp.sample3_lattice(fwd[2], bx, by, bz, h, (0, 0, 0))
     d_bf = (px - fx) ** 2 + (py - fy) ** 2 + (pz - fz) ** 2
 
-    fx = interp.sample3(fwd[0], px, py, pz, h, (0, 0, 0))
-    fy = interp.sample3(fwd[1], px, py, pz, h, (0, 0, 0))
-    fz = interp.sample3(fwd[2], px, py, pz, h, (0, 0, 0))
-    bx = interp.sample3(bwd[0], fx, fy, fz, h, (0, 0, 0))
-    by = interp.sample3(bwd[1], fx, fy, fz, h, (0, 0, 0))
-    bz = interp.sample3(bwd[2], fx, fy, fz, h, (0, 0, 0))
+    fx = interp.sample3_lattice(fwd[0], px, py, pz, h, (0, 0, 0))
+    fy = interp.sample3_lattice(fwd[1], px, py, pz, h, (0, 0, 0))
+    fz = interp.sample3_lattice(fwd[2], px, py, pz, h, (0, 0, 0))
+    bx = interp.sample3_lattice(bwd[0], fx, fy, fz, h, (0, 0, 0))
+    by = interp.sample3_lattice(bwd[1], fx, fy, fz, h, (0, 0, 0))
+    bz = interp.sample3_lattice(bwd[2], fx, fy, fz, h, (0, 0, 0))
     d_fb = (px - bx) ** 2 + (py - by) ** 2 + (pz - bz) ** 2
 
     d = jnp.maximum(d_bf, d_fb)

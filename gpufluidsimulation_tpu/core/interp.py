@@ -128,6 +128,23 @@ def sample3(field, px, py, pz, h, off):
     return (1 - fz) * c0 + fz * c1
 
 
+def sample3_lattice(field, px, py, pz, h, off):
+    """Trilinear sampling for full-lattice position arrays: routes to the
+    gather-free windowed kernel (ops/interp_fast.py) on TPU, the exact
+    gather form elsewhere. Callers guarantee element (i,j,k) samples near
+    lattice site (i,j,k) with smooth bounded displacement."""
+    from gpufluidsimulation_tpu import config
+
+    if px.ndim == 3 and config.use_fast_interp():
+        from gpufluidsimulation_tpu.ops import interp_fast
+
+        return interp_fast.sample3_fast(
+            field, px, py, pz, h, off,
+            Rr=config.interp_rr(), Rz=config.interp_rz(),
+        )
+    return sample3(field, px, py, pz, h, off)
+
+
 def mac_velocity_2d(u, v, px, py, h):
     """Sample the 2D MAC velocity; returns (u, v) arrays shaped like px.
 
@@ -174,9 +191,9 @@ def mac_velocity_2d(u, v, px, py, h):
 
 def mac_velocity_3d(u, v, w, px, py, pz, h):
     """Sample the 3D MAC velocity at world positions (GPU_kernel.cu:64-72)."""
-    us = sample3(u, px, py, pz, h, (-0.5, 0.0, 0.0))
-    vs = sample3(v, px, py, pz, h, (0.0, -0.5, 0.0))
-    ws = sample3(w, px, py, pz, h, (0.0, 0.0, -0.5))
+    us = sample3_lattice(u, px, py, pz, h, (-0.5, 0.0, 0.0))
+    vs = sample3_lattice(v, px, py, pz, h, (0.0, -0.5, 0.0))
+    ws = sample3_lattice(w, px, py, pz, h, (0.0, 0.0, -0.5))
     return us, vs, ws
 
 

@@ -116,7 +116,7 @@ def semilag_3d(grid, kind, field_src, u, v, w, cfldt, dt):
     px, py, pz = grid.node_coords(kind)
     bx, by, bz = trace_3d(u, v, w, grid.h, cfldt, dt, px, py, pz)
     off = grid.off_of(kind)
-    out = interp.sample3(field_src, bx, by, bz, grid.h, off)
+    out = interp.sample3_lattice(field_src, bx, by, bz, grid.h, off)
     mask = grid.interior_mask(kind, lo=2, hi=3)
     return jnp.where(mask, out, field_src)
 
@@ -224,7 +224,7 @@ def maccormack_3d(grid, kind, src, u, v, w, cfldt, dt):
     corners = interp._gather8_3d(src, i0, j0, k0)
     mn = jnp.min(corners, axis=0)
     mx = jnp.max(corners, axis=0)
-    fallback = interp.sample3(src, bx, by, bz, h, off)
+    fallback = interp.sample3_lattice(src, bx, by, bz, h, off)
     return jnp.where((dst < mn) | (dst > mx), fallback, dst)
 
 
@@ -261,9 +261,9 @@ def dmc_backward_step_3d(grid, u, v, w, map_x, map_y, map_z, substep):
     ny_ = _dmc_newpos(py, vel_v, ay, substep)
     nz_ = _dmc_newpos(pz, vel_w, az, substep)
     off = (0.0, 0.0, 0.0)
-    out_x = interp.sample3(map_x, nx_, ny_, nz_, h, off)
-    out_y = interp.sample3(map_y, nx_, ny_, nz_, h, off)
-    out_z = interp.sample3(map_z, nx_, ny_, nz_, h, off)
+    out_x = interp.sample3_lattice(map_x, nx_, ny_, nz_, h, off)
+    out_y = interp.sample3_lattice(map_y, nx_, ny_, nz_, h, off)
+    out_z = interp.sample3_lattice(map_z, nx_, ny_, nz_, h, off)
     mask = grid.interior_mask("c", lo=2, hi=3)
     return (
         jnp.where(mask, out_x, map_x),

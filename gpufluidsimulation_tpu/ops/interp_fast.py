@@ -1,40 +1,41 @@
 """Gather-free trilinear interpolation for TPU — the engine's hot primitive.
 
 Why: XLA's general gather on this TPU costs ~8ns per *index* (scalar-core
-loop; measured, see git history) — 4 orders of magnitude off HBM bandwidth
-for the ~10^2 samples/cell/step the BiMocq pipeline needs. But semi-
-Lagrangian/characteristic-map displacements are CFL-bounded and smooth
-(SURVEY.md §7 hard part 1), so each 8x8x128 output block only ever reads a
-fixed-size input window around a per-block integer offset.
+loop; measured: 16.7M-point trilinear sample of a 256^3 field = 3.0 s).
+Semi-Lagrangian/characteristic-map displacements are CFL-bounded and smooth
+(SURVEY.md §7 hard part 1), so each output block only ever reads a bounded
+input window — fetchable with ONE DMA instead of thousands of scalar
+gathers.
 
-Kernel strategy (`sample3_block`):
-  1. XLA prepass: per-block integer base shift s_blk = round(mean(g - node)),
-     per-block window origins -> scalar-prefetch array.
-  2. Pallas: DMA the (B + 2*Rr + 2)^3-ish window HBM->VMEM at the dynamic
-     per-block origin (one contiguous-ish DMA instead of thousands of
-     scalar gathers).
-  3. Evaluate trilinear interpolation as a hat-function-weighted sum over
-     the (2*Rr+3)^3 relative integer shifts — pure VPU fused multiply-adds
-     on VMEM-resident data, factored per axis:
-         out = sum_dp hatx_dp * sum_dq haty_dq * sum_dr hatz_dr * win[...]
-     (hat(t) = max(0, 1-|t|) is simultaneously the trilinear weight AND the
-     selection mask, so the sum is exact for any fractional position whose
-     residual |g - node - s_blk| <= Rr + 0.5.)
+Kernel geometry (`_kernel`): output blocks of (8, 8, Z) where Z is the full
+(128-padded) z extent; grid over (x, y) blocks. Per block:
+  1. XLA prepass computes integer base shifts s_blk = round(mean(g - node))
+     for x and y; window origins (x free, y floor-8-aligned with a
+     pl.multiple_of proof hint — Mosaic requires tile-aligned DMA offsets
+     on the sublane dim) go in via scalar prefetch.
+  2. One async DMA pulls the (Wx, Wy, ZP) window HBM->VMEM.
+  3. Trilinear interpolation = hat-weighted sum over relative integer
+     shifts, factored per axis; hat(t) = max(0, 1-|t|) is simultaneously
+     the trilinear weight AND the window mask, so the sum is exact whenever
+     the x/y residual fits Rr and |z displacement| fits Rz:
+       out = sum_dp hatx * sum_dq haty * sum_dr hatz * win[shifted slices]
+     All VPU fused multiply-adds on VMEM-resident data.
+  4. Coverage (product of per-axis hat sums) renormalizes window-clipped
+     edge cells (graceful clamp-to-window instead of silent mass loss).
 
-Residual bound: Rr is a static parameter; `residual_overflow` (prepass
-diagnostic) reports violations. For BiMocq with per-frame reinitialization
-the per-step map displacement is <= the CFL number, and the *in-block
-variation* (what Rr must cover after mean-centering) is <= |grad d|*B ~ 1-2
-cells, so Rr=2 is safe for the reference scenes; callers pass larger Rr for
-adaptive-reinit configs.
+Contracts (checked by residual_overflow / tests):
+  * x/y: |(g - node) - round(block mean)| <= Rr + 0.5  (smoothness)
+  * z:   |g_z - node_z| <= Rz + 0.5                    (total bound; the z
+    window is not re-based — lane-dim alignment makes that expensive)
+BiMocq with per-frame reinitialization keeps displacements <= the CFL
+number (~3-5 cells in the reference scenes); defaults Rr=3, Rz=8.
 
-CPU fallback / correctness oracle: interp.sample3 (the exact gather form).
+CPU fallback / correctness oracle: interp.sample3 (exact gather form).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,9 +43,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gpufluidsimulation_tpu.core import interp as interp_ref
+BX, BY = 8, 8
 
-DEFAULT_BLOCK = (8, 8, 128)
+
+def _ceil(a, b):
+    return -(-a // b) * b
 
 
 def _hat(t):
@@ -52,125 +55,109 @@ def _hat(t):
 
 
 def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
-            sem, *, Rr, block, win_shape):
+            sem, *, Rr, Rz, Pz, block, win_shape):
     bi = pl.program_id(0)
     bj = pl.program_id(1)
-    bk = pl.program_id(2)
-    nbj = pl.num_programs(1)
-    nbk = pl.num_programs(2)
-    blk = (bi * nbj + bj) * nbk + bk
+    blk = bi * pl.num_programs(1) + bj
 
     ox = origin_ref[blk, 0]
-    oy = origin_ref[blk, 1]
-    oz = origin_ref[blk, 2]
+    oy = pl.multiple_of(origin_ref[blk, 1], 8)
 
     copy = pltpu.make_async_copy(
-        field_hbm.at[
-            pl.ds(ox, win_shape[0]), pl.ds(oy, win_shape[1]), pl.ds(oz, win_shape[2])
-        ],
+        field_hbm.at[pl.ds(ox, win_shape[0]), pl.ds(oy, win_shape[1]), :],
         win_ref,
         sem,
     )
     copy.start()
 
-    # local sample coordinates inside the window
     lx = gx_ref[...] - ox.astype(jnp.float32)
     ly = gy_ref[...] - oy.astype(jnp.float32)
-    lz = gz_ref[...] - oz.astype(jnp.float32)
+    lz = gz_ref[...]
 
-    W = 2 * Rr + 3
     B1, B2, B3 = block
-    a = jax.lax.broadcasted_iota(jnp.float32, block, 0)
-    b = jax.lax.broadcasted_iota(jnp.float32, block, 1)
-    c = jax.lax.broadcasted_iota(jnp.float32, block, 2)
+    a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
+    b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
+
+    WXs = 2 * Rr + 3              # x relative shifts [0, 2Rr+2]
+    WYs = win_shape[1] - B2 + 1   # y shifts incl. the floor-8 slack
+    dr_lo = Pz - Rz - 1           # z shifts [Pz-Rz-1, Pz+Rz+1]
+    dr_hi = Pz + Rz + 2
 
     copy.wait()
     win = win_ref[...]
 
-    # Hat-weighted window sum. The per-axis hat weights sum to 1 when both
-    # corners lie in the window; `cov` tracks the captured weight so edge
-    # blocks whose window was clipped degrade to sampling at the window
-    # boundary (out/cov) instead of silently losing mass.
     out = jnp.zeros(block, jnp.float32)
     cov_x = jnp.zeros(block, jnp.float32)
-    for dp in range(W):
+    cov_y = jnp.zeros(block, jnp.float32)
+    cov_z = jnp.zeros(block, jnp.float32)
+    for dq in range(WYs):
+        cov_y = cov_y + _hat(ly - (b + dq))
+    for dr in range(dr_lo, dr_hi):
+        cov_z = cov_z + _hat(lz - (c + dr))
+    for dp in range(WXs):
         hx = _hat(lx - (a + dp))
         cov_x = cov_x + hx
         acc_y = jnp.zeros(block, jnp.float32)
-        for dq in range(W):
+        for dq in range(WYs):
             hy = _hat(ly - (b + dq))
             acc_z = jnp.zeros(block, jnp.float32)
-            for dr in range(W):
+            for dr in range(dr_lo, dr_hi):
                 hz = _hat(lz - (c + dr))
-                acc_z = acc_z + hz * jax.lax.dynamic_slice(
-                    win, (dp, dq, dr), block
-                )
+                acc_z = acc_z + hz * win[dp : dp + B1, dq : dq + B2,
+                                         dr : dr + B3]
             acc_y = acc_y + hy * acc_z
         out = out + hx * acc_y
-    # per-axis coverage factors multiply; recompute y/z coverage cheaply
-    cov_y = jnp.zeros(block, jnp.float32)
-    cov_z = jnp.zeros(block, jnp.float32)
-    for dq in range(W):
-        cov_y = cov_y + _hat(ly - (b + dq))
-    for dr in range(W):
-        cov_z = cov_z + _hat(lz - (c + dr))
     cov = cov_x * cov_y * cov_z
     out_ref[...] = jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
 
 
-def _block_plan(shape, block):
-    return tuple(-(-s // b) for s, b in zip(shape, block))
-
-
 @functools.partial(
-    jax.jit, static_argnames=("Rr", "block", "interpret", "out_shape", "pad")
+    jax.jit,
+    static_argnames=("Rr", "Rz", "P", "Pz", "interpret", "out_shape"),
 )
-def _sample3_padded(field_padded, gx, gy, gz, node_x, node_y, node_z, *,
-                    Rr, block, interpret, out_shape, pad):
-    """Core: positions g (grid units, in PADDED coords), node_* are the
-    output lattice indices (padded coords) used for displacement centering.
-    All position arrays are pre-padded to block multiples."""
-    nb = _block_plan(gx.shape, block)
-    W = 2 * Rr + 3
-    win_shape = tuple(b + 2 * Rr + 2 for b in block)
-
-    # ---- prepass: per-block integer origins ----
-    dx = gx - node_x
-    dy = gy - node_y
-    dz = gz - node_z
-
-    def block_mean(d):
-        r = d.reshape(nb[0], block[0], nb[1], block[1], nb[2], block[2])
-        return r.mean(axis=(1, 3, 5))
-
-    s_x = jnp.round(block_mean(dx)).astype(jnp.int32)
-    s_y = jnp.round(block_mean(dy)).astype(jnp.int32)
-    s_z = jnp.round(block_mean(dz)).astype(jnp.int32)
-    bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * block[0])[:, None, None]
-    bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * block[1])[None, :, None]
-    bo_z = (jnp.arange(nb[2], dtype=jnp.int32) * block[2])[None, None, :]
-    # origins live in PADDED field coords: block origin + pad + base shift
+def _sample3_padded(field_padded, gx, gy, gz, *, Rr, Rz, P, Pz, interpret,
+                    out_shape):
+    """Positions g are lattice-shaped arrays in PADDED field coordinates
+    (x/y: +P, z: +Pz), pre-padded to (mult8, mult8, Z) where Z = field z
+    extent minus padding alignment — see sample3_fast."""
+    nx, ny, Z = gx.shape
+    nb = (nx // BX, ny // BY)
+    block = (BX, BY, Z)
     fs = field_padded.shape
-    ox = jnp.clip(bo_x + pad + s_x - (Rr + 1), 0, fs[0] - win_shape[0])
-    oy = jnp.clip(bo_y + pad + s_y - (Rr + 1), 0, fs[1] - win_shape[1])
-    oz = jnp.clip(bo_z + pad + s_z - (Rr + 1), 0, fs[2] - win_shape[2])
-    origins = jnp.stack(
-        [ox.reshape(-1), oy.reshape(-1), oz.reshape(-1)], axis=-1
-    )
+    Wx = BX + 2 * Rr + 2
+    Wy = _ceil(BY + 2 * Rr + 2 + 7, 8)
+    win_shape = (Wx, Wy, fs[2])
+
+    # prepass: per-block x/y origins (y floor-8 aligned)
+    def block_mean(d):
+        r = d.reshape(nb[0], BX, nb[1], BY, Z)
+        return r.mean(axis=(1, 3, 4))
+
+    node_x = jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P
+    node_y = jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P
+    s_x = jnp.round(block_mean(gx - node_x)).astype(jnp.int32)
+    s_y = jnp.round(block_mean(gy - node_y)).astype(jnp.int32)
+    bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None]
+    bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * BY)[None, :]
+    ox = jnp.clip(bo_x + P + s_x - (Rr + 1), 0, fs[0] - Wx)
+    oy = jnp.clip(bo_y + P + s_y - (Rr + 1), 0, fs[1] - Wy)
+    oy = (oy // 8) * 8
+    origins = jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=nb,
         in_specs=[
-            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+            pl.BlockSpec(block, lambda i, j, o: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+            pl.BlockSpec(block, lambda i, j, o: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+            pl.BlockSpec(block, lambda i, j, o: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+        out_specs=pl.BlockSpec(block, lambda i, j, o: (i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM(win_shape, jnp.float32),
@@ -178,7 +165,7 @@ def _sample3_padded(field_padded, gx, gy, gz, node_x, node_y, node_z, *,
         ],
     )
     kernel = functools.partial(
-        _kernel, Rr=Rr, block=block, win_shape=win_shape
+        _kernel, Rr=Rr, Rz=Rz, Pz=Pz, block=block, win_shape=win_shape
     )
     out = pl.pallas_call(
         kernel,
@@ -189,75 +176,81 @@ def _sample3_padded(field_padded, gx, gy, gz, node_x, node_y, node_z, *,
     return out[: out_shape[0], : out_shape[1], : out_shape[2]]
 
 
-def sample3_fast(field, px, py, pz, h, off, *, Rr=2, block=DEFAULT_BLOCK,
-                 interpret=False):
+def sample3_fast(field, px, py, pz, h, off, *, Rr=3, Rz=8, interpret=False):
     """Drop-in replacement for interp.sample3 (world positions, field offset
-    in units of h) under the bounded-residual contract described above.
+    in units of h) under the bounded-displacement contract above.
 
     `px, py, pz` must be full-lattice position arrays whose element (i,j,k)
     samples near lattice site (i,j,k) (true for every use in this engine).
     """
     out_shape = px.shape
     P = Rr + 2
-    # pad the field to the block-padded output lattice + P halo each side so
-    # every block's window fits inside the padded field
-    pad_to = [(-s) % b for s, b in zip(out_shape, block)]
+    Pz = Rz + 2
+
+    # output z extent padded to the 128-lane tiling
+    Z = _ceil(out_shape[2], 128)
+    ZP = _ceil(Z + 2 * Pz, 128)
+
+    # pad the field: x/y by P (+ block-multiple headroom), z by Pz..ZP
+    xpad = P + max(0, _ceil(out_shape[0], BX) - field.shape[0])
+    ypad = P + max(0, _ceil(out_shape[1], BY) - field.shape[1])
     fpad = jnp.pad(
         field,
-        [(P, max(0, P + p + (o - f)))
-         for p, o, f in zip(pad_to, out_shape, field.shape)],
+        ((P, xpad), (P, ypad), (Pz, ZP - field.shape[2] - Pz)),
         mode="edge",
     )
 
     gx = px / h - off[0] + P
     gy = py / h - off[1] + P
-    gz = pz / h - off[2] + P
+    gz = pz / h - off[2] + Pz
 
-    # pad to block multiples in DISPLACEMENT space: padded entries replicate
-    # the edge displacement (not the edge position), so block statistics in
-    # rim blocks stay representative of the real cells
+    # pad positions to (mult8, mult8, Z) in DISPLACEMENT space so rim-block
+    # statistics stay representative of the real cells
+    pad_to = (
+        _ceil(out_shape[0], BX) - out_shape[0],
+        _ceil(out_shape[1], BY) - out_shape[1],
+        Z - out_shape[2],
+    )
     padw = [(0, p) for p in pad_to]
 
-    def node_like(x, axis):
-        return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + P
+    def node_like(x, axis, p):
+        return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
 
-    dx = jnp.pad(gx - node_like(gx, 0), padw, mode="edge")
-    dy = jnp.pad(gy - node_like(gy, 1), padw, mode="edge")
-    dz = jnp.pad(gz - node_like(gz, 2), padw, mode="edge")
-    shape = dx.shape
-    node_x = jax.lax.broadcasted_iota(jnp.float32, shape, 0) + P
-    node_y = jax.lax.broadcasted_iota(jnp.float32, shape, 1) + P
-    node_z = jax.lax.broadcasted_iota(jnp.float32, shape, 2) + P
-    gx = node_x + dx
-    gy = node_y + dy
-    gz = node_z + dz
+    dx = jnp.pad(gx - node_like(gx, 0, P), padw, mode="edge")
+    dy = jnp.pad(gy - node_like(gy, 1, P), padw, mode="edge")
+    dz = jnp.pad(gz - node_like(gz, 2, Pz), padw, mode="edge")
+    gx = node_like(dx, 0, P) + dx
+    gy = node_like(dy, 1, P) + dy
+    gz = node_like(dz, 2, Pz) + dz
 
     return _sample3_padded(
-        fpad, gx, gy, gz, node_x, node_y, node_z,
-        Rr=Rr, block=block, interpret=interpret, out_shape=out_shape, pad=P,
+        fpad, gx, gy, gz,
+        Rr=Rr, Rz=Rz, P=P, Pz=Pz, interpret=interpret, out_shape=out_shape,
     )
 
 
-def residual_overflow(px, py, pz, h, off, *, Rr=2, block=DEFAULT_BLOCK):
-    """Diagnostic: fraction of samples whose in-block residual exceeds the
-    kernel's reach (those would lose hat coverage). Keep at 0."""
+def residual_overflow(px, py, pz, h, off, *, Rr=3, Rz=8):
+    """Diagnostic: count of samples violating the kernel's reach (x/y
+    in-block residual > Rr+0.5 after mean-centering with the kernel's own
+    (8, 8, full-z) blocking, or |z displacement| > Rz+0.5). Keep at 0."""
+    out_shape = px.shape
     gx = px / h - off[0]
     gy = py / h - off[1]
     gz = pz / h - off[2]
-    shape = gx.shape
-    pad_to = [(-s) % b for s, b in zip(shape, block)]
-    padw = [(0, p) for p in pad_to]
-    gx = jnp.pad(gx, padw, mode="edge")
-    gy = jnp.pad(gy, padw, mode="edge")
-    gz = jnp.pad(gz, padw, mode="edge")
-    nb = _block_plan(gx.shape, block)
+    padw = [
+        (0, _ceil(out_shape[0], BX) - out_shape[0]),
+        (0, _ceil(out_shape[1], BY) - out_shape[1]),
+        (0, 0),
+    ]
     over = jnp.zeros((), jnp.int32)
-    for g, axis in ((gx, 0), (gy, 1), (gz, 2)):
+    for g, axis in ((gx, 0), (gy, 1)):
         node = jax.lax.broadcasted_iota(jnp.float32, g.shape, axis)
-        d = (g - node).reshape(
-            nb[0], block[0], nb[1], block[1], nb[2], block[2]
-        )
-        s = jnp.round(d.mean(axis=(1, 3, 5)))
-        res = jnp.abs(d - s[:, None, :, None, :, None])
+        d = jnp.pad(g - node, padw, mode="edge")
+        nbx, nby = d.shape[0] // BX, d.shape[1] // BY
+        r = d.reshape(nbx, BX, nby, BY, d.shape[2])
+        s = jnp.round(r.mean(axis=(1, 3, 4)))
+        res = jnp.abs(r - s[:, None, :, None, None])
         over = over + jnp.sum(res > (Rr + 0.5), dtype=jnp.int32)
+    node_z = jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2)
+    over = over + jnp.sum(jnp.abs(gz - node_z) > (Rz + 0.5), dtype=jnp.int32)
     return over

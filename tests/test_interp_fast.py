@@ -6,16 +6,15 @@ from gpufluidsimulation_tpu.core import interp
 from gpufluidsimulation_tpu.ops import interp_fast
 
 
-def _positions(shape, h, off, rng, max_disp_cells):
-    """Smooth bounded displacement field around each lattice site."""
+def _positions(shape, h, off, rng, max_disp_cells, lam=8.0):
+    """Smooth bounded displacement field around each lattice site;
+    wavelengths long relative to the block so in-block variation stays
+    within the kernel's residual budget (the bounded-smoothness contract)."""
     nx, ny, nz = shape
     i = np.arange(nx)[:, None, None]
     j = np.arange(ny)[None, :, None]
     k = np.arange(nz)[None, None, :]
     phase = rng.uniform(0, 2 * np.pi, size=3)
-    # wavelengths long relative to the block so in-block variation stays
-    # within the kernel's residual budget (the bounded-smoothness contract)
-    lam = 8.0
     d = max_disp_cells * np.stack([
         np.broadcast_to(
             np.sin(2 * np.pi * i / (lam * nx) + phase[0])
@@ -32,11 +31,11 @@ def _positions(shape, h, off, rng, max_disp_cells):
             np.broadcast_to(pz, shape).astype(np.float32))
 
 
-@pytest.mark.parametrize("shape,block", [
-    ((16, 16, 128), (8, 8, 128)),
-    ((17, 16, 130), (8, 8, 128)),   # non-multiple shapes exercise padding
+@pytest.mark.parametrize("shape", [
+    (16, 16, 128),
+    (17, 16, 130),   # non-multiple shapes exercise padding
 ])
-def test_sample3_fast_matches_gather(rng, shape, block):
+def test_sample3_fast_matches_gather(rng, shape):
     h = 0.1
     off = (0.0, -0.5, 0.0)
     field = rng.standard_normal(shape).astype(np.float32)
@@ -45,7 +44,23 @@ def test_sample3_fast_matches_gather(rng, shape, block):
                                      jnp.asarray(py), jnp.asarray(pz), h, off))
     got = np.asarray(interp_fast.sample3_fast(
         jnp.asarray(field), jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz),
-        h, off, Rr=2, block=block, interpret=True))
+        h, off, Rr=2, Rz=3, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_sample3_fast_mismatched_field_shape(rng):
+    """Sampling a staggered field (ni+1 extent) on the cell lattice."""
+    shape = (16, 16, 128)
+    fshape = (17, 16, 128)
+    h = 0.2
+    off = (-0.5, 0.0, 0.0)
+    field = rng.standard_normal(fshape).astype(np.float32)
+    px, py, pz = _positions(shape, h, (0, 0, 0), rng, max_disp_cells=1.0)
+    want = np.asarray(interp.sample3(jnp.asarray(field), jnp.asarray(px),
+                                     jnp.asarray(py), jnp.asarray(pz), h, off))
+    got = np.asarray(interp_fast.sample3_fast(
+        jnp.asarray(field), jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz),
+        h, off, Rr=2, Rz=3, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
@@ -68,24 +83,27 @@ def test_sample3_fast_large_smooth_displacement(rng):
     py = np.clip(py, h, (shape[1] - 1) * h)
     pz = np.clip(pz, h, (shape[2] - 1) * h)
     over = int(interp_fast.residual_overflow(
-        jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz), h, off, Rr=3))
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz), h, off,
+        Rr=3, Rz=4))
     assert over == 0
     want = np.asarray(interp.sample3(jnp.asarray(field), jnp.asarray(px),
                                      jnp.asarray(py), jnp.asarray(pz), h, off))
     got = np.asarray(interp_fast.sample3_fast(
         jnp.asarray(field), jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz),
-        h, off, Rr=3, interpret=True))
+        h, off, Rr=3, Rz=4, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
 def test_residual_overflow_detects_violations(rng):
     shape = (8, 8, 128)
     h = 1.0
-    # random (non-smooth) displacement of up to 6 cells -> must overflow Rr=2
+    # random (non-smooth) x displacement of up to 6 cells -> overflows Rr=2
     i = np.arange(8)[:, None, None] * h
-    px = np.broadcast_to(i, shape) + rng.uniform(-6, 6, shape).astype(np.float32)
+    px = (np.broadcast_to(i, shape)
+          + rng.uniform(-6, 6, shape)).astype(np.float32)
     py = np.broadcast_to(np.arange(8)[None, :, None] * h, shape).astype(np.float32)
     pz = np.broadcast_to(np.arange(128)[None, None, :] * h, shape).astype(np.float32)
     over = int(interp_fast.residual_overflow(
-        jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz), h, (0, 0, 0), Rr=2))
+        jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz), h, (0, 0, 0),
+        Rr=2, Rz=3))
     assert over > 0
