@@ -1,34 +1,34 @@
 """Gather-free trilinear interpolation for TPU — the engine's hot primitive.
 
 Why: XLA's general gather on this TPU costs ~8ns per *index* (scalar-core
-loop; measured: 16.7M-point trilinear sample of a 256^3 field = 3.0 s).
+loop; measured: one 16.7M-point trilinear sample of a 256^3 field = 3.0 s).
 Semi-Lagrangian/characteristic-map displacements are CFL-bounded and smooth
 (SURVEY.md §7 hard part 1), so each output block only ever reads a bounded
-input window — fetchable with ONE DMA instead of thousands of scalar
-gathers.
+input window around a per-block integer base shift — fetchable with ONE DMA
+instead of thousands of scalar gathers.
 
-Kernel geometry (`_kernel`): output blocks of (8, 8, Z) where Z is the full
+Kernel geometry (`_kernel`): output blocks of (8, 8, Z), Z = the full
 (128-padded) z extent; grid over (x, y) blocks. Per block:
-  1. XLA prepass computes integer base shifts s_blk = round(mean(g - node))
-     for x and y; window origins (x free, y floor-8-aligned with a
-     pl.multiple_of proof hint — Mosaic requires tile-aligned DMA offsets
-     on the sublane dim) go in via scalar prefetch.
+  1. XLA prepass: per-block integer base shifts s = round(mean(g - node))
+     per axis; window origins (x free; y floor-8 aligned — Mosaic needs a
+     pl.multiple_of proof for sublane-dim DMA offsets) via scalar prefetch.
   2. One async DMA pulls the (Wx, Wy, ZP) window HBM->VMEM.
-  3. Trilinear interpolation = hat-weighted sum over relative integer
-     shifts, factored per axis; hat(t) = max(0, 1-|t|) is simultaneously
-     the trilinear weight AND the window mask, so the sum is exact whenever
-     the x/y residual fits Rr and |z displacement| fits Rz:
-       out = sum_dp hatx * sum_dq haty * sum_dr hatz * win[shifted slices]
-     All VPU fused multiply-adds on VMEM-resident data.
-  4. Coverage (product of per-axis hat sums) renormalizes window-clipped
-     edge cells (graceful clamp-to-window instead of silent mass loss).
+  3. In-kernel re-basing: dynamic sublane slice absorbs the y alignment
+     slack; a dynamic lane `pltpu.roll` absorbs the z base shift. After
+     re-basing, every axis has residual <= Rr + 0.5.
+  4. Trilinear interpolation = hat-weighted sum over the (2Rr+3)^3 relative
+     integer shifts (static slices, hats hoisted per axis); hat(t) =
+     max(0,1-|t|) is simultaneously the trilinear weight AND the window
+     mask, so the sum is exact under the residual contract. Pure VPU fmas
+     on VMEM-resident data.
+  5. Coverage (product of per-axis hat sums) renormalizes window-clipped
+     edge cells (clamp-to-window instead of silent mass loss).
 
 Contracts (checked by residual_overflow / tests):
-  * x/y: |(g - node) - round(block mean)| <= Rr + 0.5  (smoothness)
-  * z:   |g_z - node_z| <= Rz + 0.5                    (total bound; the z
-    window is not re-based — lane-dim alignment makes that expensive)
-BiMocq with per-frame reinitialization keeps displacements <= the CFL
-number (~3-5 cells in the reference scenes); defaults Rr=3, Rz=8.
+  * per-axis |(g - node) - round(block mean)| <= Rr + 0.5   (smoothness)
+  * |g_z - node_z| <= Rz + 0.5                              (z roll budget)
+BiMocq with per-frame reinitialization keeps total displacement around the
+CFL number; defaults Rr=2 (in-block variation), Rz=8 (z roll padding).
 
 CPU fallback / correctness oracle: interp.sample3 (exact gather form).
 """
@@ -55,13 +55,14 @@ def _hat(t):
 
 
 def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
-            sem, *, Rr, Rz, Pz, block, win_shape):
+            sem, *, Rr, Pz, block, win_shape):
     bi = pl.program_id(0)
     bj = pl.program_id(1)
     blk = bi * pl.num_programs(1) + bj
 
     ox = origin_ref[blk, 0]
     oy = pl.multiple_of(origin_ref[blk, 1], 8)
+    sz = origin_ref[blk, 3]   # z base shift (col 2 unused)
 
     copy = pltpu.make_async_copy(
         field_hbm.at[pl.ds(ox, win_shape[0]), pl.ds(oy, win_shape[1]), :],
@@ -72,55 +73,52 @@ def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
 
     lx = gx_ref[...] - ox.astype(jnp.float32)
     ly = gy_ref[...] - oy.astype(jnp.float32)
-    lz = gz_ref[...]
+    lz = gz_ref[...] - sz.astype(jnp.float32)
 
     B1, B2, B3 = block
     a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
     b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
     c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
 
-    WXs = 2 * Rr + 3              # x relative shifts [0, 2Rr+2]
-    WYs = win_shape[1] - B2 + 1   # y shifts incl. the floor-8 slack
-    dr_lo = Pz - Rz - 1           # z shifts [Pz-Rz-1, Pz+Rz+1]
-    dr_hi = Pz + Rz + 2
+    W = 2 * Rr + 3
+    WY = 2 * Rr + 10  # y shifts incl. the floor-8 alignment slack (<= 7)
 
     copy.wait()
-    win = win_ref[...]
+    # re-base z via a dynamic LANE roll (exact global roll; the sublane axis
+    # has no global dynamic roll/slice on this hardware, so y keeps its
+    # alignment slack in the hat loop instead)
+    win = pltpu.roll(win_ref[...], -sz, 2)
 
+    # hoisted per-axis hat stacks and coverage
+    hx = [_hat(lx - (a + dp)) for dp in range(W)]
+    hy = [_hat(ly - (b + dq)) for dq in range(WY)]
     out = jnp.zeros(block, jnp.float32)
-    cov_x = jnp.zeros(block, jnp.float32)
-    cov_y = jnp.zeros(block, jnp.float32)
     cov_z = jnp.zeros(block, jnp.float32)
-    for dq in range(WYs):
-        cov_y = cov_y + _hat(ly - (b + dq))
-    for dr in range(dr_lo, dr_hi):
-        cov_z = cov_z + _hat(lz - (c + dr))
-    for dp in range(WXs):
-        hx = _hat(lx - (a + dp))
-        cov_x = cov_x + hx
+    for dr in range(W):
+        hz = _hat(lz - (c + (Pz - Rr - 1 + dr)))
+        cov_z = cov_z + hz
+        winz = win[:, :, Pz - Rr - 1 + dr : Pz - Rr - 1 + dr + B3]
         acc_y = jnp.zeros(block, jnp.float32)
-        for dq in range(WYs):
-            hy = _hat(ly - (b + dq))
-            acc_z = jnp.zeros(block, jnp.float32)
-            for dr in range(dr_lo, dr_hi):
-                hz = _hat(lz - (c + dr))
-                acc_z = acc_z + hz * win[dp : dp + B1, dq : dq + B2,
-                                         dr : dr + B3]
-            acc_y = acc_y + hy * acc_z
-        out = out + hx * acc_y
-    cov = cov_x * cov_y * cov_z
+        for dq in range(WY):
+            winyz = winz[:, dq : dq + B2, :]
+            acc_x = jnp.zeros(block, jnp.float32)
+            for dp in range(W):
+                acc_x = acc_x + hx[dp] * winyz[dp : dp + B1]
+            acc_y = acc_y + hy[dq] * acc_x
+        out = out + hz * acc_y
+
+    cov = sum(hx) * sum(hy) * cov_z
     out_ref[...] = jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Rr", "Rz", "P", "Pz", "interpret", "out_shape"),
+    static_argnames=("Rr", "P", "Pz", "interpret", "out_shape"),
 )
-def _sample3_padded(field_padded, gx, gy, gz, *, Rr, Rz, P, Pz, interpret,
+def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, Pz, interpret,
                     out_shape):
     """Positions g are lattice-shaped arrays in PADDED field coordinates
-    (x/y: +P, z: +Pz), pre-padded to (mult8, mult8, Z) where Z = field z
-    extent minus padding alignment — see sample3_fast."""
+    (x/y: +P, z: +Pz), pre-padded to (mult8, mult8, Z)."""
     nx, ny, Z = gx.shape
     nb = (nx // BX, ny // BY)
     block = (BX, BY, Z)
@@ -129,21 +127,31 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, Rz, P, Pz, interpret,
     Wy = _ceil(BY + 2 * Rr + 2 + 7, 8)
     win_shape = (Wx, Wy, fs[2])
 
-    # prepass: per-block x/y origins (y floor-8 aligned)
     def block_mean(d):
         r = d.reshape(nb[0], BX, nb[1], BY, Z)
         return r.mean(axis=(1, 3, 4))
 
     node_x = jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P
     node_y = jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P
+    node_z = jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + Pz
     s_x = jnp.round(block_mean(gx - node_x)).astype(jnp.int32)
     s_y = jnp.round(block_mean(gy - node_y)).astype(jnp.int32)
+    s_z = jnp.round(block_mean(gz - node_z)).astype(jnp.int32)
     bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None]
     bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * BY)[None, :]
     ox = jnp.clip(bo_x + P + s_x - (Rr + 1), 0, fs[0] - Wx)
-    oy = jnp.clip(bo_y + P + s_y - (Rr + 1), 0, fs[1] - Wy)
-    oy = (oy // 8) * 8
-    origins = jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=-1)
+    oy_ideal = jnp.clip(bo_y + P + s_y - (Rr + 1), 0, fs[1] - (BY + 2 * Rr + 2))
+    oy = jnp.minimum((oy_ideal // 8) * 8, fs[1] - Wy)
+    sy = oy_ideal - oy
+    # z roll budget: |s_z| <= Pz - Rr - 2 keeps the rolled window unwrapped
+    s_z = jnp.clip(s_z, -(Pz - Rr - 2), Pz - Rr - 2)
+    origins = jnp.stack(
+        [ox.reshape(-1),
+         jnp.broadcast_to(oy, (nb[0], nb[1])).reshape(-1),
+         jnp.broadcast_to(sy, (nb[0], nb[1])).reshape(-1),
+         s_z.reshape(-1)],
+        axis=-1,
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -165,7 +173,7 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, Rz, P, Pz, interpret,
         ],
     )
     kernel = functools.partial(
-        _kernel, Rr=Rr, Rz=Rz, Pz=Pz, block=block, win_shape=win_shape
+        _kernel, Rr=Rr, Pz=Pz, block=block, win_shape=win_shape
     )
     out = pl.pallas_call(
         kernel,
@@ -176,7 +184,7 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, Rz, P, Pz, interpret,
     return out[: out_shape[0], : out_shape[1], : out_shape[2]]
 
 
-def sample3_fast(field, px, py, pz, h, off, *, Rr=3, Rz=8, interpret=False):
+def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False):
     """Drop-in replacement for interp.sample3 (world positions, field offset
     in units of h) under the bounded-displacement contract above.
 
@@ -185,13 +193,11 @@ def sample3_fast(field, px, py, pz, h, off, *, Rr=3, Rz=8, interpret=False):
     """
     out_shape = px.shape
     P = Rr + 2
-    Pz = Rz + 2
+    Pz = Rz + Rr + 2  # roll budget Rz plus hat reach
 
-    # output z extent padded to the 128-lane tiling
     Z = _ceil(out_shape[2], 128)
     ZP = _ceil(Z + 2 * Pz, 128)
 
-    # pad the field: x/y by P (+ block-multiple headroom), z by Pz..ZP
     xpad = P + max(0, _ceil(out_shape[0], BX) - field.shape[0])
     ypad = P + max(0, _ceil(out_shape[1], BY) - field.shape[1])
     fpad = jnp.pad(
@@ -204,8 +210,6 @@ def sample3_fast(field, px, py, pz, h, off, *, Rr=3, Rz=8, interpret=False):
     gy = py / h - off[1] + P
     gz = pz / h - off[2] + Pz
 
-    # pad positions to (mult8, mult8, Z) in DISPLACEMENT space so rim-block
-    # statistics stay representative of the real cells
     pad_to = (
         _ceil(out_shape[0], BX) - out_shape[0],
         _ceil(out_shape[1], BY) - out_shape[1],
@@ -216,6 +220,8 @@ def sample3_fast(field, px, py, pz, h, off, *, Rr=3, Rz=8, interpret=False):
     def node_like(x, axis, p):
         return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
 
+    # pad to block multiples in DISPLACEMENT space so rim-block statistics
+    # stay representative of the real cells
     dx = jnp.pad(gx - node_like(gx, 0, P), padw, mode="edge")
     dy = jnp.pad(gy - node_like(gy, 1, P), padw, mode="edge")
     dz = jnp.pad(gz - node_like(gz, 2, Pz), padw, mode="edge")
@@ -225,14 +231,15 @@ def sample3_fast(field, px, py, pz, h, off, *, Rr=3, Rz=8, interpret=False):
 
     return _sample3_padded(
         fpad, gx, gy, gz,
-        Rr=Rr, Rz=Rz, P=P, Pz=Pz, interpret=interpret, out_shape=out_shape,
+        Rr=Rr, P=P, Pz=Pz, interpret=interpret, out_shape=out_shape,
     )
 
 
-def residual_overflow(px, py, pz, h, off, *, Rr=3, Rz=8):
-    """Diagnostic: count of samples violating the kernel's reach (x/y
+def residual_overflow(px, py, pz, h, off, *, Rr=2, Rz=8):
+    """Diagnostic: count of samples violating the kernel's reach — per-axis
     in-block residual > Rr+0.5 after mean-centering with the kernel's own
-    (8, 8, full-z) blocking, or |z displacement| > Rz+0.5). Keep at 0."""
+    (8, 8, full-z) blocking, or |z base shift| beyond the Rz roll budget.
+    Keep at 0."""
     out_shape = px.shape
     gx = px / h - off[0]
     gy = py / h - off[1]
@@ -243,14 +250,14 @@ def residual_overflow(px, py, pz, h, off, *, Rr=3, Rz=8):
         (0, 0),
     ]
     over = jnp.zeros((), jnp.int32)
-    for g, axis in ((gx, 0), (gy, 1)):
+    for g, axis in ((gx, 0), (gy, 1), (gz, 2)):
         node = jax.lax.broadcasted_iota(jnp.float32, g.shape, axis)
         d = jnp.pad(g - node, padw, mode="edge")
         nbx, nby = d.shape[0] // BX, d.shape[1] // BY
         r = d.reshape(nbx, BX, nby, BY, d.shape[2])
         s = jnp.round(r.mean(axis=(1, 3, 4)))
+        if axis == 2:
+            s = jnp.clip(s, -(Rz + 1), Rz + 1)
         res = jnp.abs(r - s[:, None, :, None, None])
         over = over + jnp.sum(res > (Rr + 0.5), dtype=jnp.int32)
-    node_z = jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2)
-    over = over + jnp.sum(jnp.abs(gz - node_z) > (Rz + 0.5), dtype=jnp.int32)
     return over
