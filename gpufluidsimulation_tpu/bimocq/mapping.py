@@ -149,27 +149,57 @@ def _map_sample_3d(grid, maps, px, py, pz, clamp_lo, clamp_hi):
     )
 
 
+def volume_prefilter_3d(f):
+    """Source-side equivalent of the 9-point volume stencil.
+
+    The reference evaluates 0.5*mean(8 corner samples at +-0.25h) + 0.5*
+    (center sample) per output point (GPU_kernel.cu:312-374). To first order
+    in the map Jacobian (J ~ I in the distortion-limited regime BiMocq
+    maintains by reinitializing), averaging the *composition* over the cell
+    volume equals sampling a volume-prefiltered source:
+
+        avg_i field(M(p + d_i)) ~ avg_i field(M(p) + J d_i) ~ (field*K)(M(p))
+
+    with K = 0.5*delta + 0.5*(S(x)S(y)S(z)), S = [1/8, 3/4, 1/8] (the
+    separable form of trilinear sampling at +-0.25 per axis). One fused XLA
+    stencil pass instead of 9 windowed-kernel launches per sample op.
+    """
+
+    def s(axis):
+        def apply(x):
+            pad = [(0, 0)] * 3
+            pad[axis] = (1, 1)
+            xp = jnp.pad(x, pad, mode="edge")
+            lo = [slice(None)] * 3
+            hi = [slice(None)] * 3
+            lo[axis] = slice(0, -2)
+            hi[axis] = slice(2, None)
+            return 0.125 * xp[tuple(lo)] + 0.75 * x + 0.125 * xp[tuple(hi)]
+
+        return apply
+
+    return 0.5 * f + 0.5 * s(0)(s(1)(s(2)(f)))
+
+
+def _use_prefilter():
+    from gpufluidsimulation_tpu import config
+
+    return config.use_fast_interp()
+
+
 def _volume_eval_3d(grid, kind, eval_fn, is_point=False):
     """0.5 * mean(8 corner evals) + 0.5 * center eval at each node of `kind`.
 
-    The 9 stencil points are stacked on a leading axis so every map/field
-    lookup in eval_fn is ONE batched gather — not 9 separate gather chains
-    (key for both XLA compile time and HBM-pass count on TPU).
+    Exact path: the 9 stencil points are stacked on a leading axis so every
+    map/field lookup in eval_fn is ONE batched gather (compile-time and
+    HBM-pass friendly). The fast-interp path replaces this with a source
+    prefilter (see volume_prefilter_3d) and calls eval_fn once — callers
+    pass prefiltered sources in that mode.
     """
-    from gpufluidsimulation_tpu import config
-
     h = grid.h
     px, py, pz = grid.node_coords(kind)
-    if is_point:
+    if is_point or _use_prefilter():
         return eval_fn(px, py, pz)
-    if config.use_fast_interp():
-        # fast path: one windowed-DMA kernel launch per stencil offset
-        # (the kernel wants 3D lattices; launch overhead is negligible)
-        acc = None
-        for ox, oy, oz in _VOL3:
-            v = eval_fn(px + ox * h, py + oy * h, pz + oz * h)
-            acc = v if acc is None else acc + v
-        return 0.5 * (acc / 8.0) + 0.5 * eval_fn(px, py, pz)
     offs = jnp.asarray(_VOL3 + [(0.0, 0.0, 0.0)], px.dtype) * h  # (9, 3)
     sh = (9,) + (1,) * px.ndim
     bx = px[None] + offs[:, 0].reshape(sh)
@@ -177,6 +207,12 @@ def _volume_eval_3d(grid, kind, eval_fn, is_point=False):
     bz = pz[None] + offs[:, 2].reshape(sh)
     vals = eval_fn(bx, by, bz)  # (9, ...)
     return 0.5 * jnp.mean(vals[:8], axis=0) + 0.5 * vals[8]
+
+
+def _prefilter_source(field, is_point):
+    if is_point or not _use_prefilter():
+        return field
+    return volume_prefilter_3d(field)
 
 
 def advect_with_map_3d(grid, kind, field_cur, field_init, bwd, is_point=False):
@@ -187,10 +223,11 @@ def advect_with_map_3d(grid, kind, field_cur, field_init, bwd, is_point=False):
     velocity that updateMapping left in the working buffer.
     """
     off = grid.off_of(kind)
+    src = _prefilter_source(field_init, is_point)
 
     def ev(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, bwd, px, py, pz, 1.0, 1.0)
-        return interp.sample3_lattice(field_init, mx, my, mz, grid.h, off)
+        return interp.sample3_lattice(src, mx, my, mz, grid.h, off)
 
     out = _volume_eval_3d(grid, kind, ev, is_point)
     dim = grid.dim_of(kind)
@@ -203,11 +240,12 @@ def double_advect_3d(grid, kind, field, field_prev, bwd, bwd_prev, blend_coeff,
     """Two-level pull-back through bwd_prev o bwd, blended with `field`
     (doubleAdvect_kernel): field <- blend*field + (1-blend)*prev_value."""
     off = grid.off_of(kind)
+    src = _prefilter_source(field_prev, is_point)
 
     def ev(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, bwd, px, py, pz, 1.0, 1.0)
         ox, oy, oz = _map_sample_3d(grid, bwd_prev, mx, my, mz, 1.0, 1.0)
-        return interp.sample3_lattice(field_prev, ox, oy, oz, grid.h, off)
+        return interp.sample3_lattice(src, ox, oy, oz, grid.h, off)
 
     prev_value = _volume_eval_3d(grid, kind, ev, is_point)
     out = field * blend_coeff + (1.0 - blend_coeff) * prev_value
@@ -221,10 +259,11 @@ def accumulate_3d(grid, kind, dfield_init, field_change, fwd, coeff=1.0,
     """Push a change at time t through the *forward* map into the init buffer
     (cumulate_kernel): dfield_init += volume<coeff * change(fwd(x))>."""
     off = grid.off_of(kind)
+    src = _prefilter_source(field_change, is_point)
 
     def ev(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, fwd, px, py, pz, 0.0, 0.0)
-        return coeff * interp.sample3_lattice(field_change, mx, my, mz, grid.h, off)
+        return coeff * interp.sample3_lattice(src, mx, my, mz, grid.h, off)
 
     delta = _volume_eval_3d(grid, kind, ev, is_point)
     dim = grid.dim_of(kind)
@@ -242,18 +281,21 @@ def compensate_3d(grid, kind, field_adv, field_init, fwd, bwd, is_point=False):
     """
     off = grid.off_of(kind)
     dim = grid.dim_of(kind)
+    src_adv = _prefilter_source(field_adv, is_point)
 
     def ev_fwd(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, fwd, px, py, pz, 0.0, 0.0)
-        return interp.sample3_lattice(field_adv, mx, my, mz, grid.h, off)
+        return interp.sample3_lattice(src_adv, mx, my, mz, grid.h, off)
 
     err = _volume_eval_3d(grid, kind, ev_fwd, is_point) - field_init
     band = _band3(field_adv.shape, (1 + dim[0], 1 + dim[1], 1 + dim[2]), (2, 2, 2))
     err = jnp.where(band, err, 0.0)
 
+    err_src = _prefilter_source(err, is_point)
+
     def ev_bwd(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, bwd, px, py, pz, 0.0, 0.0)
-        return interp.sample3_lattice(err, mx, my, mz, grid.h, off)
+        return interp.sample3_lattice(err_src, mx, my, mz, grid.h, off)
 
     correction = _volume_eval_3d(grid, kind, ev_bwd, is_point)
     out = jnp.where(band, field_adv - 0.5 * correction, field_adv)
