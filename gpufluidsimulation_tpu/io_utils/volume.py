@@ -10,10 +10,16 @@ write a real .vdb FOG volume with the same name/threshold semantics.
 from __future__ import annotations
 
 import os
+import struct
 
 import numpy as np
 
 DENSITY_THRESHOLD = 1e-4  # volumeMeshTools.h:46
+
+try:  # native async IO runtime (see native/gfs_io.c; build with native/build.sh)
+    from gpufluidsimulation_tpu.native import gfs_io as _gfs_io
+except ImportError:  # pure-python fallback
+    _gfs_io = None
 
 
 def write_volume(frame: int, filepath: str, voxel_size: float, density,
@@ -37,6 +43,16 @@ def write_volume(frame: int, filepath: str, voxel_size: float, density,
         return out
     except ImportError:
         pass
+    if _gfs_io is not None:
+        # native path: C single-pass packer + background writer thread, so
+        # the frame loop never blocks on disk (flush_volumes() to drain)
+        payload = _gfs_io.pack_sparse(
+            np.ascontiguousarray(dense).tobytes(), dense.shape,
+            float(voxel_size), DENSITY_THRESHOLD,
+        )
+        out = os.path.join(filepath, f"{frame:04d}.gfsvol")
+        _gfs_io.async_write(out, payload)
+        return out
     mask = dense > DENSITY_THRESHOLD
     idx = np.argwhere(mask).astype(np.int32)
     vals = dense[mask]
@@ -53,8 +69,26 @@ def write_volume(frame: int, filepath: str, voxel_size: float, density,
     return out
 
 
+def flush_volumes() -> int:
+    """Drain the native writer queue; returns the error count (0 = ok)."""
+    if _gfs_io is not None:
+        return int(_gfs_io.flush())
+    return 0
+
+
 def read_volume(path: str):
     """Load a sparse volume back to dense (for tests / resume)."""
+    if path.endswith(".gfsvol"):
+        raw = open(path, "rb").read()
+        magic, ver, nx, ny, nz, vox, count = struct.unpack("<4sIIIIfQ", raw[:32])
+        if magic != b"GFSV" or ver != 1:
+            raise ValueError(f"bad gfsvol header in {path}")
+        off = 32
+        idx = np.frombuffer(raw, np.uint32, count, off)
+        vals = np.frombuffer(raw, np.float32, count, off + 4 * count)
+        dense = np.zeros(nx * ny * nz, np.float32)
+        dense[idx] = vals
+        return dense.reshape(nx, ny, nz), float(vox)
     with np.load(path, allow_pickle=False) as z:
         dense = np.zeros(tuple(z["shape"]), np.float32)
         idx = z["indices"]

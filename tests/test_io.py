@@ -35,7 +35,8 @@ def test_sparse_volume_roundtrip(tmp_path, rng):
     dense[1, 1, 1] = 0.5
     dense[0, 0, 0] = 1e-6  # below threshold -> dropped
     out = volume.write_volume(3, str(tmp_path), 0.01, dense)
-    assert out.endswith("0003.npz")
+    assert out.endswith(("0003.npz", "0003.gfsvol"))
+    assert volume.flush_volumes() == 0
     back, h = volume.read_volume(out)
     assert h == np.float32(0.01)
     assert back[2, 3, 1] == np.float32(0.7)
