@@ -40,10 +40,10 @@ def build(n, scheme_name="bimocq", proj_iters=30):
     scheme = {"bimocq": Scheme.BIMOCQ, "reflection": Scheme.MAC_REFLECTION,
               "semilag": Scheme.SEMILAG}[scheme_name]
     # vortex-collision physics scaled into an n^3 box (emitters recentred so
-    # the collision happens mid-domain at any resolution)
-    L = 0.2
+    # the collision happens mid-domain at any resolution); dt scales with h
+    # to hold the reference scene's CFL number (~2.6 at 100^3/dt=0.08)
     cfg = vortex_collision_config(
-        ni=n, nj=n, nk=n, scheme=scheme, dt=0.08,
+        ni=n, nj=n, nk=n, scheme=scheme, dt=8.0 / n,
         emitters=(
             Emitter3D(center=(0.04, 0.10, 0.10), radius=0.015, sign=1.0),
             Emitter3D(center=(0.16, 0.101, 0.10), radius=0.015, sign=-1.0),

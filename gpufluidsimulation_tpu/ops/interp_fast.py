@@ -7,28 +7,29 @@ Semi-Lagrangian/characteristic-map displacements are CFL-bounded and smooth
 input window around a per-block integer base shift — fetchable with ONE DMA
 instead of thousands of scalar gathers.
 
-Kernel geometry (`_kernel`): output blocks of (8, 8, Z), Z = the full
-(128-padded) z extent; grid over (x, y) blocks. Per block:
+Kernel geometry (`_kernel`): output blocks of (8, 8, 128) over a 3D grid.
+Per block:
   1. XLA prepass: per-block integer base shifts s = round(mean(g - node))
-     per axis; window origins (x free; y floor-8 aligned — Mosaic needs a
-     pl.multiple_of proof for sublane-dim DMA offsets) via scalar prefetch.
-  2. One async DMA pulls the (Wx, Wy, ZP) window HBM->VMEM.
-  3. In-kernel re-basing: dynamic sublane slice absorbs the y alignment
-     slack; a dynamic lane `pltpu.roll` absorbs the z base shift. After
-     re-basing, every axis has residual <= Rr + 0.5.
-  4. Trilinear interpolation = hat-weighted sum over the (2Rr+3)^3 relative
-     integer shifts (static slices, hats hoisted per axis); hat(t) =
+     per axis; window origins (x free; y floor-8 aligned; z = the three
+     128-tiles around the block — Mosaic needs pl.multiple_of proofs for
+     tiled-dim DMA offsets) via scalar prefetch.
+  2. One async DMA pulls the (Wx, Wy, 384) window HBM->VMEM.
+  3. In-kernel re-basing: a dynamic lane `pltpu.roll` absorbs the z base
+     shift (the sublane axis has no global dynamic roll/slice on this
+     hardware, so y keeps its <=7-cell alignment slack in the hat loop).
+  4. Trilinear interpolation = hat-weighted sum over the relative integer
+     shifts ((2Rr+3) x (2Rr+10) x (2Rr+3), static slices); hat(t) =
      max(0,1-|t|) is simultaneously the trilinear weight AND the window
      mask, so the sum is exact under the residual contract. Pure VPU fmas
      on VMEM-resident data.
   5. Coverage (product of per-axis hat sums) renormalizes window-clipped
      edge cells (clamp-to-window instead of silent mass loss).
 
-Contracts (checked by residual_overflow / tests):
-  * per-axis |(g - node) - round(block mean)| <= Rr + 0.5   (smoothness)
-  * |g_z - node_z| <= Rz + 0.5                              (z roll budget)
-BiMocq with per-frame reinitialization keeps total displacement around the
-CFL number; defaults Rr=2 (in-block variation), Rz=8 (z roll padding).
+Contract (checked by residual_overflow / tests): per-axis
+|(g - node) - round(block mean)| <= Rr + 0.5 over each (8,8,128) block
+(plus |z shift| <= 127-Rr, far beyond any CFL-bounded flow). BiMocq with
+per-frame reinitialization keeps total displacement around the CFL number
+and in-block variation well under Rr=2 (default).
 
 CPU fallback / correctness oracle: interp.sample3 (exact gather form).
 """
@@ -55,17 +56,24 @@ def _hat(t):
 
 
 def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
-            sem, *, Rr, Pz, block, win_shape):
+            sem, *, Rr, block, win_shape):
     bi = pl.program_id(0)
     bj = pl.program_id(1)
-    blk = bi * pl.num_programs(1) + bj
+    bk = pl.program_id(2)
+    blk = (bi * pl.num_programs(1) + bj) * pl.num_programs(2) + bk
 
     ox = origin_ref[blk, 0]
     oy = pl.multiple_of(origin_ref[blk, 1], 8)
     sz = origin_ref[blk, 3]   # z base shift (col 2 unused)
+    B1, B2, B3 = block
+    # z window: the three 128-tiles around this z block (tile-aligned DMA)
+    zoff = pl.multiple_of(bk * B3, 128)
 
     copy = pltpu.make_async_copy(
-        field_hbm.at[pl.ds(ox, win_shape[0]), pl.ds(oy, win_shape[1]), :],
+        field_hbm.at[
+            pl.ds(ox, win_shape[0]), pl.ds(oy, win_shape[1]),
+            pl.ds(zoff, win_shape[2]),
+        ],
         win_ref,
         sem,
     )
@@ -73,15 +81,16 @@ def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
 
     lx = gx_ref[...] - ox.astype(jnp.float32)
     ly = gy_ref[...] - oy.astype(jnp.float32)
-    lz = gz_ref[...] - sz.astype(jnp.float32)
+    # gz carries the +128 z lo-pad; window starts at bk*B3 in padded coords
+    lz = gz_ref[...] - (zoff + sz).astype(jnp.float32)
 
-    B1, B2, B3 = block
     a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
     b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
     c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
 
     W = 2 * Rr + 3
     WY = 2 * Rr + 10  # y shifts incl. the floor-8 alignment slack (<= 7)
+    ZB = 128 - Rr - 1  # z hat base inside the rolled 3-tile window
 
     copy.wait()
     # re-base z via a dynamic LANE roll (exact global roll; the sublane axis
@@ -89,66 +98,70 @@ def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
     # alignment slack in the hat loop instead)
     win = pltpu.roll(win_ref[...], -sz, 2)
 
-    # hoisted per-axis hat stacks and coverage
-    hx = [_hat(lx - (a + dp)) for dp in range(W)]
-    hy = [_hat(ly - (b + dq)) for dq in range(WY)]
     out = jnp.zeros(block, jnp.float32)
+    cov_x = jnp.zeros(block, jnp.float32)
+    cov_y = jnp.zeros(block, jnp.float32)
     cov_z = jnp.zeros(block, jnp.float32)
+    for dq in range(WY):
+        cov_y = cov_y + _hat(ly - (b + dq))
     for dr in range(W):
-        hz = _hat(lz - (c + (Pz - Rr - 1 + dr)))
+        hz = _hat(lz - (c + (ZB + dr)))
         cov_z = cov_z + hz
-        winz = win[:, :, Pz - Rr - 1 + dr : Pz - Rr - 1 + dr + B3]
+        winz = win[:, :, ZB + dr : ZB + dr + B3]
         acc_y = jnp.zeros(block, jnp.float32)
         for dq in range(WY):
+            hy = _hat(ly - (b + dq))
             winyz = winz[:, dq : dq + B2, :]
             acc_x = jnp.zeros(block, jnp.float32)
             for dp in range(W):
-                acc_x = acc_x + hx[dp] * winyz[dp : dp + B1]
-            acc_y = acc_y + hy[dq] * acc_x
+                acc_x = acc_x + _hat(lx - (a + dp)) * winyz[dp : dp + B1]
+            acc_y = acc_y + hy * acc_x
         out = out + hz * acc_y
+    for dp in range(W):
+        cov_x = cov_x + _hat(lx - (a + dp))
 
-    cov = sum(hx) * sum(hy) * cov_z
+    cov = cov_x * cov_y * cov_z
     out_ref[...] = jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Rr", "P", "Pz", "interpret", "out_shape"),
+    static_argnames=("Rr", "P", "interpret", "out_shape"),
 )
-def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, Pz, interpret,
-                    out_shape):
+def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape):
     """Positions g are lattice-shaped arrays in PADDED field coordinates
-    (x/y: +P, z: +Pz), pre-padded to (mult8, mult8, Z)."""
+    (x/y: +P, z: +128), pre-padded to (mult8, mult8, mult128)."""
     nx, ny, Z = gx.shape
-    nb = (nx // BX, ny // BY)
-    block = (BX, BY, Z)
+    nb = (nx // BX, ny // BY, Z // 128)
+    block = (BX, BY, 128)
     fs = field_padded.shape
     Wx = BX + 2 * Rr + 2
     Wy = _ceil(BY + 2 * Rr + 2 + 7, 8)
-    win_shape = (Wx, Wy, fs[2])
+    win_shape = (Wx, Wy, 384)
 
+    # per-(8, 8, 128)-block statistics
     def block_mean(d):
-        r = d.reshape(nb[0], BX, nb[1], BY, Z)
-        return r.mean(axis=(1, 3, 4))
+        r = d.reshape(nb[0], BX, nb[1], BY, nb[2], 128)
+        return r.mean(axis=(1, 3, 5))
 
     node_x = jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P
     node_y = jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P
-    node_z = jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + Pz
+    node_z = jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + 128
     s_x = jnp.round(block_mean(gx - node_x)).astype(jnp.int32)
     s_y = jnp.round(block_mean(gy - node_y)).astype(jnp.int32)
     s_z = jnp.round(block_mean(gz - node_z)).astype(jnp.int32)
-    bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None]
-    bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * BY)[None, :]
+    bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
+    bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * BY)[None, :, None]
     ox = jnp.clip(bo_x + P + s_x - (Rr + 1), 0, fs[0] - Wx)
     oy_ideal = jnp.clip(bo_y + P + s_y - (Rr + 1), 0, fs[1] - (BY + 2 * Rr + 2))
     oy = jnp.minimum((oy_ideal // 8) * 8, fs[1] - Wy)
-    sy = oy_ideal - oy
-    # z roll budget: |s_z| <= Pz - Rr - 2 keeps the rolled window unwrapped
-    s_z = jnp.clip(s_z, -(Pz - Rr - 2), Pz - Rr - 2)
+    # z roll budget: keep the needed band inside the rolled 3-tile window
+    s_z = jnp.clip(s_z, -(127 - Rr), 127 - Rr)
+    shape3 = (nb[0], nb[1], nb[2])
     origins = jnp.stack(
-        [ox.reshape(-1),
-         jnp.broadcast_to(oy, (nb[0], nb[1])).reshape(-1),
-         jnp.broadcast_to(sy, (nb[0], nb[1])).reshape(-1),
+        [jnp.broadcast_to(ox, shape3).reshape(-1),
+         jnp.broadcast_to(oy, shape3).reshape(-1),
+         jnp.zeros((nb[0] * nb[1] * nb[2],), jnp.int32),
          s_z.reshape(-1)],
         axis=-1,
     )
@@ -157,15 +170,15 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, Pz, interpret,
         num_scalar_prefetch=1,
         grid=nb,
         in_specs=[
-            pl.BlockSpec(block, lambda i, j, o: (i, j, 0),
+            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, lambda i, j, o: (i, j, 0),
+            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, lambda i, j, o: (i, j, 0),
+            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(block, lambda i, j, o: (i, j, 0),
+        out_specs=pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM(win_shape, jnp.float32),
@@ -173,7 +186,7 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, Pz, interpret,
         ],
     )
     kernel = functools.partial(
-        _kernel, Rr=Rr, Pz=Pz, block=block, win_shape=win_shape
+        _kernel, Rr=Rr, block=block, win_shape=win_shape
     )
     out = pl.pallas_call(
         kernel,
@@ -191,24 +204,24 @@ def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False):
     `px, py, pz` must be full-lattice position arrays whose element (i,j,k)
     samples near lattice site (i,j,k) (true for every use in this engine).
     """
+    del Rz  # the 3-tile z window covers shifts up to ~127 cells
     out_shape = px.shape
     P = Rr + 2
-    Pz = Rz + Rr + 2  # roll budget Rz plus hat reach
 
     Z = _ceil(out_shape[2], 128)
-    ZP = _ceil(Z + 2 * Pz, 128)
+    ZP = Z + 256  # one full 128-tile of z halo each side
 
     xpad = P + max(0, _ceil(out_shape[0], BX) - field.shape[0])
     ypad = P + max(0, _ceil(out_shape[1], BY) - field.shape[1])
     fpad = jnp.pad(
         field,
-        ((P, xpad), (P, ypad), (Pz, ZP - field.shape[2] - Pz)),
+        ((P, xpad), (P, ypad), (128, ZP - 128 - field.shape[2])),
         mode="edge",
     )
 
     gx = px / h - off[0] + P
     gy = py / h - off[1] + P
-    gz = pz / h - off[2] + Pz
+    gz = pz / h - off[2] + 128
 
     pad_to = (
         _ceil(out_shape[0], BX) - out_shape[0],
@@ -224,14 +237,14 @@ def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False):
     # stay representative of the real cells
     dx = jnp.pad(gx - node_like(gx, 0, P), padw, mode="edge")
     dy = jnp.pad(gy - node_like(gy, 1, P), padw, mode="edge")
-    dz = jnp.pad(gz - node_like(gz, 2, Pz), padw, mode="edge")
+    dz = jnp.pad(gz - node_like(gz, 2, 128), padw, mode="edge")
     gx = node_like(dx, 0, P) + dx
     gy = node_like(dy, 1, P) + dy
-    gz = node_like(dz, 2, Pz) + dz
+    gz = node_like(dz, 2, 128) + dz
 
     return _sample3_padded(
         fpad, gx, gy, gz,
-        Rr=Rr, P=P, Pz=Pz, interpret=interpret, out_shape=out_shape,
+        Rr=Rr, P=P, interpret=interpret, out_shape=out_shape,
     )
 
 
@@ -247,17 +260,18 @@ def residual_overflow(px, py, pz, h, off, *, Rr=2, Rz=8):
     padw = [
         (0, _ceil(out_shape[0], BX) - out_shape[0]),
         (0, _ceil(out_shape[1], BY) - out_shape[1]),
-        (0, 0),
+        (0, _ceil(out_shape[2], 128) - out_shape[2]),
     ]
     over = jnp.zeros((), jnp.int32)
     for g, axis in ((gx, 0), (gy, 1), (gz, 2)):
         node = jax.lax.broadcasted_iota(jnp.float32, g.shape, axis)
         d = jnp.pad(g - node, padw, mode="edge")
         nbx, nby = d.shape[0] // BX, d.shape[1] // BY
-        r = d.reshape(nbx, BX, nby, BY, d.shape[2])
-        s = jnp.round(r.mean(axis=(1, 3, 4)))
+        nbz = d.shape[2] // 128
+        r = d.reshape(nbx, BX, nby, BY, nbz, 128)
+        s = jnp.round(r.mean(axis=(1, 3, 5)))
         if axis == 2:
-            s = jnp.clip(s, -(Rz + 1), Rz + 1)
-        res = jnp.abs(r - s[:, None, :, None, None])
+            s = jnp.clip(s, -(127 - Rr), 127 - Rr)
+        res = jnp.abs(r - s[:, None, :, None, :, None])
         over = over + jnp.sum(res > (Rr + 0.5), dtype=jnp.int32)
     return over
