@@ -62,9 +62,11 @@ def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
     bk = pl.program_id(2)
     blk = (bi * pl.num_programs(1) + bj) * pl.num_programs(2) + bk
 
-    ox = origin_ref[blk, 0]
-    oy = pl.multiple_of(origin_ref[blk, 1], 8)
-    sz = origin_ref[blk, 3]   # z base shift (col 2 unused)
+    # origins are flattened (blk*3 + c) — 2D SMEM operands get row-padded
+    # to 128 lanes, which overflows the 1MB SMEM at large grids
+    ox = origin_ref[blk * 3]
+    oy = pl.multiple_of(origin_ref[blk * 3 + 1], 8)
+    sz = origin_ref[blk * 3 + 2]  # z base shift
     B1, B2, B3 = block
     # z window: the three 128-tiles around this z block (tile-aligned DMA)
     zoff = pl.multiple_of(bk * B3, 128)
@@ -161,10 +163,9 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape):
     origins = jnp.stack(
         [jnp.broadcast_to(ox, shape3).reshape(-1),
          jnp.broadcast_to(oy, shape3).reshape(-1),
-         jnp.zeros((nb[0] * nb[1] * nb[2],), jnp.int32),
          s_z.reshape(-1)],
         axis=-1,
-    )
+    ).reshape(-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
