@@ -217,13 +217,22 @@ def maccormack_3d(grid, kind, src, u, v, w, cfldt, dt):
     mx_, my_, mz_ = px - 0.5 * dt * u1, py - 0.5 * dt * v1, pz - 0.5 * dt * w1
     u2, v2, w2 = interp.mac_velocity_3d(u, v, w, mx_, my_, mz_, h)
     bx, by, bz = px - dt * u2, py - dt * v2, pz - dt * w2
-    gx, gy, gz = bx / h - off[0], by / h - off[1], bz / h - off[2]
-    i0 = jnp.floor(gx).astype(jnp.int32)
-    j0 = jnp.floor(gy).astype(jnp.int32)
-    k0 = jnp.floor(gz).astype(jnp.int32)
-    corners = interp._gather8_3d(src, i0, j0, k0)
-    mn = jnp.min(corners, axis=0)
-    mx = jnp.max(corners, axis=0)
+    from gpufluidsimulation_tpu import config
+
+    if config.use_fast_interp():
+        from gpufluidsimulation_tpu.ops import interp_fast
+
+        mn, mx = interp_fast.minmax3_fast(
+            src, bx, by, bz, h, off, Rr=config.interp_rr()
+        )
+    else:
+        gx, gy, gz = bx / h - off[0], by / h - off[1], bz / h - off[2]
+        i0 = jnp.floor(gx).astype(jnp.int32)
+        j0 = jnp.floor(gy).astype(jnp.int32)
+        k0 = jnp.floor(gz).astype(jnp.int32)
+        corners = interp._gather8_3d(src, i0, j0, k0)
+        mn = jnp.min(corners, axis=0)
+        mx = jnp.max(corners, axis=0)
     fallback = interp.sample3_lattice(src, bx, by, bz, h, off)
     return jnp.where((dst < mn) | (dst > mx), fallback, dst)
 

@@ -276,3 +276,183 @@ def residual_overflow(px, py, pz, h, off, *, Rr=2, Rz=8):
         res = jnp.abs(r - s[:, None, :, None, :, None])
         over = over + jnp.sum(res > (Rr + 0.5), dtype=jnp.int32)
     return over
+
+
+# ---------------------------------------------------------------------------
+# Corner min/max variant (MacCormack extrema clamp, GPU_kernel.cu:892-950
+# intended semantics): min/max over the 8 trilinear corners at each sample
+# position = min/max over window cells with nonzero hat weight.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_minmax(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm,
+                   mn_ref, mx_ref, win_ref, sem, *, Rr, block, win_shape):
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    bk = pl.program_id(2)
+    blk = (bi * pl.num_programs(1) + bj) * pl.num_programs(2) + bk
+
+    ox = origin_ref[blk * 3]
+    oy = pl.multiple_of(origin_ref[blk * 3 + 1], 8)
+    sz = origin_ref[blk * 3 + 2]
+    B1, B2, B3 = block
+    zoff = pl.multiple_of(bk * B3, 128)
+
+    copy = pltpu.make_async_copy(
+        field_hbm.at[
+            pl.ds(ox, win_shape[0]), pl.ds(oy, win_shape[1]),
+            pl.ds(zoff, win_shape[2]),
+        ],
+        win_ref,
+        sem,
+    )
+    copy.start()
+
+    lx = gx_ref[...] - ox.astype(jnp.float32)
+    ly = gy_ref[...] - oy.astype(jnp.float32)
+    lz = gz_ref[...] - (zoff + sz).astype(jnp.float32)
+
+    a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
+    b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
+
+    W = 2 * Rr + 3
+    WY = 2 * Rr + 10
+    ZB = 128 - Rr - 1
+
+    copy.wait()
+    win = pltpu.roll(win_ref[...], -sz, 2)
+
+    big = jnp.float32(3.0e38)
+    mn = jnp.full(block, big)
+    mx = jnp.full(block, -big)
+    for dr in range(W):
+        mz = _hat(lz - (c + (ZB + dr))) > 0.0
+        winz = win[:, :, ZB + dr : ZB + dr + B3]
+        for dq in range(WY):
+            myq = mz & (_hat(ly - (b + dq)) > 0.0)
+            winyz = winz[:, dq : dq + B2, :]
+            for dp in range(W):
+                m = myq & (_hat(lx - (a + dp)) > 0.0)
+                vals = winyz[dp : dp + B1]
+                mn = jnp.where(m, jnp.minimum(mn, vals), mn)
+                mx = jnp.where(m, jnp.maximum(mx, vals), mx)
+    mn_ref[...] = mn
+    mx_ref[...] = mx
+
+
+def minmax3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False):
+    """Min/max over the trilinear corner cells at each position — the
+    window-kernel counterpart of an 8-way corner gather. Same bounded-smooth
+    displacement contract as sample3_fast."""
+    del Rz
+    out_shape = px.shape
+    P = Rr + 2
+    Z = _ceil(out_shape[2], 128)
+    ZP = Z + 256
+
+    xpad = P + max(0, _ceil(out_shape[0], BX) - field.shape[0])
+    ypad = P + max(0, _ceil(out_shape[1], BY) - field.shape[1])
+    fpad = jnp.pad(
+        field,
+        ((P, xpad), (P, ypad), (128, ZP - 128 - field.shape[2])),
+        mode="edge",
+    )
+    gx = px / h - off[0] + P
+    gy = py / h - off[1] + P
+    gz = pz / h - off[2] + 128
+    pad_to = (
+        _ceil(out_shape[0], BX) - out_shape[0],
+        _ceil(out_shape[1], BY) - out_shape[1],
+        Z - out_shape[2],
+    )
+    padw = [(0, p) for p in pad_to]
+
+    def node_like(x, axis, p):
+        return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
+
+    dx = jnp.pad(gx - node_like(gx, 0, P), padw, mode="edge")
+    dy = jnp.pad(gy - node_like(gy, 1, P), padw, mode="edge")
+    dz = jnp.pad(gz - node_like(gz, 2, 128), padw, mode="edge")
+    gx = node_like(dx, 0, P) + dx
+    gy = node_like(dy, 1, P) + dy
+    gz = node_like(dz, 2, 128) + dz
+    return _minmax3_padded(
+        fpad, gx, gy, gz, Rr=Rr, P=P, interpret=interpret,
+        out_shape=out_shape,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Rr", "P", "interpret", "out_shape")
+)
+def _minmax3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape):
+    nx, ny, Z = gx.shape
+    nb = (nx // BX, ny // BY, Z // 128)
+    block = (BX, BY, 128)
+    fs = field_padded.shape
+    Wx = BX + 2 * Rr + 2
+    Wy = _ceil(BY + 2 * Rr + 2 + 7, 8)
+    win_shape = (Wx, Wy, 384)
+
+    def block_mean(d):
+        r = d.reshape(nb[0], BX, nb[1], BY, nb[2], 128)
+        return r.mean(axis=(1, 3, 5))
+
+    node_x = jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P
+    node_y = jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P
+    node_z = jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + 128
+    s_x = jnp.round(block_mean(gx - node_x)).astype(jnp.int32)
+    s_y = jnp.round(block_mean(gy - node_y)).astype(jnp.int32)
+    s_z = jnp.round(block_mean(gz - node_z)).astype(jnp.int32)
+    bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
+    bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * BY)[None, :, None]
+    ox = jnp.clip(bo_x + P + s_x - (Rr + 1), 0, fs[0] - Wx)
+    oy_ideal = jnp.clip(bo_y + P + s_y - (Rr + 1), 0, fs[1] - (BY + 2 * Rr + 2))
+    oy = jnp.minimum((oy_ideal // 8) * 8, fs[1] - Wy)
+    s_z = jnp.clip(s_z, -(127 - Rr), 127 - Rr)
+    shape3 = (nb[0], nb[1], nb[2])
+    origins = jnp.stack(
+        [jnp.broadcast_to(ox, shape3).reshape(-1),
+         jnp.broadcast_to(oy, shape3).reshape(-1),
+         s_z.reshape(-1)],
+        axis=-1,
+    ).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=nb,
+        in_specs=[
+            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(win_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_minmax, Rr=Rr, block=block, win_shape=win_shape
+    )
+    mn, mx = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(gx.shape, jnp.float32),
+            jax.ShapeDtypeStruct(gx.shape, jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(origins, gx, gy, gz, field_padded)
+    sl = np.s_[: out_shape[0], : out_shape[1], : out_shape[2]]
+    return mn[sl], mx[sl]

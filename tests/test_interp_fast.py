@@ -107,3 +107,37 @@ def test_residual_overflow_detects_violations(rng):
         jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz), h, (0, 0, 0),
         Rr=2, Rz=3))
     assert over > 0
+
+
+def test_minmax3_fast_matches_gather(rng):
+    shape = (16, 16, 128)
+    h = 0.1
+    off = (0.0, 0.0, 0.0)
+    field = rng.standard_normal(shape).astype(np.float32)
+    px, py, pz = _positions(shape, h, off, rng, max_disp_cells=1.5)
+    gx = px / h - off[0]
+    gy = py / h - off[1]
+    gz = pz / h - off[2]
+    i0 = np.floor(gx).astype(np.int32)
+    j0 = np.floor(gy).astype(np.int32)
+    k0 = np.floor(gz).astype(np.int32)
+    want_mn = np.full(shape, np.inf, np.float32)
+    want_mx = np.full(shape, -np.inf, np.float32)
+    for a in (0, 1):
+        for b in (0, 1):
+            for c in (0, 1):
+                ii = np.clip(i0 + a, 0, shape[0] - 1)
+                jj = np.clip(j0 + b, 0, shape[1] - 1)
+                kk = np.clip(k0 + c, 0, shape[2] - 1)
+                v = field[ii, jj, kk]
+                want_mn = np.minimum(want_mn, v)
+                want_mx = np.maximum(want_mx, v)
+    from gpufluidsimulation_tpu.ops import interp_fast as fi
+
+    mn, mx = fi.minmax3_fast(jnp.asarray(field), jnp.asarray(px),
+                             jnp.asarray(py), jnp.asarray(pz), h, off,
+                             Rr=2, interpret=True)
+    # interior only: clamped corners at the rim differ from window-edge cells
+    inner = np.s_[2:-2, 2:-2, 2:-2]
+    np.testing.assert_allclose(np.asarray(mn)[inner], want_mn[inner], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mx)[inner], want_mx[inner], atol=1e-6)
