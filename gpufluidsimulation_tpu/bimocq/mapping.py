@@ -137,8 +137,26 @@ def _band2(shape, a: Tuple[int, int], b: Tuple[int, int]):
 
 
 def _map_sample_3d(grid, maps, px, py, pz, clamp_lo, clamp_hi):
-    """Sample a (3, ni, nj, nk) map at world pos; clamp result into domain."""
+    """Sample a (3, ni, nj, nk) map at world pos; clamp result into domain.
+
+    Fast path: one 3-channel window kernel (shared DMA, launch, and — since
+    the channel offsets are identical — shared hat weights)."""
+    from gpufluidsimulation_tpu import config
+
     h = grid.h
+    if px.ndim == 3 and config.use_fast_interp():
+        from gpufluidsimulation_tpu.ops import interp_fast
+
+        out = interp_fast.sample3_multi(
+            maps, px, py, pz, h, ((0.0, 0.0, 0.0),) * 3,
+            Rr=config.interp_rr(),
+        )
+        mx, my, mz = out[0], out[1], out[2]
+        return (
+            jnp.clip(mx, clamp_lo * h, grid.ni * h - clamp_hi * h),
+            jnp.clip(my, clamp_lo * h, grid.nj * h - clamp_hi * h),
+            jnp.clip(mz, clamp_lo * h, grid.nk * h - clamp_hi * h),
+        )
     mx = interp.sample3_lattice(maps[0], px, py, pz, h, (0.0, 0.0, 0.0))
     my = interp.sample3_lattice(maps[1], px, py, pz, h, (0.0, 0.0, 0.0))
     mz = interp.sample3_lattice(maps[2], px, py, pz, h, (0.0, 0.0, 0.0))

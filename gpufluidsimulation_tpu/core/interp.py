@@ -190,7 +190,27 @@ def mac_velocity_2d(u, v, px, py, h):
 
 
 def mac_velocity_3d(u, v, w, px, py, pz, h):
-    """Sample the 3D MAC velocity at world positions (GPU_kernel.cu:64-72)."""
+    """Sample the 3D MAC velocity at world positions (GPU_kernel.cu:64-72).
+
+    Fast path: the three staggered components are edge-padded to a common
+    shape and sampled by ONE multi-channel window kernel (shared DMA/launch;
+    edge replication matches boundedAt clamping)."""
+    from gpufluidsimulation_tpu import config
+
+    if px.ndim == 3 and config.use_fast_interp():
+        from gpufluidsimulation_tpu.ops import interp_fast
+
+        packed = jnp.stack([
+            jnp.pad(u, ((0, 0), (0, 1), (0, 1)), mode="edge"),
+            jnp.pad(v, ((0, 1), (0, 0), (0, 1)), mode="edge"),
+            jnp.pad(w, ((0, 1), (0, 1), (0, 0)), mode="edge"),
+        ])
+        out = interp_fast.sample3_multi(
+            packed, px, py, pz, h,
+            ((-0.5, 0.0, 0.0), (0.0, -0.5, 0.0), (0.0, 0.0, -0.5)),
+            Rr=config.interp_rr(),
+        )
+        return out[0], out[1], out[2]
     us = sample3_lattice(u, px, py, pz, h, (-0.5, 0.0, 0.0))
     vs = sample3_lattice(v, px, py, pz, h, (0.0, -0.5, 0.0))
     ws = sample3_lattice(w, px, py, pz, h, (0.0, 0.0, -0.5))

@@ -456,3 +456,206 @@ def _minmax3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape):
     )(origins, gx, gy, gz, field_padded)
     sl = np.s_[: out_shape[0], : out_shape[1], : out_shape[2]]
     return mn[sl], mx[sl]
+
+
+# ---------------------------------------------------------------------------
+# Multi-channel sampling: C same-shape fields sampled at one position lattice
+# (per-channel static offsets). One window DMA; hat stacks shared between
+# channels with identical offsets — the map (3ch) and MAC-velocity (3ch)
+# samplers that dominate the BiMocq step's launch count.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_multi(origin_ref, gx_ref, gy_ref, gz_ref, fields_hbm, out_ref,
+                  win_ref, sem, *, Rr, block, win_shape, deltas):
+    C = len(deltas)
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    bk = pl.program_id(2)
+    blk = (bi * pl.num_programs(1) + bj) * pl.num_programs(2) + bk
+
+    ox = origin_ref[blk * 3]
+    oy = pl.multiple_of(origin_ref[blk * 3 + 1], 8)
+    sz = origin_ref[blk * 3 + 2]
+    B1, B2, B3 = block
+    zoff = pl.multiple_of(bk * B3, 128)
+
+    copy = pltpu.make_async_copy(
+        fields_hbm.at[
+            :, pl.ds(ox, win_shape[1]), pl.ds(oy, win_shape[2]),
+            pl.ds(zoff, win_shape[3]),
+        ],
+        win_ref,
+        sem,
+    )
+    copy.start()
+
+    lx0 = gx_ref[...] - ox.astype(jnp.float32)
+    ly0 = gy_ref[...] - oy.astype(jnp.float32)
+    lz0 = gz_ref[...] - (zoff + sz).astype(jnp.float32)
+
+    a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
+    b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
+
+    W = 2 * Rr + 3
+    WY = 2 * Rr + 10
+    ZB = 128 - Rr - 1
+
+    copy.wait()
+    win_all = pltpu.roll(win_ref[...], -sz, 3)
+
+    # group channels by identical offset deltas so hats are shared
+    for ch in range(C):
+        dxo, dyo, dzo = deltas[ch]
+        lx = lx0 + dxo
+        ly = ly0 + dyo
+        lz = lz0 + dzo
+        win = win_all[ch]
+        out = jnp.zeros(block, jnp.float32)
+        cov_x = jnp.zeros(block, jnp.float32)
+        cov_y = jnp.zeros(block, jnp.float32)
+        cov_z = jnp.zeros(block, jnp.float32)
+        for dq in range(WY):
+            cov_y = cov_y + _hat(ly - (b + dq))
+        for dr in range(W):
+            hz = _hat(lz - (c + (ZB + dr)))
+            cov_z = cov_z + hz
+            winz = win[:, :, ZB + dr : ZB + dr + B3]
+            acc_y = jnp.zeros(block, jnp.float32)
+            for dq in range(WY):
+                hy = _hat(ly - (b + dq))
+                winyz = winz[:, dq : dq + B2, :]
+                acc_x = jnp.zeros(block, jnp.float32)
+                for dp in range(W):
+                    acc_x = acc_x + _hat(lx - (a + dp)) * winyz[dp : dp + B1]
+                acc_y = acc_y + hy * acc_x
+            out = out + hz * acc_y
+        for dp in range(W):
+            cov_x = cov_x + _hat(lx - (a + dp))
+        cov = cov_x * cov_y * cov_z
+        out_ref[ch] = jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Rr", "P", "interpret", "out_shape", "deltas"),
+)
+def _sample3_padded_multi(fields_padded, gx, gy, gz, *, Rr, P, interpret,
+                          out_shape, deltas):
+    C = fields_padded.shape[0]
+    nx, ny, Z = gx.shape
+    nb = (nx // BX, ny // BY, Z // 128)
+    block = (BX, BY, 128)
+    fs = fields_padded.shape
+    Wx = BX + 2 * Rr + 2
+    Wy = _ceil(BY + 2 * Rr + 2 + 7, 8)
+    win_shape = (C, Wx, Wy, 384)
+
+    def block_mean(d):
+        r = d.reshape(nb[0], BX, nb[1], BY, nb[2], 128)
+        return r.mean(axis=(1, 3, 5))
+
+    node_x = jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P
+    node_y = jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P
+    node_z = jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + 128
+    s_x = jnp.round(block_mean(gx - node_x)).astype(jnp.int32)
+    s_y = jnp.round(block_mean(gy - node_y)).astype(jnp.int32)
+    s_z = jnp.round(block_mean(gz - node_z)).astype(jnp.int32)
+    bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
+    bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * BY)[None, :, None]
+    ox = jnp.clip(bo_x + P + s_x - (Rr + 1), 0, fs[1] - Wx)
+    oy_ideal = jnp.clip(bo_y + P + s_y - (Rr + 1), 0, fs[2] - (BY + 2 * Rr + 2))
+    oy = jnp.minimum((oy_ideal // 8) * 8, fs[2] - Wy)
+    s_z = jnp.clip(s_z, -(127 - Rr), 127 - Rr)
+    shape3 = (nb[0], nb[1], nb[2])
+    origins = jnp.stack(
+        [jnp.broadcast_to(ox, shape3).reshape(-1),
+         jnp.broadcast_to(oy, shape3).reshape(-1),
+         s_z.reshape(-1)],
+        axis=-1,
+    ).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=nb,
+        in_specs=[
+            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (C,) + block, lambda i, j, k, o: (0, i, j, k),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(win_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_multi, Rr=Rr, block=block, win_shape=win_shape, deltas=deltas
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C,) + gx.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(origins, gx, gy, gz, fields_padded)
+    return out[:, : out_shape[0], : out_shape[1], : out_shape[2]]
+
+
+def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False):
+    """Sample C stacked same-shape fields (C, nx, ny, nz) at one position
+    lattice with per-channel offsets `offs` (C tuples, units of h). Returns
+    (C, *px.shape). One window DMA + one launch for all channels."""
+    C = fields.shape[0]
+    out_shape = px.shape
+    P = Rr + 2
+    Z = _ceil(out_shape[2], 128)
+    ZP = Z + 256
+
+    xpad = P + max(0, _ceil(out_shape[0], BX) - fields.shape[1])
+    ypad = P + max(0, _ceil(out_shape[1], BY) - fields.shape[2])
+    fpad = jnp.pad(
+        fields,
+        ((0, 0), (P, xpad), (P, ypad), (128, ZP - 128 - fields.shape[3])),
+        mode="edge",
+    )
+
+    # reference channel 0 defines the position lattice; other channels get
+    # static per-channel coordinate deltas (offs in units of h)
+    off0 = offs[0]
+    deltas = tuple(
+        (float(off0[0] - o[0]), float(off0[1] - o[1]), float(off0[2] - o[2]))
+        for o in offs
+    )
+    gx = px / h - off0[0] + P
+    gy = py / h - off0[1] + P
+    gz = pz / h - off0[2] + 128
+
+    pad_to = (
+        _ceil(out_shape[0], BX) - out_shape[0],
+        _ceil(out_shape[1], BY) - out_shape[1],
+        Z - out_shape[2],
+    )
+    padw = [(0, p) for p in pad_to]
+
+    def node_like(x, axis, p):
+        return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
+
+    dx = jnp.pad(gx - node_like(gx, 0, P), padw, mode="edge")
+    dy = jnp.pad(gy - node_like(gy, 1, P), padw, mode="edge")
+    dz = jnp.pad(gz - node_like(gz, 2, 128), padw, mode="edge")
+    gx = node_like(dx, 0, P) + dx
+    gy = node_like(dy, 1, P) + dy
+    gz = node_like(dz, 2, 128) + dz
+
+    return _sample3_padded_multi(
+        fpad, gx, gy, gz,
+        Rr=Rr, P=P, interpret=interpret, out_shape=out_shape, deltas=deltas,
+    )

@@ -141,3 +141,19 @@ def test_minmax3_fast_matches_gather(rng):
     inner = np.s_[2:-2, 2:-2, 2:-2]
     np.testing.assert_allclose(np.asarray(mn)[inner], want_mn[inner], atol=1e-6)
     np.testing.assert_allclose(np.asarray(mx)[inner], want_mx[inner], atol=1e-6)
+
+
+def test_sample3_multi_matches_per_channel(rng):
+    shape = (16, 16, 128)
+    h = 0.1
+    fields = rng.standard_normal((3,) + shape).astype(np.float32)
+    px, py, pz = _positions(shape, h, (0, 0, 0), rng, max_disp_cells=1.2)
+    offs = ((-0.5, 0.0, 0.0), (0.0, -0.5, 0.0), (0.0, 0.0, -0.5))
+    got = np.asarray(interp_fast.sample3_multi(
+        jnp.asarray(fields), jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz),
+        h, offs, Rr=2, interpret=True))
+    for ch in range(3):
+        want = np.asarray(interp.sample3(
+            jnp.asarray(fields[ch]), jnp.asarray(px), jnp.asarray(py),
+            jnp.asarray(pz), h, offs[ch]))
+        np.testing.assert_allclose(got[ch], want, rtol=1e-3, atol=1e-4)
