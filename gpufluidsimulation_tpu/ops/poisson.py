@@ -320,3 +320,140 @@ def project_3d(u, v, w, ctx: MGContext, tol=1e-4, max_iters=100):
     p, iters, res = mgpcg(-div, ctx, tol, max_iters)
     u, v, w = subtract_gradient_3d(u, v, w, p, ctx.bc)
     return u, v, w, p, iters, res
+
+
+# ---------------------------------------------------------------------------
+# Boundary-aware (masked) projection — the hybrid solver's voxelized BCs
+# (BimocqSolver::projection, BimocqSolver.cpp:1120-1407): cell flags
+# 0=fluid, 1=air (Dirichlet p=0), 2=domain solid, 3=moving solid object.
+# ---------------------------------------------------------------------------
+
+FLUID, AIR, SOLID, OBJECT = 0, 1, 2, 3
+
+
+def _shift(x, axis, d, fill):
+    """x shifted so result[i] = x[i+d] along axis; `fill` outside."""
+    pad = [(0, 0)] * x.ndim
+    sl = [slice(None)] * x.ndim
+    if d > 0:
+        pad[axis] = (0, d)
+        sl[axis] = slice(d, None)
+    else:
+        pad[axis] = (-d, 0)
+        sl[axis] = slice(0, d)
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+
+
+def masked_laplacian(p, flags):
+    """L p on fluid rows: sum over neighbors of (p_c - p_n) for fluid
+    neighbors, + p_c for air neighbors (ghost p=0), + 0 for solid neighbors
+    (Neumann). Non-fluid rows return p (identity) so the operator stays SPD
+    on the full lattice."""
+    fluid = flags == FLUID
+    out = jnp.zeros_like(p)
+    for axis in range(3):
+        for d in (-1, 1):
+            nf = _shift(flags, axis, d, SOLID)
+            pn = _shift(p, axis, d, 0.0)
+            n_fluid = nf == FLUID
+            n_air = nf == AIR
+            out = out + jnp.where(n_fluid, p - pn, 0.0) + jnp.where(n_air, p, 0.0)
+    return jnp.where(fluid, out, p)
+
+
+def masked_divergence_3d(u, v, w, flags, u_solid, v_solid, w_solid):
+    """MAC divergence with solid-face velocities overridden by the boundary
+    velocity; zero on non-fluid cells."""
+    solid = (flags == SOLID) | (flags == OBJECT)
+
+    def face_sub(vel, vel_solid, axis):
+        lo = (flags == flags)  # placeholder
+        # face f between cell c- (index-1) and c+ (index): solid if either side solid
+        s_hi = jnp.pad(solid, [(0, 1) if a == axis else (0, 0) for a in range(3)],
+                       constant_values=True)
+        s_lo = jnp.pad(solid, [(1, 0) if a == axis else (0, 0) for a in range(3)],
+                       constant_values=True)
+        face_solid = s_hi | s_lo
+        return jnp.where(face_solid, vel_solid, vel)
+
+    ue = face_sub(u, u_solid, 0)
+    ve = face_sub(v, v_solid, 1)
+    we = face_sub(w, w_solid, 2)
+    div = divergence_3d(ue, ve, we)
+    return jnp.where(flags == FLUID, div, 0.0), ue, ve, we
+
+
+def project_masked_3d(u, v, w, flags, u_solid, v_solid, w_solid,
+                      ctx: MGContext, tol=1e-4, max_iters=100):
+    """Pressure projection with voxel boundary conditions.
+
+    CG on the masked operator, preconditioned by the unmasked geometric MG
+    V-cycle (SPD approximate inverse — valid CG preconditioning even though
+    its BCs differ). After the solve: subtract gradients on fluid/air faces,
+    then overwrite solid-adjacent faces with the boundary velocity
+    (BimocqSolver.cpp:1276-1407's solid overwrite)."""
+    div, ue, ve, we = masked_divergence_3d(u, v, w, flags, u_solid, v_solid, w_solid)
+    b = -div
+    b_inf = jnp.maximum(jnp.max(jnp.abs(b)), 1e-30)
+
+    def A(x):
+        return masked_laplacian(x, flags)
+
+    p0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = ctx.v_cycle(r0)
+    s0 = z0
+    rz0 = _dot(r0, z0)
+
+    def cond(carry):
+        _, r, _, _, k, _ = carry
+        return (k < max_iters) & (jnp.max(jnp.abs(r)) > tol * b_inf)
+
+    def body(carry):
+        p, r, s, rz, k, _ = carry
+        As = A(s)
+        alpha = rz / jnp.maximum(_dot(s, As), 1e-30)
+        p = p + alpha * s
+        r = r - alpha * As
+        z = ctx.v_cycle(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        s = z + beta * s
+        return (p, r, s, rz_new, k + 1, jnp.max(jnp.abs(r)) / b_inf)
+
+    init_res = jnp.max(jnp.abs(r0)) / b_inf
+    p, r, _, _, iters, res = lax.while_loop(
+        cond, body, (p0, r0, s0, rz0, jnp.int32(0), init_res)
+    )
+    p = jnp.where(flags == FLUID, p, 0.0)
+
+    fluid = flags == FLUID
+    air = flags == AIR
+    solid = (flags == SOLID) | (flags == OBJECT)
+
+    def update_faces(vel, vel_solid, axis):
+        padc = [(1, 1) if a == axis else (0, 0) for a in range(3)]
+        gp = jnp.pad(p, padc)
+        f_lo = jnp.pad(fluid, padc, constant_values=False)
+        a_lo = jnp.pad(air, padc, constant_values=False)
+        s_lo = jnp.pad(solid, padc, constant_values=True)
+        sl_m = [slice(None)] * 3
+        sl_p = [slice(None)] * 3
+        sl_m[axis] = slice(0, -1)
+        sl_p[axis] = slice(1, None)
+        p_m, p_p = gp[tuple(sl_m)], gp[tuple(sl_p)]
+        fl_m, fl_p = f_lo[tuple(sl_m)], f_lo[tuple(sl_p)]
+        ai_m, ai_p = a_lo[tuple(sl_m)], a_lo[tuple(sl_p)]
+        so_m, so_p = s_lo[tuple(sl_m)], s_lo[tuple(sl_p)]
+        # faces with at least one fluid side and no solid side get the
+        # gradient update (air side contributes ghost p=0, already in gp)
+        active = (fl_m | fl_p) & ~(so_m | so_p)
+        vel = jnp.where(active, vel - (p_p - p_m), vel)
+        # solid-adjacent faces take the boundary velocity
+        vel = jnp.where(so_m | so_p, vel_solid, vel)
+        return vel
+
+    u2 = update_faces(ue, u_solid, 0)
+    v2 = update_faces(ve, v_solid, 1)
+    w2 = update_faces(we, w_solid, 2)
+    return u2, v2, w2, p, iters, res

@@ -48,6 +48,37 @@ class Emitter3D:
 
 
 @dataclasses.dataclass(frozen=True)
+class Boundary3D:
+    """Moving rigid obstacle with an analytic SDF — the TPU counterpart of
+    the reference's VDB `Boundary` (BimocqSolver.h:61-80): cells inside get
+    flag 3 + the boundary's rigid velocity; a shell of `half_width` cells
+    outside blends the advected fields with the semi-Lagrangian fallback
+    (blendBoundary, BimocqSolver.cpp:879-912)."""
+
+    center: Tuple[float, float, float]
+    radius: float = 0.02
+    velocity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    half_width: float = 3.0     # shell width in cells (main.cpp:49)
+    kind: str = "sphere"        # 'sphere' | 'box'
+    half_extents: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    def sdf(self, x, y, z, pos):
+        dx = x - pos[0]
+        dy = y - pos[1]
+        dz = z - pos[2]
+        if self.kind == "sphere":
+            return jnp.sqrt(dx * dx + dy * dy + dz * dz) - self.radius
+        ax = jnp.abs(dx) - self.half_extents[0]
+        ay = jnp.abs(dy) - self.half_extents[1]
+        az = jnp.abs(dz) - self.half_extents[2]
+        outside = jnp.sqrt(
+            jnp.maximum(ax, 0.0) ** 2 + jnp.maximum(ay, 0.0) ** 2
+            + jnp.maximum(az, 0.0) ** 2
+        )
+        return outside + jnp.minimum(jnp.maximum(ax, jnp.maximum(ay, az)), 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
 class Smoke3DConfig:
     ni: int
     nj: int
@@ -60,6 +91,7 @@ class Smoke3DConfig:
     alpha: float = 0.0            # smoke drop  (density weight)
     beta: float = 0.0             # smoke rise  (temperature weight)
     emitters: Tuple[Emitter3D, ...] = ()
+    boundaries: Tuple[Boundary3D, ...] = ()
     bc: str = "dirichlet"         # 3D GPU solver's open-boundary behavior
     proj_tol: float = 1e-4
     proj_max_iters: int = 50
@@ -184,6 +216,82 @@ def _emit_smoke(cfg: Smoke3DConfig, g: Grid3D, u, v, w, rho, T, frame):
     return u, v, w, rho, T
 
 
+def _update_boundary(cfg: Smoke3DConfig, g: Grid3D, frame, dt):
+    """Per-frame voxel boundary state (updateBoundary, BimocqSolver.cpp:936-1060):
+    flags 0=fluid, 1=air (open top), 2=domain wall, 3=moving object; staggered
+    solid velocities on faces inside each object's SDF. Returns
+    (flags, u_solid, v_solid, w_solid, shell_masks)."""
+    import numpy as _np
+
+    ni, nj, nk = g.ni, g.nj, g.nk
+    ii = _np.arange(ni)[:, None, None]
+    jj = _np.arange(nj)[None, :, None]
+    kk = _np.arange(nk)[None, None, :]
+    base = _np.zeros((ni, nj, nk), _np.int32)
+    wall = _np.broadcast_to(
+        (ii < 1) | (kk < 1) | (ii >= ni - 1) | (kk >= nk - 1) | (jj < 1),
+        (ni, nj, nk),
+    )
+    base[wall] = poisson.SOLID
+    top = _np.broadcast_to(jj >= nj - 1, (ni, nj, nk))
+    base[top] = poisson.AIR  # open top (BimocqSolver.cpp:947)
+    flags = jnp.asarray(base)
+
+    u_solid = g.zeros("u")
+    v_solid = g.zeros("v")
+    w_solid = g.zeros("w")
+    shells = {k: jnp.zeros(getattr(g, f"shape_{k}"), bool)
+              for k in ("c", "u", "v", "w")}
+    t = frame.astype(jnp.float32) * dt
+    for bd in cfg.boundaries:
+        pos = (bd.center[0] + bd.velocity[0] * t,
+               bd.center[1] + bd.velocity[1] * t,
+               bd.center[2] + bd.velocity[2] * t)
+        xc, yc, zc = g.node_coords("c")
+        sd_c = bd.sdf(xc, yc, zc, pos)
+        flags = jnp.where(sd_c <= 0.0, poisson.OBJECT, flags)
+        shell_w = bd.half_width * g.h
+        shells["c"] = shells["c"] | ((sd_c > 0.0) & (sd_c < shell_w))
+        for kind, vel_comp, sol in (("u", 0, u_solid), ("v", 1, v_solid),
+                                    ("w", 2, w_solid)):
+            x, y, z = g.node_coords(kind)
+            sd = bd.sdf(x, y, z, pos)
+            inside = sd <= 0.0
+            if kind == "u":
+                u_solid = jnp.where(inside, bd.velocity[0], u_solid)
+            elif kind == "v":
+                v_solid = jnp.where(inside, bd.velocity[1], v_solid)
+            else:
+                w_solid = jnp.where(inside, bd.velocity[2], w_solid)
+            shells[kind] = shells[kind] | ((sd > 0.0) & (sd < shell_w))
+    return flags, u_solid, v_solid, w_solid, shells
+
+
+def _project3(cfg, g, ctx, bnd, u, v, w):
+    """Plain or voxel-boundary-aware projection depending on cfg.boundaries."""
+    if cfg.boundaries:
+        flags, us, vs, ws, _ = bnd
+        return poisson.project_masked_3d(
+            u, v, w, flags, us, vs, ws, ctx, cfg.proj_tol, cfg.proj_max_iters
+        )
+    return poisson.project_3d(u, v, w, ctx, cfg.proj_tol, cfg.proj_max_iters)
+
+
+def _blend_boundary(bnd, kind, field, fallback):
+    """Replace `field` with the semi-Lagrangian `fallback` in the SDF shell
+    just outside solid objects (blendBoundary, BimocqSolver.cpp:879-912)."""
+    if bnd is None:
+        return field
+    return jnp.where(bnd[4][kind], fallback, field)
+
+
+def _clear_boundary(bnd, field):
+    """Zero a cell field inside solid objects (clearBoundary, :914-933)."""
+    if bnd is None:
+        return field
+    return jnp.where(bnd[0] == poisson.OBJECT, 0.0, field)
+
+
 def _forces_and_project(cfg, g, ctx, u, v, w, rho, T, frame, dt):
     """emit + buoyancy + viscosity + projection; returns fields and deltas."""
     u, v, w, rho, T = _emit_smoke(cfg, g, u, v, w, rho, T, frame)
@@ -230,9 +338,9 @@ def _step_semilag(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     T = advect.semilag_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, -dt)
     u, v, w = _semilag_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, -dt)
     u, v, w, rho, T = _forces_and_project(cfg, g, ctx, u, v, w, rho, T, s.frame, dt)
-    u, v, w, _, iters, res = poisson.project_3d(
-        u, v, w, ctx, cfg.proj_tol, cfg.proj_max_iters
-    )
+    bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
+    rho = _clear_boundary(bnd, rho)
+    u, v, w, _, iters, res = _project3(cfg, g, ctx, bnd, u, v, w)
     return s.replace(
         u=u, v=v, w=w, rho=rho, T=T, frame=s.frame + 1,
         cfl=_max_velocity(s.u, s.v, s.w) * dt / g.h, proj_iters=iters, proj_res=res,
@@ -246,9 +354,9 @@ def _step_maccormack(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     T = advect.maccormack_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, dt)
     u, v, w = _maccormack_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, dt)
     u, v, w, rho, T = _forces_and_project(cfg, g, ctx, u, v, w, rho, T, s.frame, dt)
-    u, v, w, _, iters, res = poisson.project_3d(
-        u, v, w, ctx, cfg.proj_tol, cfg.proj_max_iters
-    )
+    bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
+    rho = _clear_boundary(bnd, rho)
+    u, v, w, _, iters, res = _project3(cfg, g, ctx, bnd, u, v, w)
     return s.replace(
         u=u, v=v, w=w, rho=rho, T=T, frame=s.frame + 1,
         cfl=_max_velocity(s.u, s.v, s.w) * dt / g.h, proj_iters=iters, proj_res=res,
@@ -270,10 +378,10 @@ def _step_reflection(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     u, v, w, rho, T = _forces_and_project(
         cfg, g, ctx, u, v, w, rho, T, s.frame, 0.5 * dt
     )
+    bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
+    rho = _clear_boundary(bnd, rho)
     u_save, v_save, w_save = u, v, w
-    u, v, w, _, it1, res1 = poisson.project_3d(
-        u, v, w, ctx, cfg.proj_tol, cfg.proj_max_iters
-    )
+    u, v, w, _, it1, res1 = _project3(cfg, g, ctx, bnd, u, v, w)
     # reflect
     ru = 2.0 * u - u_save
     rv = 2.0 * v - v_save
@@ -287,9 +395,7 @@ def _step_reflection(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
         u2 = forces.diffuse_3d(u2, 20, coef)
         v2 = forces.diffuse_3d(v2, 20, coef)
         w2 = forces.diffuse_3d(w2, 20, coef)
-    u2, v2, w2, _, it2, res2 = poisson.project_3d(
-        u2, v2, w2, ctx, cfg.proj_tol, cfg.proj_max_iters
-    )
+    u2, v2, w2, _, it2, res2 = _project3(cfg, g, ctx, bnd, u2, v2, w2)
     return s.replace(
         u=u2, v=v2, w=w2, rho=rho, T=T, frame=s.frame + 1,
         cfl=_max_velocity(s.u, s.v, s.w) * dt / g.h,
@@ -304,8 +410,19 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     maxvel = _max_velocity(s.u, s.v, s.w)
     cfldt = g.h / maxvel
 
+    bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
+
     vel_map = mp.update_mapping_3d(s.vel_map, g, s.u, s.v, s.w, cfldt, dt)
     scalar_map = mp.update_mapping_3d(s.scalar_map, g, s.u, s.v, s.w, cfldt, dt)
+
+    if cfg.boundaries:
+        # semi-Lagrangian fallbacks for the boundary shell
+        # (semilagAdvect + blendBoundary, BimocqSolver.cpp:106,122-126)
+        sl_u, sl_v, sl_w = _semilag_vel(
+            g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, -dt
+        )
+        sl_rho = advect.semilag_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, -dt)
+        sl_T = advect.semilag_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, -dt)
 
     # --- velocity pull-back + compensation + two-level blend ---
     blend_v = jnp.where(vel_map.reinit_count != 0, cfg.blend_coeff, 1.0)
@@ -332,6 +449,14 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
         g, "c", T, s.T_prev, scalar_map.bwd, scalar_map.bwd_prev, blend_s
     )
 
+    if cfg.boundaries:
+        u = _blend_boundary(bnd, "u", u, sl_u)
+        v = _blend_boundary(bnd, "v", v, sl_v)
+        w = _blend_boundary(bnd, "w", w, sl_w)
+        rho = _blend_boundary(bnd, "c", rho, sl_rho)
+        T = _blend_boundary(bnd, "c", T, sl_T)
+        rho = _clear_boundary(bnd, rho)
+
     # --- external forces (captured as deltas for accumulation) ---
     u_t, v_t, w_t = u, v, w
     rho_t, T_t = rho, T
@@ -341,15 +466,14 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
 
     # --- projection ---
     u_t, v_t, w_t = u, v, w
-    u, v, w, _, iters, res = poisson.project_3d(
-        u, v, w, ctx, cfg.proj_tol, cfg.proj_max_iters
-    )
+    u, v, w, _, iters, res = _project3(cfg, g, ctx, bnd, u, v, w)
     du_p, dv_p, dw_p = u - u_t, v - v_t, w - w_t
 
     # --- reinit decision ---
     if cfg.reinit_mode == "adaptive":
-        d_vel = mp.estimate_distortion_3d(g, vel_map) / (maxvel * dt)
-        d_sc = mp.estimate_distortion_3d(g, scalar_map) / (maxvel * dt)
+        excl = (bnd[0] == poisson.OBJECT) if cfg.boundaries else None
+        d_vel = mp.estimate_distortion_3d(g, vel_map, excl) / (maxvel * dt)
+        d_sc = mp.estimate_distortion_3d(g, scalar_map, excl) / (maxvel * dt)
         vel_reinit = (d_vel > cfg.vel_distortion_limit) | (
             s.frame - s.vel_last_reinit > cfg.vel_reinit_gap
         )
