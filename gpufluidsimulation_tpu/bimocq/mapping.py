@@ -376,9 +376,21 @@ def _volume_eval_2d(grid, kind, eval_fn):
     return 0.125 * jnp.sum(vals[:4], axis=0) + 0.5 * vals[4]
 
 
-_BANDS_2D_ADVECT = {"u": ((1, 1), (1, 2)), "v": ((1, 2), (1, 1)), "c": ((0, 1), (1, 1))}
-_BANDS_2D_CORRECT = {"u": ((1, 0), (1, 1)), "v": ((0, 1), (1, 1)), "c": ((1, 0), (1, 1))}
-_BANDS_2D_ACCUM = {"u": ((1, 0), (1, 1)), "v": ((0, 1), (1, 1)), "c": ((1, 0), (1, 1))}
+# Guard tables in _band2(shape, a, b) form (mask = a[d] < idx < n_d - b[d],
+# n_d the BUFFER extent, u = (ni+1, nj), v = (ni, nj+1)), rederived from the
+# reference loops:
+#   advect  u: i>1&&i<ni-1, j>1&&j<nj-2   (BimocqSolver2D.cpp:947)  -> ((1,1),(2,2))
+#   advect  v: i>1&&i<ni-2, j>1&&j<nj-1   (:983)                    -> ((1,1),(2,2))
+#   advect  c: i>0&&i<ni-1, j>1&&j<nj-1   (:1022)                   -> ((0,1),(1,1))
+#   correct u: i>1&&i<ni-1, j>0&&j<nj-1   (:850)                    -> ((1,0),(2,1))
+#   correct v: i>0&&i<ni-1, j>1&&j<nj-1   (:896)                    -> ((0,1),(1,2))
+#   correct c: i>1&&i<ni-1, j>0&&j<nj-1   (:746)                    -> ((1,0),(1,1))
+#   accum   u: i>1&&i<ni-1, j>0&&j<nj-1   (:1099)                   -> ((1,0),(2,1))
+#   accum   v: i>0&&i<ni-1, j>1&&j<nj-1   (:1167)                   -> ((0,1),(1,2))
+#   accum   c: i>1&&i<ni-1, j>0&&j<nj-1   (:1296)                   -> ((1,0),(1,1))
+_BANDS_2D_ADVECT = {"u": ((1, 1), (2, 2)), "v": ((1, 1), (2, 2)), "c": ((0, 1), (1, 1))}
+_BANDS_2D_CORRECT = {"u": ((1, 0), (2, 1)), "v": ((0, 1), (1, 2)), "c": ((1, 0), (1, 1))}
+_BANDS_2D_ACCUM = {"u": ((1, 0), (2, 1)), "v": ((0, 1), (1, 2)), "c": ((1, 0), (1, 1))}
 
 
 def advect_bimocq_2d(grid, kind, semi_field, init_field, origin_field,

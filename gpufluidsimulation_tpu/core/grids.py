@@ -88,24 +88,32 @@ class Grid3D:
         shape = {"c": self.shape_c, "u": self.shape_u, "v": self.shape_v, "w": self.shape_w}[kind]
         return jnp.zeros(shape, dtype)
 
-    def interior_mask(self, kind: str, lo: int = 2, hi: int = 3):
+    def interior_mask(self, kind: str, lo: int = 2, hi: int = 3,
+                      hi_add_dim: bool = False):
         """Boolean mask of nodes the reference kernels actually update.
 
         The CUDA kernels guard with ``i > 1 && i < n-2`` style bands (e.g.
-        GPU_kernel.cu:135, 178, 222); `lo`/`hi` encode that band (default:
-        update iff lo <= idx <= n-hi). The '2+dim<i && i<n-3' variant of
-        advect_kernel (GPU_kernel.cu:268,341) is produced with lo=3+dim, hi=3
-        per-axis by callers.
+        GPU_kernel.cu:135, 178); `lo`/`hi` encode that band (update iff
+        lo <= idx <= n-hi). With ``hi_add_dim`` the upper margin grows by the
+        field's staggering dim per axis — semilag_kernel's
+        ``i < buffer-2-dim`` guard (GPU_kernel.cu:222), which retains one
+        extra face plane on the staggered axis. The '2+dim<i && i<n-3'
+        variant of advect_kernel (GPU_kernel.cu:268,341) is produced with
+        lo=3+dim, hi=3 per-axis by callers.
         """
         dim = self.dim_of(kind)
         nx, ny, nz = self.ni + dim[0], self.nj + dim[1], self.nk + dim[2]
+        hx, hy, hz = (
+            (hi + dim[0], hi + dim[1], hi + dim[2]) if hi_add_dim
+            else (hi, hi, hi)
+        )
         ii = np.arange(nx)[:, None, None]
         jj = np.arange(ny)[None, :, None]
         kk = np.arange(nz)[None, None, :]
         m = (
-            (ii >= lo) & (ii <= nx - 1 - hi + 1) &
-            (jj >= lo) & (jj <= ny - 1 - hi + 1) &
-            (kk >= lo) & (kk <= nz - 1 - hi + 1)
+            (ii >= lo) & (ii <= nx - hx) &
+            (jj >= lo) & (jj <= ny - hy) &
+            (kk >= lo) & (kk <= nz - hz)
         )
         return jnp.asarray(m)
 

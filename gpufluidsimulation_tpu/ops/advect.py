@@ -117,7 +117,8 @@ def semilag_3d(grid, kind, field_src, u, v, w, cfldt, dt):
     bx, by, bz = trace_3d(u, v, w, grid.h, cfldt, dt, px, py, pz)
     off = grid.off_of(kind)
     out = interp.sample3_lattice(field_src, bx, by, bz, grid.h, off)
-    mask = grid.interior_mask(kind, lo=2, hi=3)
+    # semilag_kernel guard: i>1 && i<buffer-2-dim per axis (GPU_kernel.cu:222)
+    mask = grid.interior_mask(kind, lo=2, hi=3, hi_add_dim=True)
     return jnp.where(mask, out, field_src)
 
 

@@ -25,8 +25,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int, axis: str = "z") -> Mesh:
-    devices = np.array(jax.devices()[:n_devices])
-    return Mesh(devices, (axis,))
+    avail = jax.devices()
+    if len(avail) < n_devices:
+        raise RuntimeError(
+            f"make_mesh: {n_devices} devices requested but only "
+            f"{len(avail)} visible ({avail[0].platform} backend)"
+        )
+    return Mesh(np.array(avail[:n_devices]), (axis,))
 
 
 def _spec_for(x, n_devices, axis_name="z"):

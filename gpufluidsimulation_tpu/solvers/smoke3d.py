@@ -5,9 +5,15 @@ round-trips; the hybrid BimocqSolver's ~30 staging copies per frame,
 SURVEY.md §3.2, have no equivalent here by construction).
 
 Schemes: BIMOCQ, MAC_REFLECTION, MACCORMACK, SEMILAG
-(BimocqSolver.cpp:67-86 dispatch). BIMOCQ supports both reinit policies:
+(BimocqSolver.cpp:67-86 dispatch). BIMOCQ supports three reinit policies:
   reinit_mode='always'   — the GPU solver's unconditional per-frame
-                           reinitialization (BimocqGPUSolver.cpp:218-229)
+                           reinitialization (`if (1)` blocks,
+                           BimocqGPUSolver.cpp:218-229); the 10/30-frame
+                           counters only steer proj_coeff 2 -> 1
+                           (BimocqGPUSolver.cpp:200-211)
+  reinit_mode='counter'  — reinit gated purely on the frame counters
+                           (every vel_reinit_gap+1 / scalar_reinit_gap+1
+                           frames; round-1's mislabeled 'always')
   reinit_mode='adaptive' — the hybrid solver's distortion/frame-gap test
                            (BimocqSolver.cpp:175-185) via lax.cond
 """
@@ -95,7 +101,7 @@ class Smoke3DConfig:
     bc: str = "dirichlet"         # 3D GPU solver's open-boundary behavior
     proj_tol: float = 1e-4
     proj_max_iters: int = 50
-    reinit_mode: str = "always"   # 'always' (GPU solver) | 'adaptive' (hybrid)
+    reinit_mode: str = "always"   # 'always' (GPU) | 'counter' | 'adaptive' (hybrid)
     vel_reinit_gap: int = 10      # BimocqGPUSolver.cpp:200 / BimocqSolver.cpp:175
     scalar_reinit_gap: int = 30
     vel_distortion_limit: float = 1.0    # BimocqSolver.cpp:175
@@ -470,20 +476,23 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     du_p, dv_p, dw_p = u - u_t, v - v_t, w - w_t
 
     # --- reinit decision ---
+    vel_gap = s.frame - s.vel_last_reinit > cfg.vel_reinit_gap
+    scalar_gap = s.frame - s.scalar_last_reinit > cfg.scalar_reinit_gap
     if cfg.reinit_mode == "adaptive":
         excl = (bnd[0] == poisson.OBJECT) if cfg.boundaries else None
         d_vel = mp.estimate_distortion_3d(g, vel_map, excl) / (maxvel * dt)
         d_sc = mp.estimate_distortion_3d(g, scalar_map, excl) / (maxvel * dt)
-        vel_reinit = (d_vel > cfg.vel_distortion_limit) | (
-            s.frame - s.vel_last_reinit > cfg.vel_reinit_gap
-        )
-        scalar_reinit = (d_sc > cfg.scalar_distortion_limit) | (
-            s.frame - s.scalar_last_reinit > cfg.scalar_reinit_gap
-        )
-    else:
-        vel_reinit = s.frame - s.vel_last_reinit > cfg.vel_reinit_gap
-        scalar_reinit = s.frame - s.scalar_last_reinit > cfg.scalar_reinit_gap
-    proj_coeff = jnp.where(vel_reinit, 1.0, 2.0)
+        vel_reinit = (d_vel > cfg.vel_distortion_limit) | vel_gap
+        scalar_reinit = (d_sc > cfg.scalar_distortion_limit) | scalar_gap
+        proj_coeff = jnp.where(vel_reinit, 1.0, 2.0)
+    elif cfg.reinit_mode == "counter":
+        vel_reinit = vel_gap
+        scalar_reinit = scalar_gap
+        proj_coeff = jnp.where(vel_reinit, 1.0, 2.0)
+    else:  # 'always': reinit EVERY frame; counters steer only proj_coeff
+        vel_reinit = vel_gap       # counter bookkeeping (BimocqGPUSolver.cpp:200-205)
+        scalar_reinit = scalar_gap
+        proj_coeff = jnp.where(vel_gap, 1.0, 2.0)
 
     # --- accumulate deltas into init buffers through the forward map ---
     u_init = mp.accumulate_3d(g, "u", s.u_init, du_ext, vel_map.fwd, 1.0)
@@ -512,10 +521,6 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
         vel_map_, u_init_, v_init_, w_init_ = args
         return vel_map_, u_init_, v_init_, w_init_, s.u_prev, s.v_prev, s.w_prev
 
-    vel_map, u_init, v_init, w_init, u_prev, v_prev, w_prev = jax.lax.cond(
-        vel_reinit, do_vel_reinit, no_vel_reinit, (vel_map, u_init, v_init, w_init)
-    )
-
     def do_scalar_reinit(args):
         scalar_map_, rho_init_, T_init_ = args
         sm = mp.reinitialize(scalar_map_, g)
@@ -525,10 +530,24 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
         scalar_map_, rho_init_, T_init_ = args
         return scalar_map_, rho_init_, T_init_, s.rho_prev, s.T_prev
 
-    scalar_map, rho_init, T_init, rho_prev, T_prev = jax.lax.cond(
-        scalar_reinit, do_scalar_reinit, no_scalar_reinit,
-        (scalar_map, rho_init, T_init),
-    )
+    if cfg.reinit_mode == "always":
+        # unconditional per-frame reinit — statically inlined (no lax.cond),
+        # the `if (1)` blocks of BimocqGPUSolver.cpp:218-229
+        vel_map, u_init, v_init, w_init, u_prev, v_prev, w_prev = do_vel_reinit(
+            (vel_map, u_init, v_init, w_init)
+        )
+        scalar_map, rho_init, T_init, rho_prev, T_prev = do_scalar_reinit(
+            (scalar_map, rho_init, T_init)
+        )
+    else:
+        vel_map, u_init, v_init, w_init, u_prev, v_prev, w_prev = jax.lax.cond(
+            vel_reinit, do_vel_reinit, no_vel_reinit,
+            (vel_map, u_init, v_init, w_init),
+        )
+        scalar_map, rho_init, T_init, rho_prev, T_prev = jax.lax.cond(
+            scalar_reinit, do_scalar_reinit, no_scalar_reinit,
+            (scalar_map, rho_init, T_init),
+        )
 
     return s.replace(
         u=u, v=v, w=w,

@@ -71,13 +71,17 @@ pack_sparse(PyObject *self, PyObject *args)
     vals = (float *)malloc(count ? count * sizeof(float) : 1);
     if (idx && vals) {
         uint64_t k = 0;
-        for (size_t i = 0; i < n; i++) {
+        /* bound k to the pass-1 count: a writable buffer mutated between
+         * the two passes (the GIL is released here) must not overflow the
+         * allocations */
+        for (size_t i = 0; i < n && k < count; i++) {
             if (dense[i] > threshold) {
                 idx[k] = (uint32_t)i;
                 vals[k] = dense[i];
                 k++;
             }
         }
+        count = k; /* shrink if fewer actives on pass 2 */
     }
     Py_END_ALLOW_THREADS
 

@@ -1,0 +1,594 @@
+"""Full-step NumPy oracle of the 3D BiMocq frame (SURVEY.md §6's "NumPy port
+of the 3D step for correctness diffs").
+
+This is an INDEPENDENT vectorized-NumPy implementation of the engine's
+specified semantics — the reference algorithm (BimocqGPUSolver::advanceBimocq,
+BimocqGPUSolver.cpp:129-230; kernels GPU_kernel.cu:43-950) with the engine's
+documented defect fixes applied identically:
+
+* exact projection scale: solve L p = -div (grid units) and subtract the full
+  face gradient — the reference's halfrdx=0.5 div+grad scaling removes only
+  25% of the divergence per call (GPU_kernel.cu:969/1775, an evident defect);
+* buoyancy pair-average indexed in-bounds (GPU_kernel.cu:804-832 reads cell
+  fields with the v-grid stride);
+* the MacCormack extrema clamp in gather form (GPU_kernel.cu:892-950 scatters
+  at the backtraced cell without dividing by h).
+
+No jax imports: everything here is numpy, so any disagreement with the
+engine localizes a bug (or an approximation) in the TPU path. f32 fields,
+f64 pressure solve (the reference uses double pressure too,
+BimocqGPUSolver.cpp:60-66).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+F = np.float32
+
+# 8-corner volume offsets (units of h), GPU_kernel.cu:243-247
+_VOL3 = np.array(
+    [
+        (0.25, 0.25, 0.25), (0.25, 0.25, -0.25), (0.25, -0.25, 0.25),
+        (0.25, -0.25, -0.25), (-0.25, 0.25, 0.25), (-0.25, 0.25, -0.25),
+        (-0.25, -0.25, 0.25), (-0.25, -0.25, -0.25),
+    ],
+    np.float32,
+)
+
+_DIM = {"c": (0, 0, 0), "u": (1, 0, 0), "v": (0, 1, 0), "w": (0, 0, 1)}
+_OFF = {"c": (0.0, 0.0, 0.0), "u": (-0.5, 0.0, 0.0),
+        "v": (0.0, -0.5, 0.0), "w": (0.0, 0.0, -0.5)}
+
+
+# ---------------------------------------------------------------------------
+# samplers (core/interp.py parity: clamped-corner trilinear)
+# ---------------------------------------------------------------------------
+
+
+def sample3(field, px, py, pz, h, off):
+    gx = px / F(h) - F(off[0])
+    gy = py / F(h) - F(off[1])
+    gz = pz / F(h) - F(off[2])
+    i0 = np.floor(gx)
+    j0 = np.floor(gy)
+    k0 = np.floor(gz)
+    fx = (gx - i0).astype(F)
+    fy = (gy - j0).astype(F)
+    fz = (gz - k0).astype(F)
+    i0 = i0.astype(np.int64)
+    j0 = j0.astype(np.int64)
+    k0 = k0.astype(np.int64)
+    nx, ny, nz = field.shape
+
+    def g(ii, jj, kk):
+        return field[np.clip(ii, 0, nx - 1), np.clip(jj, 0, ny - 1),
+                     np.clip(kk, 0, nz - 1)]
+
+    c00 = (1 - fx) * g(i0, j0, k0) + fx * g(i0 + 1, j0, k0)
+    c10 = (1 - fx) * g(i0, j0 + 1, k0) + fx * g(i0 + 1, j0 + 1, k0)
+    c01 = (1 - fx) * g(i0, j0, k0 + 1) + fx * g(i0 + 1, j0, k0 + 1)
+    c11 = (1 - fx) * g(i0, j0 + 1, k0 + 1) + fx * g(i0 + 1, j0 + 1, k0 + 1)
+    c0 = (1 - fy) * c00 + fy * c10
+    c1 = (1 - fy) * c01 + fy * c11
+    return ((1 - fz) * c0 + fz * c1).astype(F)
+
+
+def mac_velocity(u, v, w, px, py, pz, h):
+    us = sample3(u, px, py, pz, h, (-0.5, 0.0, 0.0))
+    vs = sample3(v, px, py, pz, h, (0.0, -0.5, 0.0))
+    ws = sample3(w, px, py, pz, h, (0.0, 0.0, -0.5))
+    return us, vs, ws
+
+
+# ---------------------------------------------------------------------------
+# grid helpers (core/grids.py parity)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class OGrid:
+    ni: int
+    nj: int
+    nk: int
+    h: float
+
+    def shape(self, kind):
+        d = _DIM[kind]
+        return (self.ni + d[0], self.nj + d[1], self.nk + d[2])
+
+    def node_coords(self, kind):
+        d = _DIM[kind]
+        nx, ny, nz = self.shape(kind)
+        x = ((np.arange(nx, dtype=F) - F(0.5) * d[0]) * F(self.h))
+        y = ((np.arange(ny, dtype=F) - F(0.5) * d[1]) * F(self.h))
+        z = ((np.arange(nz, dtype=F) - F(0.5) * d[2]) * F(self.h))
+        X = np.broadcast_to(x[:, None, None], (nx, ny, nz)).astype(F)
+        Y = np.broadcast_to(y[None, :, None], (nx, ny, nz)).astype(F)
+        Z = np.broadcast_to(z[None, None, :], (nx, ny, nz)).astype(F)
+        return X.copy(), Y.copy(), Z.copy()
+
+    def interior_mask(self, kind, lo=2, hi=3, hi_add_dim=False):
+        d = _DIM[kind]
+        nx, ny, nz = self.shape(kind)
+        hx, hy, hz = (hi + d[0], hi + d[1], hi + d[2]) if hi_add_dim else (hi,) * 3
+        ii = np.arange(nx)[:, None, None]
+        jj = np.arange(ny)[None, :, None]
+        kk = np.arange(nz)[None, None, :]
+        return ((ii >= lo) & (ii <= nx - hx) & (jj >= lo) & (jj <= ny - hy)
+                & (kk >= lo) & (kk <= nz - hz))
+
+
+def band3(shape, a, b):
+    nx, ny, nz = shape
+    ii = np.arange(nx)[:, None, None]
+    jj = np.arange(ny)[None, :, None]
+    kk = np.arange(nz)[None, None, :]
+    return ((ii > a[0]) & (ii < nx - b[0]) & (jj > a[1]) & (jj < ny - b[1])
+            & (kk > a[2]) & (kk < nz - b[2]))
+
+
+def clamp_pos(px, py, pz, h, ni, nj, nk, lo=1.0, hi=1.0):
+    return (
+        np.clip(px, F(lo * h), F(ni * h - hi * h)),
+        np.clip(py, F(lo * h), F(nj * h - hi * h)),
+        np.clip(pz, F(lo * h), F(nk * h - hi * h)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tracing (ops/advect.py parity)
+# ---------------------------------------------------------------------------
+
+
+def trace_rk3(u, v, w, h, dt, px, py, pz):
+    ni, nj, nk = v.shape[0], u.shape[1], u.shape[2]
+    dt = F(dt)
+    c1, c2, c3 = F(2.0 / 9.0) * dt, F(3.0 / 9.0) * dt, F(4.0 / 9.0) * dt
+    u1, v1, w1 = mac_velocity(u, v, w, px, py, pz, h)
+    m1x = px + F(0.5) * dt * u1
+    m1y = py + F(0.5) * dt * v1
+    m1z = pz + F(0.5) * dt * w1
+    u2, v2, w2 = mac_velocity(u, v, w, m1x, m1y, m1z, h)
+    m2x = px + F(0.75) * dt * u2
+    m2y = py + F(0.75) * dt * v2
+    m2z = pz + F(0.75) * dt * w2
+    u3, v3, w3 = mac_velocity(u, v, w, m2x, m2y, m2z, h)
+    ox = px + c1 * u1 + c2 * u2 + c3 * u3
+    oy = py + c1 * v1 + c2 * v2 + c3 * v3
+    oz = pz + c1 * w1 + c2 * w2 + c3 * w3
+    return clamp_pos(ox, oy, oz, h, ni, nj, nk)
+
+
+def trace(u, v, w, h, cfldt, dt, px, py, pz):
+    """CFL-substepped trace (GPU_kernel.cu:92-125), f32 time accumulation."""
+    total = F(abs(dt))
+    sign = F(1.0) if dt >= 0 else F(-1.0)
+    cfldt = max(F(cfldt), F(1e-30))
+    t = F(0.0)
+    while t < total:
+        sub = min(cfldt, F(total - t))
+        px, py, pz = trace_rk3(u, v, w, h, sign * sub, px, py, pz)
+        t = F(t + sub)
+    return px, py, pz
+
+
+def semilag(grid, kind, field_src, u, v, w, cfldt, dt):
+    px, py, pz = grid.node_coords(kind)
+    bx, by, bz = trace(u, v, w, grid.h, cfldt, dt, px, py, pz)
+    out = sample3(field_src, bx, by, bz, grid.h, _OFF[kind])
+    mask = grid.interior_mask(kind, lo=2, hi=3, hi_add_dim=True)
+    return np.where(mask, out, field_src).astype(F)
+
+
+# ---------------------------------------------------------------------------
+# DMC backward map + forward map (GPU_kernel.cu:127-204, Mapping.cpp:347-373)
+# ---------------------------------------------------------------------------
+
+
+def dmc_newpos(pos, vel, a, substep):
+    big = np.abs(a) > F(1e-4)
+    safe = np.where(big, a, F(1.0))
+    exp_step = pos - (F(1.0) - np.exp(-safe * F(substep))) * vel / safe
+    euler = pos - vel * F(substep)
+    return np.where(big, exp_step, euler).astype(F)
+
+
+def dmc_backward_step(grid, u, v, w, mx, my, mz, substep):
+    h = F(grid.h)
+    px, py, pz = grid.node_coords("c")
+    vu, vv, vw = mac_velocity(u, v, w, px, py, pz, grid.h)
+    tx = np.where(vu > 0, px - h, px + h)
+    ty = np.where(vv > 0, py - h, py + h)
+    tz = np.where(vw > 0, pz - h, pz + h)
+    tu, tv, tw = mac_velocity(u, v, w, tx, ty, tz, grid.h)
+    ax = (vu - tu) / (px - tx)
+    ay = (vv - tv) / (py - ty)
+    az = (vw - tw) / (pz - tz)
+    nx_ = dmc_newpos(px, vu, ax, substep)
+    ny_ = dmc_newpos(py, vv, ay, substep)
+    nz_ = dmc_newpos(pz, vw, az, substep)
+    ox = sample3(mx, nx_, ny_, nz_, grid.h, (0, 0, 0))
+    oy = sample3(my, nx_, ny_, nz_, grid.h, (0, 0, 0))
+    oz = sample3(mz, nx_, ny_, nz_, grid.h, (0, 0, 0))
+    mask = grid.interior_mask("c", lo=2, hi=3)
+    return (np.where(mask, ox, mx).astype(F), np.where(mask, oy, my).astype(F),
+            np.where(mask, oz, mz).astype(F))
+
+
+def update_backward(grid, u, v, w, maps, cfldt, dt):
+    mx, my, mz = maps
+    t = F(0.0)
+    while t < F(dt):
+        sub = min(F(cfldt), F(F(dt) - t))
+        mx, my, mz = dmc_backward_step(grid, u, v, w, mx, my, mz, sub)
+        t = F(t + sub)
+    return mx, my, mz
+
+
+def update_forward(grid, u, v, w, maps, cfldt, dt):
+    mx, my, mz = maps
+    ox, oy, oz = trace(u, v, w, grid.h, cfldt, dt, mx, my, mz)
+    mask = grid.interior_mask("c", lo=2, hi=3)
+    return (np.where(mask, ox, mx).astype(F), np.where(mask, oy, my).astype(F),
+            np.where(mask, oz, mz).astype(F))
+
+
+# ---------------------------------------------------------------------------
+# volume-averaged pull-back / push-forward (bimocq/mapping.py parity)
+# ---------------------------------------------------------------------------
+
+
+def _map_sample(grid, maps, px, py, pz, clamp_lo, clamp_hi):
+    h = grid.h
+    mx = sample3(maps[0], px, py, pz, h, (0, 0, 0))
+    my = sample3(maps[1], px, py, pz, h, (0, 0, 0))
+    mz = sample3(maps[2], px, py, pz, h, (0, 0, 0))
+    return (
+        np.clip(mx, F(clamp_lo * h), F(grid.ni * h - clamp_hi * h)),
+        np.clip(my, F(clamp_lo * h), F(grid.nj * h - clamp_hi * h)),
+        np.clip(mz, F(clamp_lo * h), F(grid.nk * h - clamp_hi * h)),
+    )
+
+
+def _volume_eval(grid, kind, eval_fn, is_point=False):
+    """0.5 * mean(8 corner evals at +-0.25h) + 0.5 * center eval."""
+    h = F(grid.h)
+    px, py, pz = grid.node_coords(kind)
+    if is_point:
+        return eval_fn(px, py, pz)
+    offs = np.concatenate([_VOL3, np.zeros((1, 3), np.float32)]) * h  # (9,3)
+    vals = eval_fn(px[None] + offs[:, 0].reshape(-1, 1, 1, 1),
+                   py[None] + offs[:, 1].reshape(-1, 1, 1, 1),
+                   pz[None] + offs[:, 2].reshape(-1, 1, 1, 1))
+    return (F(0.5) * np.mean(vals[:8], axis=0, dtype=F)
+            + F(0.5) * vals[8]).astype(F)
+
+
+def clamp_extrema27(before, after):
+    bp = np.pad(before, 1, mode="edge")
+    mn = before.copy()
+    mx = before.copy()
+    for di in (0, 1, 2):
+        for dj in (0, 1, 2):
+            for dk in (0, 1, 2):
+                nb = bp[di:di + before.shape[0], dj:dj + before.shape[1],
+                        dk:dk + before.shape[2]]
+                mn = np.minimum(mn, nb)
+                mx = np.maximum(mx, nb)
+    clamped = np.clip(after, mn, mx)
+    interior = np.zeros(before.shape, bool)
+    interior[1:-1, 1:-1, 1:-1] = True
+    return np.where(interior, clamped, after).astype(F)
+
+
+def advect_with_map(grid, kind, field_cur, field_init, bwd, is_point=False):
+    def ev(px, py, pz):
+        mx, my, mz = _map_sample(grid, bwd, px, py, pz, 1.0, 1.0)
+        return sample3(field_init, mx, my, mz, grid.h, _OFF[kind])
+
+    out = _volume_eval(grid, kind, ev, is_point)
+    d = _DIM[kind]
+    band = band3(field_cur.shape, (2 + d[0], 2 + d[1], 2 + d[2]), (3, 3, 3))
+    return np.where(band, out, field_cur).astype(F)
+
+
+def double_advect(grid, kind, field, field_prev, bwd, bwd_prev, blend,
+                  is_point=False):
+    def ev(px, py, pz):
+        mx, my, mz = _map_sample(grid, bwd, px, py, pz, 1.0, 1.0)
+        ox, oy, oz = _map_sample(grid, bwd_prev, mx, my, mz, 1.0, 1.0)
+        return sample3(field_prev, ox, oy, oz, grid.h, _OFF[kind])
+
+    prev_value = _volume_eval(grid, kind, ev, is_point)
+    out = field * F(blend) + (F(1.0) - F(blend)) * prev_value
+    d = _DIM[kind]
+    band = band3(field.shape, (2 + d[0], 2 + d[1], 2 + d[2]), (3, 3, 3))
+    return np.where(band, out, field).astype(F)
+
+
+def accumulate(grid, kind, dfield_init, change, fwd, coeff=1.0, is_point=False):
+    def ev(px, py, pz):
+        mx, my, mz = _map_sample(grid, fwd, px, py, pz, 0.0, 0.0)
+        return F(coeff) * sample3(change, mx, my, mz, grid.h, _OFF[kind])
+
+    delta = _volume_eval(grid, kind, ev, is_point)
+    d = _DIM[kind]
+    band = band3(dfield_init.shape, (1 + d[0], 1 + d[1], 1 + d[2]), (2, 2, 2))
+    return np.where(band, dfield_init + delta, dfield_init).astype(F)
+
+
+def compensate(grid, kind, field_adv, field_init, fwd, bwd, is_point=False):
+    d = _DIM[kind]
+
+    def ev_fwd(px, py, pz):
+        mx, my, mz = _map_sample(grid, fwd, px, py, pz, 0.0, 0.0)
+        return sample3(field_adv, mx, my, mz, grid.h, _OFF[kind])
+
+    err = _volume_eval(grid, kind, ev_fwd, is_point) - field_init
+    band = band3(field_adv.shape, (1 + d[0], 1 + d[1], 1 + d[2]), (2, 2, 2))
+    err = np.where(band, err, F(0.0)).astype(F)
+
+    def ev_bwd(px, py, pz):
+        mx, my, mz = _map_sample(grid, bwd, px, py, pz, 0.0, 0.0)
+        return sample3(err, mx, my, mz, grid.h, _OFF[kind])
+
+    corr = _volume_eval(grid, kind, ev_bwd, is_point)
+    out = np.where(band, field_adv - F(0.5) * corr, field_adv).astype(F)
+    return clamp_extrema27(field_adv, out)
+
+
+# ---------------------------------------------------------------------------
+# forces / emission / viscosity (ops/forces.py, solvers/smoke3d.py parity)
+# ---------------------------------------------------------------------------
+
+
+def emit_smoke(cfg, grid, u, v, w, rho, T, frame):
+    h = F(grid.h)
+    for em in cfg["emitters"]:
+        cx, cy, cz = (F(c) for c in em["center"])
+        if frame >= em["emit_frames"]:
+            continue
+
+        def mask_for(shape, x_staggered):
+            nx, ny, nz = shape
+            ii = np.arange(nx, dtype=F) - (F(0.5) if x_staggered else F(0.0))
+            x = ii * h - cx
+            y = np.arange(ny, dtype=F) * h - cy
+            z = np.arange(nz, dtype=F) * h - cz
+            X = x[:, None, None]
+            Y = y[None, :, None]
+            Z = z[None, None, :]
+            r = np.sqrt(X * X + Y * Y + Z * Z)
+            bd = band3(shape, (1, 1, 1), (2, 2, 2))
+            return (r < F(em["radius"])) & bd, Y, Z
+
+        ins_u, Yu, Zu = mask_for(u.shape, True)
+        hyp = np.sqrt(Yu ** 2 + Zu ** 2)
+        theta = np.arccos(np.clip(Yu / np.maximum(hyp, F(1e-12)), -1.0, 1.0))
+        vel_x = (F(em["sign"]) * F(0.06)
+                 * (F(1.0) + F(0.01) * np.cos(F(8.0) * theta))).astype(F)
+        u = np.where(ins_u, np.broadcast_to(vel_x, u.shape), u).astype(F)
+        ins_v, _, _ = mask_for(v.shape, True)
+        v = np.where(ins_v, F(0.0), v).astype(F)
+        ins_w, _, _ = mask_for(w.shape, True)
+        w = np.where(ins_w, F(0.0), w).astype(F)
+        ins_c, _, _ = mask_for(rho.shape, False)
+        rho = np.where(ins_c, F(em["density"]), rho).astype(F)
+        T = np.where(ins_c, F(em["temperature"]), T).astype(F)
+    return u, v, w, rho, T
+
+
+def buoyancy(v, rho, T, alpha, beta, dt):
+    f0 = F(beta) * T - F(alpha) * rho
+    v = v.copy()
+    v[:, 1:-1, :] += F(0.5) * F(dt) * (f0[:, 1:, :] + f0[:, :-1, :])
+    return v
+
+
+def diffuse(field, iters, coef):
+    coef = F(coef)
+    denom = F(1.0) + F(6.0) * coef
+    b = field
+    x = field.copy()
+    for _ in range(iters):
+        nb = (np.pad(x, ((1, 1), (0, 0), (0, 0)))[:-2]
+              + np.pad(x, ((1, 1), (0, 0), (0, 0)))[2:]
+              + np.pad(x, ((0, 0), (1, 1), (0, 0)))[:, :-2]
+              + np.pad(x, ((0, 0), (1, 1), (0, 0)))[:, 2:]
+              + np.pad(x, ((0, 0), (0, 0), (1, 1)))[:, :, :-2]
+              + np.pad(x, ((0, 0), (0, 0), (1, 1)))[:, :, 2:])
+        out = ((b + coef * nb) / denom).astype(F)
+        out[0] = x[0]
+        out[-1] = x[-1]
+        out[:, 0] = x[:, 0]
+        out[:, -1] = x[:, -1]
+        out[:, :, 0] = x[:, :, 0]
+        out[:, :, -1] = x[:, :, -1]
+        x = out
+    return x
+
+
+# ---------------------------------------------------------------------------
+# projection: exact solve of L p = -div, dirichlet ghost p=0 (f64 CG)
+# ---------------------------------------------------------------------------
+
+
+def _laplacian64(p):
+    out = 6.0 * p
+    for axis in range(3):
+        padw = [(0, 0)] * 3
+        padw[axis] = (1, 1)
+        pp = np.pad(p, padw)
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[axis] = slice(0, -2)
+        hi[axis] = slice(2, None)
+        out = out - pp[tuple(lo)] - pp[tuple(hi)]
+    return out
+
+
+def project(u, v, w, tol=1e-12, max_iters=4000):
+    div = ((u[1:] - u[:-1]) + (v[:, 1:] - v[:, :-1])
+           + (w[:, :, 1:] - w[:, :, :-1])).astype(np.float64)
+    b = -div
+    p = np.zeros_like(b)
+    r = b.copy()
+    s = r.copy()
+    rr = float((r * r).sum())
+    b_inf = max(np.abs(b).max(), 1e-300)
+    for _ in range(max_iters):
+        if np.abs(r).max() <= tol * b_inf:
+            break
+        As = _laplacian64(s)
+        alpha = rr / max((s * As).sum(), 1e-300)
+        p += alpha * s
+        r -= alpha * As
+        rr_new = float((r * r).sum())
+        s = r + (rr_new / max(rr, 1e-300)) * s
+        rr = rr_new
+    pf = p.astype(F)
+    gp = np.pad(pf, ((1, 1), (0, 0), (0, 0)))
+    u = (u - (gp[1:] - gp[:-1])).astype(F)
+    gp = np.pad(pf, ((0, 0), (1, 1), (0, 0)))
+    v = (v - (gp[:, 1:] - gp[:, :-1])).astype(F)
+    gp = np.pad(pf, ((0, 0), (0, 0), (1, 1)))
+    w = (w - (gp[:, :, 1:] - gp[:, :, :-1])).astype(F)
+    return u, v, w
+
+
+# ---------------------------------------------------------------------------
+# the full BiMocq frame, reinit_mode='always' (BimocqGPUSolver.cpp:129-230)
+# ---------------------------------------------------------------------------
+
+
+def make_state(grid):
+    ident = grid.node_coords("c")
+    z = {k: np.zeros(grid.shape(k), F) for k in ("u", "v", "w", "c")}
+    return {
+        "u": z["u"].copy(), "v": z["v"].copy(), "w": z["w"].copy(),
+        "u_init": z["u"].copy(), "v_init": z["v"].copy(), "w_init": z["w"].copy(),
+        "u_prev": z["u"].copy(), "v_prev": z["v"].copy(), "w_prev": z["w"].copy(),
+        "rho": z["c"].copy(), "rho_init": z["c"].copy(), "rho_prev": z["c"].copy(),
+        "T": z["c"].copy(), "T_init": z["c"].copy(), "T_prev": z["c"].copy(),
+        "vel_bwd": [m.copy() for m in ident],
+        "vel_bwd_prev": [m.copy() for m in ident],
+        "vel_fwd": [m.copy() for m in ident],
+        "vel_reinit_count": 0,
+        "sc_bwd": [m.copy() for m in ident],
+        "sc_bwd_prev": [m.copy() for m in ident],
+        "sc_fwd": [m.copy() for m in ident],
+        "sc_reinit_count": 0,
+        "frame": 0,
+        "vel_last_reinit": -11,
+        "scalar_last_reinit": -31,
+    }
+
+
+def step_bimocq(cfg, grid, s):
+    """One frame, matching solvers/smoke3d._step_bimocq with
+    reinit_mode='always', no boundaries, exact interpolation."""
+    dt = F(cfg["dt"])
+    h = F(grid.h)
+    maxvel = max(
+        np.abs(s["u"]).max(), np.abs(s["v"]).max(), np.abs(s["w"]).max())
+    maxvel = F(max(maxvel, F(1e-4)))
+    cfldt = F(h / maxvel)
+
+    u0, v0, w0 = s["u"], s["v"], s["w"]
+
+    # --- mapping updates (backward DMC then forward trace) ---
+    vel_bwd = update_backward(grid, u0, v0, w0, s["vel_bwd"], cfldt, dt)
+    vel_fwd = update_forward(grid, u0, v0, w0, s["vel_fwd"], cfldt, dt)
+    sc_bwd = update_backward(grid, u0, v0, w0, s["sc_bwd"], cfldt, dt)
+    sc_fwd = update_forward(grid, u0, v0, w0, s["sc_fwd"], cfldt, dt)
+
+    blend_v = F(cfg["blend_coeff"]) if s["vel_reinit_count"] != 0 else F(1.0)
+    blend_s = F(cfg["blend_coeff"]) if s["sc_reinit_count"] != 0 else F(1.0)
+
+    # --- velocity pull-back + compensation + two-level blend ---
+    u = advect_with_map(grid, "u", u0, s["u_init"], vel_bwd)
+    v = advect_with_map(grid, "v", v0, s["v_init"], vel_bwd)
+    w = advect_with_map(grid, "w", w0, s["w_init"], vel_bwd)
+    u = compensate(grid, "u", u, s["u_init"], vel_fwd, vel_bwd)
+    v = compensate(grid, "v", v, s["v_init"], vel_fwd, vel_bwd)
+    w = compensate(grid, "w", w, s["w_init"], vel_fwd, vel_bwd)
+    u = double_advect(grid, "u", u, s["u_prev"], vel_bwd, s["vel_bwd_prev"], blend_v)
+    v = double_advect(grid, "v", v, s["v_prev"], vel_bwd, s["vel_bwd_prev"], blend_v)
+    w = double_advect(grid, "w", w, s["w_prev"], vel_bwd, s["vel_bwd_prev"], blend_v)
+
+    # --- scalar pull-back ---
+    rho = advect_with_map(grid, "c", s["rho"], s["rho_init"], sc_bwd)
+    rho = compensate(grid, "c", rho, s["rho_init"], sc_fwd, sc_bwd)
+    rho = double_advect(grid, "c", rho, s["rho_prev"], sc_bwd, s["sc_bwd_prev"], blend_s)
+    T = advect_with_map(grid, "c", s["T"], s["T_init"], sc_bwd)
+    T = compensate(grid, "c", T, s["T_init"], sc_fwd, sc_bwd)
+    T = double_advect(grid, "c", T, s["T_prev"], sc_bwd, s["sc_bwd_prev"], blend_s)
+
+    # --- external forces ---
+    u_t, v_t, w_t, rho_t, T_t = u, v, w, rho, T
+    u, v, w, rho, T = emit_smoke(cfg, grid, u, v, w, rho, T, s["frame"])
+    v = buoyancy(v, rho, T, cfg["alpha"], cfg["beta"], dt)
+    if cfg["viscosity"]:
+        coef = F(cfg["viscosity"]) * dt / (h * h)
+        u = diffuse(u, 20, coef)
+        v = diffuse(v, 20, coef)
+        w = diffuse(w, 20, coef)
+    du_ext, dv_ext, dw_ext = u - u_t, v - v_t, w - w_t
+    drho_ext, dT_ext = rho - rho_t, T - T_t
+
+    # --- projection ---
+    u_t, v_t, w_t = u, v, w
+    u, v, w = project(u, v, w)
+    du_p, dv_p, dw_p = u - u_t, v - v_t, w - w_t
+
+    # --- counters steer proj_coeff only ('always' mode) ---
+    vel_gap = s["frame"] - s["vel_last_reinit"] > cfg["vel_reinit_gap"]
+    scalar_gap = s["frame"] - s["scalar_last_reinit"] > cfg["scalar_reinit_gap"]
+    proj_coeff = F(1.0) if vel_gap else F(2.0)
+
+    # --- accumulate deltas into init buffers through the forward map ---
+    u_init = accumulate(grid, "u", s["u_init"], du_ext, vel_fwd, 1.0)
+    v_init = accumulate(grid, "v", s["v_init"], dv_ext, vel_fwd, 1.0)
+    w_init = accumulate(grid, "w", s["w_init"], dw_ext, vel_fwd, 1.0)
+    u_init = accumulate(grid, "u", u_init, du_p, vel_fwd, proj_coeff)
+    v_init = accumulate(grid, "v", v_init, dv_p, vel_fwd, proj_coeff)
+    w_init = accumulate(grid, "w", w_init, dw_p, vel_fwd, proj_coeff)
+    rho_init = accumulate(grid, "c", s["rho_init"], drho_ext, sc_fwd, 1.0)
+    T_init = accumulate(grid, "c", s["T_init"], dT_ext, sc_fwd, 1.0)
+
+    # --- unconditional per-frame reinit (if(1), BimocqGPUSolver.cpp:218-229) ---
+    ident = grid.node_coords("c")
+    u_prev, v_prev, w_prev = u_init, v_init, w_init
+    fwd_id = [m.copy() for m in ident]
+    u_init = accumulate(grid, "u", u, du_p, fwd_id, 1.0)
+    v_init = accumulate(grid, "v", v, dv_p, fwd_id, 1.0)
+    w_init = accumulate(grid, "w", w, dw_p, fwd_id, 1.0)
+    new_vel_bwd_prev = vel_bwd
+    vel_bwd = [m.copy() for m in ident]
+    vel_fwd = [m.copy() for m in ident]
+
+    rho_prev, T_prev = rho_init, T_init
+    rho_init, T_init = rho, T
+    new_sc_bwd_prev = sc_bwd
+    sc_bwd = [m.copy() for m in ident]
+    sc_fwd = [m.copy() for m in ident]
+
+    return {
+        "u": u, "v": v, "w": w,
+        "u_init": u_init, "v_init": v_init, "w_init": w_init,
+        "u_prev": u_prev, "v_prev": v_prev, "w_prev": w_prev,
+        "rho": rho, "rho_init": rho_init, "rho_prev": rho_prev,
+        "T": T, "T_init": T_init, "T_prev": T_prev,
+        "vel_bwd": vel_bwd, "vel_bwd_prev": new_vel_bwd_prev,
+        "vel_fwd": vel_fwd,
+        "vel_reinit_count": s["vel_reinit_count"] + 1,
+        "sc_bwd": sc_bwd, "sc_bwd_prev": new_sc_bwd_prev, "sc_fwd": sc_fwd,
+        "sc_reinit_count": s["sc_reinit_count"] + 1,
+        "frame": s["frame"] + 1,
+        "vel_last_reinit": s["frame"] if vel_gap else s["vel_last_reinit"],
+        "scalar_last_reinit": (
+            s["frame"] if scalar_gap else s["scalar_last_reinit"]),
+    }
