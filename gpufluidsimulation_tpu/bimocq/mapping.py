@@ -149,7 +149,7 @@ def _map_sample_3d(grid, maps, px, py, pz, clamp_lo, clamp_hi):
 
         out = interp_fast.sample3_multi(
             maps, px, py, pz, h, ((0.0, 0.0, 0.0),) * 3,
-            Rr=config.interp_rr(),
+            Rr=config.interp_rr(), interpret=config.interp_interpret(),
         )
         mx, my, mz = out[0], out[1], out[2]
         return (
@@ -164,6 +164,53 @@ def _map_sample_3d(grid, maps, px, py, pz, clamp_lo, clamp_hi):
         jnp.clip(mx, clamp_lo * h, grid.ni * h - clamp_hi * h),
         jnp.clip(my, clamp_lo * h, grid.nj * h - clamp_hi * h),
         jnp.clip(mz, clamp_lo * h, grid.nk * h - clamp_hi * h),
+    )
+
+
+def _shift_clamped(f, d, axis):
+    """f shifted so result[i] = f[clamp(i+d)] along axis (boundedAt)."""
+    pad = [(0, 0)] * f.ndim
+    sl = [slice(None)] * f.ndim
+    if d > 0:
+        pad[axis] = (0, d)
+        sl[axis] = slice(d, None)
+    else:
+        pad[axis] = (-d, 0)
+        sl[axis] = slice(0, d)
+    return jnp.pad(f, pad, mode="edge")[tuple(sl)]
+
+
+def map_at_lattice_3d(grid, maps, kind, clamp_lo, clamp_hi):
+    """Map values at `kind`'s node lattice — NO window kernel needed.
+
+    A kind-node sits at x = (i - 0.5*dim)h on the map's cell lattice (x =
+    i*h), so trilinear sampling degenerates to a static separable stencil:
+    the identity for cell kinds, a clamped 0.5/0.5 face average along each
+    staggered axis. This removes every map-sampling Pallas launch from the
+    pull-back tier (the positions are compile-time lattices; only FIELD
+    samples at *mapped* (data-dependent) positions need the windowed-DMA
+    kernel). Matches sample3's boundedAt corner clamping exactly.
+    """
+    dim = grid.dim_of(kind)
+    h = grid.h
+    out = []
+    for ch in range(3):
+        m = maps[ch]
+        for axis in range(3):
+            if dim[axis]:
+                pad = [(0, 0)] * 3
+                pad[axis] = (1, 1)
+                q = jnp.pad(m, pad, mode="edge")
+                lo = [slice(None)] * 3
+                hi = [slice(None)] * 3
+                lo[axis] = slice(0, -1)
+                hi[axis] = slice(1, None)
+                m = 0.5 * (q[tuple(lo)] + q[tuple(hi)])
+        out.append(m)
+    return (
+        jnp.clip(out[0], clamp_lo * h, grid.ni * h - clamp_hi * h),
+        jnp.clip(out[1], clamp_lo * h, grid.nj * h - clamp_hi * h),
+        jnp.clip(out[2], clamp_lo * h, grid.nk * h - clamp_hi * h),
     )
 
 
@@ -318,6 +365,120 @@ def compensate_3d(grid, kind, field_adv, field_init, fwd, bwd, is_point=False):
     correction = _volume_eval_3d(grid, kind, ev_bwd, is_point)
     out = jnp.where(band, field_adv - 0.5 * correction, field_adv)
     return advect.clamp_extrema_neighborhood(field_adv, out)
+
+
+def _sample_fields_at(grid, kind, fields, positions):
+    """Sample N same-shape (already prefiltered) fields of `kind` at shared
+    world positions: ONE multi-channel window launch on the fast path,
+    exact gathers otherwise."""
+    from gpufluidsimulation_tpu import config
+
+    mx, my, mz = positions
+    off = grid.off_of(kind)
+    if config.use_fast_interp() and mx.ndim == 3:
+        if len(fields) == 1:
+            return [interp.sample3_lattice(fields[0], mx, my, mz, grid.h, off)]
+        from gpufluidsimulation_tpu.ops import interp_fast
+
+        out = interp_fast.sample3_multi(
+            jnp.stack(fields), mx, my, mz, grid.h, (off,) * len(fields),
+            Rr=config.interp_rr(), interpret=config.interp_interpret(),
+        )
+        return [out[i] for i in range(len(fields))]
+    return [interp.sample3(f, mx, my, mz, grid.h, off) for f in fields]
+
+
+def bimocq_advect_3d(grid, kind, fields_cur, fields_init, fields_prev,
+                     bwd, bwd_prev, fwd, blend_coeff):
+    """Fused advect_with_map + compensate + double_advect over N fields of
+    one lattice kind (the advectVelocity/advectField pipeline,
+    Mapping.cpp:375-407).
+
+    Fast path: every map-at-lattice sample is a static stencil
+    (map_at_lattice_3d) and all N fields share one windowed-DMA launch per
+    stage — 4 launches per kind instead of ~7 per field. Exact path:
+    delegates to the single-field ops (oracle-parity semantics)."""
+    if not _use_prefilter():
+        outs = []
+        for cur, init, prev in zip(fields_cur, fields_init, fields_prev):
+            x = advect_with_map_3d(grid, kind, cur, init, bwd)
+            x = compensate_3d(grid, kind, x, init, fwd, bwd)
+            x = double_advect_3d(grid, kind, x, prev, bwd, bwd_prev, blend_coeff)
+            outs.append(x)
+        return outs
+
+    dim = grid.dim_of(kind)
+    shape = fields_cur[0].shape
+    band_adv = _band3(shape, (2 + dim[0], 2 + dim[1], 2 + dim[2]), (3, 3, 3))
+    band_c = _band3(shape, (1 + dim[0], 1 + dim[1], 1 + dim[2]), (2, 2, 2))
+
+    # --- advect: pull init back through the backward map ---
+    p1 = map_at_lattice_3d(grid, bwd, kind, 1.0, 1.0)
+    advs = _sample_fields_at(
+        grid, kind, [volume_prefilter_3d(f) for f in fields_init], p1
+    )
+    advs = [jnp.where(band_adv, a, cur) for a, cur in zip(advs, fields_cur)]
+
+    # --- compensate: BFECC error correction + 27-pt clamp ---
+    p3 = map_at_lattice_3d(grid, fwd, kind, 0.0, 0.0)
+    errs = _sample_fields_at(
+        grid, kind, [volume_prefilter_3d(a) for a in advs], p3
+    )
+    errs = [jnp.where(band_c, e - init, 0.0)
+            for e, init in zip(errs, fields_init)]
+    p4 = map_at_lattice_3d(grid, bwd, kind, 0.0, 0.0)
+    corrs = _sample_fields_at(
+        grid, kind, [volume_prefilter_3d(e) for e in errs], p4
+    )
+    comps = [
+        advect.clamp_extrema_neighborhood(
+            a, jnp.where(band_c, a - 0.5 * c, a))
+        for a, c in zip(advs, corrs)
+    ]
+
+    # --- double advect: two-level pull-back blended with blend_coeff ---
+    p2 = _map_sample_3d(grid, bwd_prev, p1[0], p1[1], p1[2], 1.0, 1.0)
+    prevs = _sample_fields_at(
+        grid, kind, [volume_prefilter_3d(p) for p in fields_prev], p2
+    )
+    return [
+        jnp.where(band_adv, x * blend_coeff + (1.0 - blend_coeff) * pv, x)
+        for x, pv in zip(comps, prevs)
+    ]
+
+
+def accumulate_multi_3d(grid, kind, groups, fwd, identity=False):
+    """Fused cumulate_kernel: `groups` is a list of
+    (base_field, [(change, coeff), ...]) — all changes (across groups)
+    share one forward map and ONE window launch on the fast path. With
+    identity=True the forward map is known to be the identity (post-reinit
+    accumulate, BimocqGPUSolver.cpp:222) and sampling collapses to the
+    volume prefilter itself — no kernel at all. Returns the updated bases."""
+    if not _use_prefilter():
+        outs = []
+        for base, pairs in groups:
+            for change, coeff in pairs:
+                base = accumulate_3d(grid, kind, base, change, fwd, coeff)
+            outs.append(base)
+        return outs
+    dim = grid.dim_of(kind)
+    shape = groups[0][0].shape
+    band = _band3(shape, (1 + dim[0], 1 + dim[1], 1 + dim[2]), (2, 2, 2))
+    flat = [volume_prefilter_3d(c) for _, pairs in groups for c, _ in pairs]
+    if identity:
+        deltas = flat
+    else:
+        p3 = map_at_lattice_3d(grid, fwd, kind, 0.0, 0.0)
+        deltas = _sample_fields_at(grid, kind, flat, p3)
+    outs = []
+    i = 0
+    for base, pairs in groups:
+        total = base
+        for _, coeff in pairs:
+            total = total + coeff * deltas[i]
+            i += 1
+        outs.append(jnp.where(band, total, base))
+    return outs
 
 
 def estimate_distortion_3d(grid, mapping: MappingState, exclude_mask=None):

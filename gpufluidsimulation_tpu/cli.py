@@ -82,6 +82,12 @@ def _run_3d(args):
     from gpufluidsimulation_tpu.solvers.schemes import SCHEME_3D_ARGV
     from gpufluidsimulation_tpu.utils import timing
 
+    if args.scheme not in SCHEME_3D_ARGV:
+        print(f"error: unknown 3D scheme {args.scheme}; valid: "
+              + ", ".join(f"{k}={v.display_name()}"
+                          for k, v in sorted(SCHEME_3D_ARGV.items())),
+              file=sys.stderr)
+        return 2
     scheme = SCHEME_3D_ARGV[args.scheme]
     res = args.res
     solver, state = scenes3d.make_vortex_collision(
@@ -98,6 +104,17 @@ def _run_3d(args):
               + timing.RESET + timer.report(frame,
               {"proj_iters": int(state.proj_iters),
                "proj_res": f"{float(state.proj_res):.3e}"}))
+        if args.residual_trace:
+            # the reference prints the per-iteration residual scoreboard
+            # every projection (BimocqGPUSolver.cpp:447-452)
+            hist = np.asarray(state.proj_res_hist)
+            hist = hist[hist >= 0.0]
+            print("Residual: " + "   ".join(f"{r:.3e}" for r in hist))
+        overflow = int(getattr(state, "interp_overflow", 0))
+        if overflow:
+            print(timing.RED + f"[WARN] fast-interp contract violated at "
+                  f"{overflow} samples this frame — results may be clamped; "
+                  f"raise GFS_INTERP_RR or lower dt" + timing.RESET)
         volume.write_volume(frame + 1, out_dir, solver.grid.h, state.rho)
         if args.checkpoint_every and (frame + 1) % args.checkpoint_every == 0:
             checkpoint.save_state(os.path.join(out_dir, f"ckpt_{frame:04d}.npz"),
@@ -126,6 +143,9 @@ def main(argv=None):
     p3.add_argument("--frames", type=int, default=None)
     p3.add_argument("--out", default="Out")
     p3.add_argument("--checkpoint-every", type=int, default=0)
+    p3.add_argument("--residual-trace", action="store_true",
+                    help="print the per-iteration pressure residual trace "
+                         "(the reference's scoreboard printout)")
     p3.set_defaults(fn=_run_3d)
 
     args = p.parse_args(argv)

@@ -12,7 +12,12 @@ from __future__ import annotations
 import os
 
 _FAST_ENV = os.environ.get("GFS_FAST_INTERP")
-_RR = int(os.environ.get("GFS_INTERP_RR", "3"))
+# Residual reach: per-(8,8,128)-block in-block displacement variation budget
+# in cells (the mean shift is unbounded — absorbed by the window base).
+# Kernel cost scales ~(2Rr+3)^2 (2Rr+10); 2 is ample for per-frame-reinit
+# BiMocq (in-block variation << 1 cell) — raise via env for adaptive-reinit
+# configs with long remap gaps. Enforced at runtime by residual_overflow.
+_RR = int(os.environ.get("GFS_INTERP_RR", "2"))
 _RZ = int(os.environ.get("GFS_INTERP_RZ", "8"))
 _FORCED: bool | None = None if _FAST_ENV is None else _FAST_ENV not in ("0", "false")
 
@@ -35,5 +40,24 @@ def interp_rr() -> int:
     return _RR
 
 
+def set_interp_rr(value: int) -> None:
+    global _RR
+    _RR = int(value)
+
+
 def interp_rz() -> int:
     return _RZ
+
+
+_INTERPRET = os.environ.get("GFS_INTERP_INTERPRET", "0") not in ("0", "false")
+
+
+def interp_interpret() -> bool:
+    """Run the Pallas window kernels in interpreter mode (CPU testing of the
+    fast-interp path; see tests/test_fidelity3d.py)."""
+    return _INTERPRET
+
+
+def set_interp_interpret(value: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = bool(value)

@@ -141,6 +141,7 @@ def sample3_lattice(field, px, py, pz, h, off):
         return interp_fast.sample3_fast(
             field, px, py, pz, h, off,
             Rr=config.interp_rr(), Rz=config.interp_rz(),
+            interpret=config.interp_interpret(),
         )
     return sample3(field, px, py, pz, h, off)
 
@@ -208,13 +209,24 @@ def mac_velocity_3d(u, v, w, px, py, pz, h):
         out = interp_fast.sample3_multi(
             packed, px, py, pz, h,
             ((-0.5, 0.0, 0.0), (0.0, -0.5, 0.0), (0.0, 0.0, -0.5)),
-            Rr=config.interp_rr(),
+            Rr=config.interp_rr(), interpret=config.interp_interpret(),
         )
         return out[0], out[1], out[2]
     us = sample3_lattice(u, px, py, pz, h, (-0.5, 0.0, 0.0))
     vs = sample3_lattice(v, px, py, pz, h, (0.0, -0.5, 0.0))
     ws = sample3_lattice(w, px, py, pz, h, (0.0, 0.0, -0.5))
     return us, vs, ws
+
+
+def mac_velocity_at_c_3d(u, v, w):
+    """MAC velocity at the 3D cell-center lattice (x = i*h) — a static
+    face average, no interpolation kernel needed: the u sample at a center
+    lands exactly between faces i and i+1 (getVelocity at lattice points,
+    GPU_kernel.cu:64-72)."""
+    uc = 0.5 * (u[:-1, :, :] + u[1:, :, :])
+    vc = 0.5 * (v[:, :-1, :] + v[:, 1:, :])
+    wc = 0.5 * (w[:, :, :-1] + w[:, :, 1:])
+    return uc, vc, wc
 
 
 def clamp_pos_2d(px, py, h, ni, nj, eps=1.0):

@@ -224,7 +224,8 @@ def maccormack_3d(grid, kind, src, u, v, w, cfldt, dt):
         from gpufluidsimulation_tpu.ops import interp_fast
 
         mn, mx = interp_fast.minmax3_fast(
-            src, bx, by, bz, h, off, Rr=config.interp_rr()
+            src, bx, by, bz, h, off, Rr=config.interp_rr(),
+            interpret=config.interp_interpret(),
         )
     else:
         gx, gy, gz = bx / h - off[0], by / h - off[1], bz / h - off[2]
@@ -250,20 +251,66 @@ def _dmc_newpos(pos, vel, a, substep):
     return jnp.where(jnp.abs(a) > 1e-4, exp_step, euler_step)
 
 
+def _shift_edge(f, d, axis):
+    """f shifted so result[i] = f[clamp(i+d)] along axis."""
+    pad = [(0, 0)] * f.ndim
+    sl = [slice(None)] * f.ndim
+    if d > 0:
+        pad[axis] = (0, d)
+        sl[axis] = slice(d, None)
+    else:
+        pad[axis] = (-d, 0)
+        sl[axis] = slice(0, d)
+    return jnp.pad(f, pad, mode="edge")[tuple(sl)]
+
+
 def dmc_backward_step_3d(grid, u, v, w, map_x, map_y, map_z, substep):
     """One DMC substep of the 3D backward map (DMC_backward_kernel).
 
     Nodes are cell centers at i*h; the upwind neighbor is +-h per axis;
     a = du/dx finite difference; gather the old map at the new position.
     Interior band i in [2, n-3]; boundary keeps the old map.
+
+    Fast path: the velocity at the center lattice and at its +-1-cell
+    upwind taps are STATIC stencils (face averages + sign-selected shifts)
+    — only the final map gather at the DMC-traced position needs the
+    windowed-DMA kernel. Values agree with the generic sampler everywhere
+    the interior band uses them.
     """
+    from gpufluidsimulation_tpu import config as _cfg
+
     h = grid.h
     px, py, pz = grid.node_coords("c")
-    vel_u, vel_v, vel_w = interp.mac_velocity_3d(u, v, w, px, py, pz, h)
-    tx = jnp.where(vel_u > 0, px - h, px + h)
-    ty = jnp.where(vel_v > 0, py - h, py + h)
-    tz = jnp.where(vel_w > 0, pz - h, pz + h)
-    tu, tv, tw = interp.mac_velocity_3d(u, v, w, tx, ty, tz, h)
+    if _cfg.use_fast_interp():
+        vel_u, vel_v, vel_w = interp.mac_velocity_at_c_3d(u, v, w)
+        sx = vel_u > 0
+        sy = vel_v > 0
+        sz = vel_w > 0
+
+        def upwind(f):
+            out = jnp.zeros_like(f)
+            for a in (-1, 1):
+                fa = _shift_edge(f, a, 0)
+                ma = sx if a == -1 else ~sx
+                for b_ in (-1, 1):
+                    fab = _shift_edge(fa, b_, 1)
+                    mb = ma & (sy if b_ == -1 else ~sy)
+                    for c_ in (-1, 1):
+                        fabc = _shift_edge(fab, c_, 2)
+                        mc = mb & (sz if c_ == -1 else ~sz)
+                        out = out + jnp.where(mc, fabc, 0.0)
+            return out
+
+        tu, tv, tw = upwind(vel_u), upwind(vel_v), upwind(vel_w)
+        tx = jnp.where(sx, px - h, px + h)
+        ty = jnp.where(sy, py - h, py + h)
+        tz = jnp.where(sz, pz - h, pz + h)
+    else:
+        vel_u, vel_v, vel_w = interp.mac_velocity_3d(u, v, w, px, py, pz, h)
+        tx = jnp.where(vel_u > 0, px - h, px + h)
+        ty = jnp.where(vel_v > 0, py - h, py + h)
+        tz = jnp.where(vel_w > 0, pz - h, pz + h)
+        tu, tv, tw = interp.mac_velocity_3d(u, v, w, tx, ty, tz, h)
     ax = (vel_u - tu) / (px - tx)
     ay = (vel_v - tv) / (py - ty)
     az = (vel_w - tw) / (pz - tz)

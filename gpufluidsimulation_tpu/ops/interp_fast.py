@@ -100,29 +100,25 @@ def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
     # alignment slack in the hat loop instead)
     win = pltpu.roll(win_ref[...], -sz, 2)
 
+    # hoist all hat weights out of the triple loop: W+WY+W evaluations
+    # instead of ~W*WY*W (the fma chain below is the whole kernel cost)
+    hx = [_hat(lx - (a + dp)) for dp in range(W)]
+    hy = [_hat(ly - (b + dq)) for dq in range(WY)]
+    hz = [_hat(lz - (c + (ZB + dr))) for dr in range(W)]
+
     out = jnp.zeros(block, jnp.float32)
-    cov_x = jnp.zeros(block, jnp.float32)
-    cov_y = jnp.zeros(block, jnp.float32)
-    cov_z = jnp.zeros(block, jnp.float32)
-    for dq in range(WY):
-        cov_y = cov_y + _hat(ly - (b + dq))
     for dr in range(W):
-        hz = _hat(lz - (c + (ZB + dr)))
-        cov_z = cov_z + hz
         winz = win[:, :, ZB + dr : ZB + dr + B3]
         acc_y = jnp.zeros(block, jnp.float32)
         for dq in range(WY):
-            hy = _hat(ly - (b + dq))
             winyz = winz[:, dq : dq + B2, :]
             acc_x = jnp.zeros(block, jnp.float32)
             for dp in range(W):
-                acc_x = acc_x + _hat(lx - (a + dp)) * winyz[dp : dp + B1]
-            acc_y = acc_y + hy * acc_x
-        out = out + hz * acc_y
-    for dp in range(W):
-        cov_x = cov_x + _hat(lx - (a + dp))
+                acc_x = acc_x + hx[dp] * winyz[dp : dp + B1]
+            acc_y = acc_y + hy[dq] * acc_x
+        out = out + hz[dr] * acc_y
 
-    cov = cov_x * cov_y * cov_z
+    cov = sum(hx) * sum(hy) * sum(hz)
     out_ref[...] = jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
 
 
@@ -323,17 +319,20 @@ def _kernel_minmax(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm,
     copy.wait()
     win = pltpu.roll(win_ref[...], -sz, 2)
 
+    mx_hats = [_hat(lx - (a + dp)) > 0.0 for dp in range(W)]
+    my_hats = [_hat(ly - (b + dq)) > 0.0 for dq in range(WY)]
+    mz_hats = [_hat(lz - (c + (ZB + dr))) > 0.0 for dr in range(W)]
+
     big = jnp.float32(3.0e38)
     mn = jnp.full(block, big)
     mx = jnp.full(block, -big)
     for dr in range(W):
-        mz = _hat(lz - (c + (ZB + dr))) > 0.0
         winz = win[:, :, ZB + dr : ZB + dr + B3]
         for dq in range(WY):
-            myq = mz & (_hat(ly - (b + dq)) > 0.0)
+            myq = mz_hats[dr] & my_hats[dq]
             winyz = winz[:, dq : dq + B2, :]
             for dp in range(W):
-                m = myq & (_hat(lx - (a + dp)) > 0.0)
+                m = myq & mx_hats[dp]
                 vals = winyz[dp : dp + B1]
                 mn = jnp.where(m, jnp.minimum(mn, vals), mn)
                 mx = jnp.where(m, jnp.maximum(mx, vals), mx)
@@ -505,35 +504,34 @@ def _kernel_multi(origin_ref, gx_ref, gy_ref, gz_ref, fields_hbm, out_ref,
     copy.wait()
     win_all = pltpu.roll(win_ref[...], -sz, 3)
 
-    # group channels by identical offset deltas so hats are shared
+    # hats are shared between channels with identical offset deltas
+    hat_cache = {}
+
+    def hats(delta):
+        if delta not in hat_cache:
+            dxo, dyo, dzo = delta
+            hat_cache[delta] = (
+                [_hat(lx0 + dxo - (a + dp)) for dp in range(W)],
+                [_hat(ly0 + dyo - (b + dq)) for dq in range(WY)],
+                [_hat(lz0 + dzo - (c + (ZB + dr))) for dr in range(W)],
+            )
+        return hat_cache[delta]
+
     for ch in range(C):
-        dxo, dyo, dzo = deltas[ch]
-        lx = lx0 + dxo
-        ly = ly0 + dyo
-        lz = lz0 + dzo
+        hx, hy, hz = hats(deltas[ch])
         win = win_all[ch]
         out = jnp.zeros(block, jnp.float32)
-        cov_x = jnp.zeros(block, jnp.float32)
-        cov_y = jnp.zeros(block, jnp.float32)
-        cov_z = jnp.zeros(block, jnp.float32)
-        for dq in range(WY):
-            cov_y = cov_y + _hat(ly - (b + dq))
         for dr in range(W):
-            hz = _hat(lz - (c + (ZB + dr)))
-            cov_z = cov_z + hz
             winz = win[:, :, ZB + dr : ZB + dr + B3]
             acc_y = jnp.zeros(block, jnp.float32)
             for dq in range(WY):
-                hy = _hat(ly - (b + dq))
                 winyz = winz[:, dq : dq + B2, :]
                 acc_x = jnp.zeros(block, jnp.float32)
                 for dp in range(W):
-                    acc_x = acc_x + _hat(lx - (a + dp)) * winyz[dp : dp + B1]
-                acc_y = acc_y + hy * acc_x
-            out = out + hz * acc_y
-        for dp in range(W):
-            cov_x = cov_x + _hat(lx - (a + dp))
-        cov = cov_x * cov_y * cov_z
+                    acc_x = acc_x + hx[dp] * winyz[dp : dp + B1]
+                acc_y = acc_y + hy[dq] * acc_x
+            out = out + hz[dr] * acc_y
+        cov = sum(hx) * sum(hy) * sum(hz)
         out_ref[ch] = jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
 
 

@@ -218,11 +218,14 @@ def _dot(a, b):
 
 
 def mgpcg(b, ctx: MGContext, tol=1e-6, max_iters=100):
-    """MG-preconditioned CG on L p = b. Returns (p, iters, rel_res_inf).
+    """MG-preconditioned CG on L p = b. Returns (p, iters, rel_res_inf, hist).
 
     The whole loop (V-cycles included) runs inside one lax.while_loop: the
     TPU analogue of the reference's device-resident scoreboard CG
     (GPU_kernel.cu:1764-1815) with a tolerance exit instead of iter=50.
+    `hist` is the per-iteration relative-residual trace, the role of the
+    reference scoreboard offsets 2000+ (GPU_kernel.cu:1781,1798, printed at
+    BimocqGPUSolver.cpp:447-452); entries past `iters` stay at -1.
     """
     bc = ctx.bc
     if bc == "neumann":
@@ -236,13 +239,14 @@ def mgpcg(b, ctx: MGContext, tol=1e-6, max_iters=100):
         z0 = z0 - jnp.mean(z0)
     s0 = z0
     rz0 = _dot(r0, z0)
+    hist0 = jnp.full((int(max_iters),), -1.0, jnp.float32)
 
     def cond(carry):
-        _, r, _, _, k, _ = carry
+        _, r, _, _, k, _, _ = carry
         return (k < max_iters) & (jnp.max(jnp.abs(r)) > tol * b_inf)
 
     def body(carry):
-        p, r, s, rz, k, _ = carry
+        p, r, s, rz, k, _, hist = carry
         As = laplacian(s, bc)
         alpha = rz / jnp.maximum(_dot(s, As), 1e-30)
         p = p + alpha * s
@@ -256,13 +260,14 @@ def mgpcg(b, ctx: MGContext, tol=1e-6, max_iters=100):
         beta = rz_new / jnp.maximum(rz, 1e-30)
         s = z + beta * s
         res = jnp.max(jnp.abs(r)) / b_inf
-        return (p, r, s, rz_new, k + 1, res)
+        hist = hist.at[k].set(res)
+        return (p, r, s, rz_new, k + 1, res, hist)
 
     init_res = jnp.max(jnp.abs(r0)) / b_inf
-    p, r, _, _, iters, res = lax.while_loop(
-        cond, body, (p0, r0, s0, rz0, jnp.int32(0), init_res)
+    p, r, _, _, iters, res, hist = lax.while_loop(
+        cond, body, (p0, r0, s0, rz0, jnp.int32(0), init_res, hist0)
     )
-    return p, iters, jnp.max(jnp.abs(r)) / b_inf
+    return p, iters, jnp.max(jnp.abs(r)) / b_inf, hist
 
 
 def cg(b, bc, tol=1e-6, max_iters=400):
@@ -310,16 +315,16 @@ def project_2d(u, v, ctx: MGContext, tol=1e-6, max_iters=200):
     """rhs = -div (the 2D reference solves -div/h with 1/h^2 matrix,
     BimocqSolver2D.cpp:356-385 — identical p up to units)."""
     div = divergence_2d(u, v)
-    p, iters, res = mgpcg(-div, ctx, tol, max_iters)
+    p, iters, res, _ = mgpcg(-div, ctx, tol, max_iters)
     u, v = subtract_gradient_2d(u, v, p, ctx.bc)
     return u, v, p, iters, res
 
 
 def project_3d(u, v, w, ctx: MGContext, tol=1e-4, max_iters=100):
     div = divergence_3d(u, v, w)
-    p, iters, res = mgpcg(-div, ctx, tol, max_iters)
+    p, iters, res, hist = mgpcg(-div, ctx, tol, max_iters)
     u, v, w = subtract_gradient_3d(u, v, w, p, ctx.bc)
-    return u, v, w, p, iters, res
+    return u, v, w, p, iters, res, hist
 
 
 # ---------------------------------------------------------------------------
@@ -383,47 +388,125 @@ def masked_divergence_3d(u, v, w, flags, u_solid, v_solid, w_solid):
     return jnp.where(flags == FLUID, div, 0.0), ue, ve, we
 
 
+def coarsen_flags(flags, coarse_shape):
+    """2x coarsening of the cell-flag field for the masked MG hierarchy
+    (the role of the Compressed/Sparse AMG level builds,
+    utils/AlgebraicMultigrid.h:733-970): a coarse cell is AIR if any child
+    is air (Dirichlet dominates), else FLUID if any child is fluid, else
+    solid. Traced — the flags move with the boundary every frame."""
+    padw = [(0, 2 * cn - n) for n, cn in zip(flags.shape, coarse_shape)]
+    fp = jnp.pad(flags, padw, mode="edge")
+    newshape = []
+    for cn in coarse_shape:
+        newshape.extend([cn, 2])
+    fp = fp.reshape(newshape)
+    axes = tuple(range(1, 6, 2))
+    any_air = jnp.any(fp == AIR, axis=axes)
+    any_fluid = jnp.any(fp == FLUID, axis=axes)
+    return jnp.where(any_air, AIR, jnp.where(any_fluid, FLUID, SOLID))
+
+
+def _masked_diag(flags):
+    """Row diagonal of masked_laplacian: (# fluid or air neighbors) on fluid
+    rows, 1 on identity (non-fluid) rows."""
+    fluid = flags == FLUID
+    d = jnp.zeros(flags.shape, jnp.float32)
+    for axis in range(3):
+        for s in (-1, 1):
+            nf = _shift(flags, axis, s, SOLID)
+            d = d + ((nf == FLUID) | (nf == AIR)).astype(jnp.float32)
+    return jnp.where(fluid, jnp.maximum(d, 1.0), 1.0)
+
+
+def masked_jacobi_smooth(x, b, flags, diag, iters, omega=0.8):
+    def body(_, x):
+        return x + omega * (b - masked_laplacian(x, flags)) / diag
+
+    return lax.fori_loop(0, iters, body, x)
+
+
+def masked_v_cycle(r, flag_levels, diag_levels, shapes, level=0,
+                   n_pre=2, n_post=2, n_coarse=40, omega=0.8):
+    """Boundary-aware MG V-cycle on the masked operator — the preconditioner
+    role of RBGS_with_pattern + the masked AMG builds
+    (utils/AlgebraicMultigrid.h:609, 733+). Flags/diagonals are traced
+    per-level arrays (the boundary moves every frame)."""
+    flags = flag_levels[level]
+    diag = diag_levels[level]
+    fluid = flags == FLUID
+    r = jnp.where(fluid, r, 0.0)
+    if level == len(shapes) - 1:
+        e = jnp.zeros_like(r)
+        e = masked_jacobi_smooth(e, r, flags, diag, n_coarse, omega)
+        return jnp.where(fluid, e, 0.0)
+    e = masked_jacobi_smooth(jnp.zeros_like(r), r, flags, diag, n_pre, omega)
+    rr = jnp.where(fluid, r - masked_laplacian(e, flags), 0.0)
+    rc = 4.0 * restrict_full(rr, shapes[level + 1])
+    ec = masked_v_cycle(rc, flag_levels, diag_levels, shapes, level + 1,
+                        n_pre, n_post, n_coarse, omega)
+    e = e + prolong_linear(ec, shapes[level])
+    e = masked_jacobi_smooth(e, r, flags, diag, n_post, omega)
+    return jnp.where(fluid, e, 0.0)
+
+
+def build_masked_hierarchy(flags, shapes):
+    flag_levels = [flags]
+    for s in shapes[1:]:
+        flag_levels.append(coarsen_flags(flag_levels[-1], s))
+    diag_levels = [_masked_diag(f) for f in flag_levels]
+    return flag_levels, diag_levels
+
+
 def project_masked_3d(u, v, w, flags, u_solid, v_solid, w_solid,
                       ctx: MGContext, tol=1e-4, max_iters=100):
     """Pressure projection with voxel boundary conditions.
 
-    CG on the masked operator, preconditioned by the unmasked geometric MG
-    V-cycle (SPD approximate inverse — valid CG preconditioning even though
-    its BCs differ). After the solve: subtract gradients on fluid/air faces,
-    then overwrite solid-adjacent faces with the boundary velocity
+    CG on the masked operator, preconditioned by a boundary-aware masked
+    MG V-cycle (per-level coarsened flags + masked Jacobi smoothing) so the
+    preconditioner tracks the operator even at large solid fractions.
+    After the solve: subtract gradients on fluid/air faces, then overwrite
+    solid-adjacent faces with the boundary velocity
     (BimocqSolver.cpp:1276-1407's solid overwrite)."""
     div, ue, ve, we = masked_divergence_3d(u, v, w, flags, u_solid, v_solid, w_solid)
     b = -div
     b_inf = jnp.maximum(jnp.max(jnp.abs(b)), 1e-30)
+
+    flag_levels, diag_levels = build_masked_hierarchy(flags, ctx.shapes)
+
+    def precond(r):
+        return masked_v_cycle(r, flag_levels, diag_levels, ctx.shapes)
 
     def A(x):
         return masked_laplacian(x, flags)
 
     p0 = jnp.zeros_like(b)
     r0 = b
-    z0 = ctx.v_cycle(r0)
+    z0 = precond(r0)
     s0 = z0
     rz0 = _dot(r0, z0)
+    hist0 = jnp.full((int(max_iters),), -1.0, jnp.float32)
 
     def cond(carry):
-        _, r, _, _, k, _ = carry
+        _, r, _, _, k, _, _ = carry
         return (k < max_iters) & (jnp.max(jnp.abs(r)) > tol * b_inf)
 
     def body(carry):
-        p, r, s, rz, k, _ = carry
+        p, r, s, rz, k, _, hist = carry
         As = A(s)
         alpha = rz / jnp.maximum(_dot(s, As), 1e-30)
         p = p + alpha * s
         r = r - alpha * As
-        z = ctx.v_cycle(r)
+        z = precond(r)
         rz_new = _dot(r, z)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         s = z + beta * s
-        return (p, r, s, rz_new, k + 1, jnp.max(jnp.abs(r)) / b_inf)
+        res = jnp.max(jnp.abs(r)) / b_inf
+        hist = hist.at[k].set(res)
+        return (p, r, s, rz_new, k + 1, res, hist)
 
     init_res = jnp.max(jnp.abs(r0)) / b_inf
-    p, r, _, _, iters, res = lax.while_loop(
-        cond, body, (p0, r0, s0, rz0, jnp.int32(0), init_res)
+    p, r, _, _, iters, res, hist = lax.while_loop(
+        cond, body, (p0, r0, s0, rz0, jnp.int32(0), init_res, hist0)
     )
     p = jnp.where(flags == FLUID, p, 0.0)
 
@@ -456,4 +539,4 @@ def project_masked_3d(u, v, w, flags, u_solid, v_solid, w_solid,
     u2 = update_faces(ue, u_solid, 0)
     v2 = update_faces(ve, v_solid, 1)
     w2 = update_faces(we, w_solid, 2)
-    return u2, v2, w2, p, iters, res
+    return u2, v2, w2, p, iters, res, hist

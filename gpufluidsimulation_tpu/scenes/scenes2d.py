@@ -34,7 +34,7 @@ def _solve_stream_function(grid: Grid2D, curl_nodes):
     h = grid.h
     rhs = curl_nodes[:ni, :nj]  # node curl sampled at cell indices (:1941)
     ctx = poisson.MGContext((ni, nj), "dirichlet")
-    psi_unscaled, _, _ = poisson.mgpcg(jnp.asarray(rhs), ctx, tol=1e-6, max_iters=400)
+    psi_unscaled, _, _, _ = poisson.mgpcg(jnp.asarray(rhs), ctx, tol=1e-6, max_iters=400)
     # psi_ref = h^2 * psi_unscaled; u = dpsi_ref/dy / h = dpsi_unscaled * h
     psi = jnp.zeros((ni + 1, nj + 1), jnp.float32).at[:ni, :nj].set(psi_unscaled)
     u = (psi[: ni + 1, 1 : nj + 1] - psi[: ni + 1, :nj]) * h

@@ -142,6 +142,14 @@ class Smoke3DState:
     cfl: jnp.ndarray
     proj_iters: jnp.ndarray
     proj_res: jnp.ndarray
+    # per-iteration relative-residual trace of the last pressure solve
+    # (reference scoreboard offsets 2000+, BimocqGPUSolver.cpp:447-452);
+    # entries past proj_iters are -1
+    proj_res_hist: jnp.ndarray
+    # count of samples violating the fast-interp bounded-displacement
+    # contract this step (ops/interp_fast.py residual_overflow); 0 = the
+    # windowed kernels were exact. Only evaluated on the fast-interp path.
+    interp_overflow: jnp.ndarray
 
 
 def init_state(cfg: Smoke3DConfig) -> Smoke3DState:
@@ -163,6 +171,8 @@ def init_state(cfg: Smoke3DConfig) -> Smoke3DState:
         cfl=jnp.float32(0.0),
         proj_iters=jnp.int32(0),
         proj_res=jnp.float32(0.0),
+        proj_res_hist=jnp.full((cfg.proj_max_iters,), -1.0, jnp.float32),
+        interp_overflow=jnp.int32(0),
     )
     # force every leaf onto a distinct buffer: XLA interns constants and the
     # mapping state shares one identity array, which breaks donate_argnums
@@ -172,6 +182,29 @@ def init_state(cfg: Smoke3DConfig) -> Smoke3DState:
 # ---------------------------------------------------------------------------
 # Building blocks
 # ---------------------------------------------------------------------------
+
+
+def _interp_overflow_check(g: Grid3D, vel_map) -> jnp.ndarray:
+    """Runtime enforcement of the fast-interp bounded-displacement contract
+    (ops/interp_fast.py): counts samples whose in-block residual exceeds the
+    kernel's reach for (a) the level-1 backward-map pull-back positions and
+    (b) the level-2 composed (bwd_prev o bwd) positions — the two largest
+    displacement chains in the step. 0 = windowed sampling was exact."""
+    from gpufluidsimulation_tpu import config as _cfg
+
+    if not _cfg.use_fast_interp():
+        return jnp.int32(0)
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    h = g.h
+    rr = _cfg.interp_rr()
+    b = vel_map.bwd
+    ov = interp_fast.residual_overflow(b[0], b[1], b[2], h, (0, 0, 0), Rr=rr)
+    px, py, pz = g.node_coords("c")
+    bx, by, bz = mp._map_sample_3d(g, b, px, py, pz, 1.0, 1.0)
+    ox, oy, oz = mp._map_sample_3d(g, vel_map.bwd_prev, bx, by, bz, 1.0, 1.0)
+    ov2 = interp_fast.residual_overflow(ox, oy, oz, h, (0, 0, 0), Rr=rr)
+    return ov + ov2
 
 
 def _max_velocity(u, v, w):
@@ -346,10 +379,11 @@ def _step_semilag(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     u, v, w, rho, T = _forces_and_project(cfg, g, ctx, u, v, w, rho, T, s.frame, dt)
     bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
     rho = _clear_boundary(bnd, rho)
-    u, v, w, _, iters, res = _project3(cfg, g, ctx, bnd, u, v, w)
+    u, v, w, _, iters, res, hist = _project3(cfg, g, ctx, bnd, u, v, w)
     return s.replace(
         u=u, v=v, w=w, rho=rho, T=T, frame=s.frame + 1,
         cfl=_max_velocity(s.u, s.v, s.w) * dt / g.h, proj_iters=iters, proj_res=res,
+        proj_res_hist=hist,
     )
 
 
@@ -362,10 +396,11 @@ def _step_maccormack(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     u, v, w, rho, T = _forces_and_project(cfg, g, ctx, u, v, w, rho, T, s.frame, dt)
     bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
     rho = _clear_boundary(bnd, rho)
-    u, v, w, _, iters, res = _project3(cfg, g, ctx, bnd, u, v, w)
+    u, v, w, _, iters, res, hist = _project3(cfg, g, ctx, bnd, u, v, w)
     return s.replace(
         u=u, v=v, w=w, rho=rho, T=T, frame=s.frame + 1,
         cfl=_max_velocity(s.u, s.v, s.w) * dt / g.h, proj_iters=iters, proj_res=res,
+        proj_res_hist=hist,
     )
 
 
@@ -387,7 +422,7 @@ def _step_reflection(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
     rho = _clear_boundary(bnd, rho)
     u_save, v_save, w_save = u, v, w
-    u, v, w, _, it1, res1 = _project3(cfg, g, ctx, bnd, u, v, w)
+    u, v, w, _, it1, res1, _ = _project3(cfg, g, ctx, bnd, u, v, w)
     # reflect
     ru = 2.0 * u - u_save
     rv = 2.0 * v - v_save
@@ -401,11 +436,12 @@ def _step_reflection(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
         u2 = forces.diffuse_3d(u2, 20, coef)
         v2 = forces.diffuse_3d(v2, 20, coef)
         w2 = forces.diffuse_3d(w2, 20, coef)
-    u2, v2, w2, _, it2, res2 = _project3(cfg, g, ctx, bnd, u2, v2, w2)
+    u2, v2, w2, _, it2, res2, hist2 = _project3(cfg, g, ctx, bnd, u2, v2, w2)
     return s.replace(
         u=u2, v=v2, w=w2, rho=rho, T=T, frame=s.frame + 1,
         cfl=_max_velocity(s.u, s.v, s.w) * dt / g.h,
         proj_iters=it1 + it2, proj_res=jnp.maximum(res1, res2),
+        proj_res_hist=hist2,
     )
 
 
@@ -419,7 +455,20 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
 
     vel_map = mp.update_mapping_3d(s.vel_map, g, s.u, s.v, s.w, cfldt, dt)
-    scalar_map = mp.update_mapping_3d(s.scalar_map, g, s.u, s.v, s.w, cfldt, dt)
+    if cfg.reinit_mode == "always":
+        # both maps are reset to identity every frame and marched with the
+        # same velocity -> they are bitwise identical; march once. (The
+        # reference runs two identical MapperBaseGPU updates,
+        # BimocqGPUSolver.cpp:138-139 — pure redundancy on TPU.)
+        scalar_map = s.scalar_map.replace(
+            fwd=vel_map.fwd, bwd=vel_map.bwd,
+            bwd_prev=s.scalar_map.bwd_prev,
+            reinit_count=s.scalar_map.reinit_count,
+        )
+    else:
+        scalar_map = mp.update_mapping_3d(s.scalar_map, g, s.u, s.v, s.w, cfldt, dt)
+
+    overflow = _interp_overflow_check(g, vel_map)
 
     if cfg.boundaries:
         # semi-Lagrangian fallbacks for the boundary shell
@@ -431,29 +480,24 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
         sl_T = advect.semilag_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, -dt)
 
     # --- velocity pull-back + compensation + two-level blend ---
+    # (fused per lattice kind: shared static map positions + one window
+    # launch per stage, mp.bimocq_advect_3d)
     blend_v = jnp.where(vel_map.reinit_count != 0, cfg.blend_coeff, 1.0)
-    u = mp.advect_with_map_3d(g, "u", s.u, s.u_init, vel_map.bwd)
-    v = mp.advect_with_map_3d(g, "v", s.v, s.v_init, vel_map.bwd)
-    w = mp.advect_with_map_3d(g, "w", s.w, s.w_init, vel_map.bwd)
-    u = mp.compensate_3d(g, "u", u, s.u_init, vel_map.fwd, vel_map.bwd)
-    v = mp.compensate_3d(g, "v", v, s.v_init, vel_map.fwd, vel_map.bwd)
-    w = mp.compensate_3d(g, "w", w, s.w_init, vel_map.fwd, vel_map.bwd)
-    u = mp.double_advect_3d(g, "u", u, s.u_prev, vel_map.bwd, vel_map.bwd_prev, blend_v)
-    v = mp.double_advect_3d(g, "v", v, s.v_prev, vel_map.bwd, vel_map.bwd_prev, blend_v)
-    w = mp.double_advect_3d(g, "w", w, s.w_prev, vel_map.bwd, vel_map.bwd_prev, blend_v)
+    (u,) = mp.bimocq_advect_3d(
+        g, "u", [s.u], [s.u_init], [s.u_prev],
+        vel_map.bwd, vel_map.bwd_prev, vel_map.fwd, blend_v)
+    (v,) = mp.bimocq_advect_3d(
+        g, "v", [s.v], [s.v_init], [s.v_prev],
+        vel_map.bwd, vel_map.bwd_prev, vel_map.fwd, blend_v)
+    (w,) = mp.bimocq_advect_3d(
+        g, "w", [s.w], [s.w_init], [s.w_prev],
+        vel_map.bwd, vel_map.bwd_prev, vel_map.fwd, blend_v)
 
-    # --- scalar pull-back ---
+    # --- scalar pull-back (rho and T share every map sample) ---
     blend_s = jnp.where(scalar_map.reinit_count != 0, cfg.blend_coeff, 1.0)
-    rho = mp.advect_with_map_3d(g, "c", s.rho, s.rho_init, scalar_map.bwd)
-    rho = mp.compensate_3d(g, "c", rho, s.rho_init, scalar_map.fwd, scalar_map.bwd)
-    rho = mp.double_advect_3d(
-        g, "c", rho, s.rho_prev, scalar_map.bwd, scalar_map.bwd_prev, blend_s
-    )
-    T = mp.advect_with_map_3d(g, "c", s.T, s.T_init, scalar_map.bwd)
-    T = mp.compensate_3d(g, "c", T, s.T_init, scalar_map.fwd, scalar_map.bwd)
-    T = mp.double_advect_3d(
-        g, "c", T, s.T_prev, scalar_map.bwd, scalar_map.bwd_prev, blend_s
-    )
+    rho, T = mp.bimocq_advect_3d(
+        g, "c", [s.rho, s.T], [s.rho_init, s.T_init], [s.rho_prev, s.T_prev],
+        scalar_map.bwd, scalar_map.bwd_prev, scalar_map.fwd, blend_s)
 
     if cfg.boundaries:
         u = _blend_boundary(bnd, "u", u, sl_u)
@@ -472,7 +516,7 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
 
     # --- projection ---
     u_t, v_t, w_t = u, v, w
-    u, v, w, _, iters, res = _project3(cfg, g, ctx, bnd, u, v, w)
+    u, v, w, _, iters, res, hist = _project3(cfg, g, ctx, bnd, u, v, w)
     du_p, dv_p, dw_p = u - u_t, v - v_t, w - w_t
 
     # --- reinit decision ---
@@ -495,14 +539,16 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
         proj_coeff = jnp.where(vel_gap, 1.0, 2.0)
 
     # --- accumulate deltas into init buffers through the forward map ---
-    u_init = mp.accumulate_3d(g, "u", s.u_init, du_ext, vel_map.fwd, 1.0)
-    v_init = mp.accumulate_3d(g, "v", s.v_init, dv_ext, vel_map.fwd, 1.0)
-    w_init = mp.accumulate_3d(g, "w", s.w_init, dw_ext, vel_map.fwd, 1.0)
-    u_init = mp.accumulate_3d(g, "u", u_init, du_p, vel_map.fwd, proj_coeff)
-    v_init = mp.accumulate_3d(g, "v", v_init, dv_p, vel_map.fwd, proj_coeff)
-    w_init = mp.accumulate_3d(g, "w", w_init, dw_p, vel_map.fwd, proj_coeff)
-    rho_init = mp.accumulate_3d(g, "c", s.rho_init, drho_ext, scalar_map.fwd, 1.0)
-    T_init = mp.accumulate_3d(g, "c", s.T_init, dT_ext, scalar_map.fwd, 1.0)
+    # (ext + proj deltas of one kind share one launch, mp.accumulate_multi_3d)
+    (u_init,) = mp.accumulate_multi_3d(
+        g, "u", [(s.u_init, [(du_ext, 1.0), (du_p, proj_coeff)])], vel_map.fwd)
+    (v_init,) = mp.accumulate_multi_3d(
+        g, "v", [(s.v_init, [(dv_ext, 1.0), (dv_p, proj_coeff)])], vel_map.fwd)
+    (w_init,) = mp.accumulate_multi_3d(
+        g, "w", [(s.w_init, [(dw_ext, 1.0), (dw_p, proj_coeff)])], vel_map.fwd)
+    rho_init, T_init = mp.accumulate_multi_3d(
+        g, "c", [(s.rho_init, [(drho_ext, 1.0)]), (s.T_init, [(dT_ext, 1.0)])],
+        scalar_map.fwd)
 
     # --- reinitialization ---
     def do_vel_reinit(args):
@@ -511,10 +557,13 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
         u_prev, v_prev, w_prev = u_init_, v_init_, w_init_
         # Init <- current velocity, then one more proj accumulation through
         # the (now identity) forward map (BimocqGPUSolver.cpp:220-222,
-        # BimocqSolver.cpp:212-214)
-        nu = mp.accumulate_3d(g, "u", u, du_p, vm.fwd, 1.0)
-        nv = mp.accumulate_3d(g, "v", v, dv_p, vm.fwd, 1.0)
-        nw = mp.accumulate_3d(g, "w", w, dw_p, vm.fwd, 1.0)
+        # BimocqSolver.cpp:212-214); identity=True skips the sampler
+        (nu,) = mp.accumulate_multi_3d(
+            g, "u", [(u, [(du_p, 1.0)])], vm.fwd, identity=True)
+        (nv,) = mp.accumulate_multi_3d(
+            g, "v", [(v, [(dv_p, 1.0)])], vm.fwd, identity=True)
+        (nw,) = mp.accumulate_multi_3d(
+            g, "w", [(w, [(dw_p, 1.0)])], vm.fwd, identity=True)
         return vm, nu, nv, nw, u_prev, v_prev, w_prev
 
     def no_vel_reinit(args):
@@ -560,6 +609,7 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
         vel_last_reinit=jnp.where(vel_reinit, s.frame, s.vel_last_reinit),
         scalar_last_reinit=jnp.where(scalar_reinit, s.frame, s.scalar_last_reinit),
         cfl=maxvel * dt / g.h, proj_iters=iters, proj_res=res,
+        proj_res_hist=hist, interp_overflow=overflow,
     )
 
 

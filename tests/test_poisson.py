@@ -27,7 +27,7 @@ def test_mgpcg_solves_poisson_3d(rng, bc):
     shape = (24, 24, 24)
     b = rng.standard_normal(shape).astype(np.float32)
     ctx = poisson.MGContext(shape, bc)
-    p, iters, res = poisson.mgpcg(jnp.asarray(b), ctx, tol=1e-5, max_iters=100)
+    p, iters, res, hist = poisson.mgpcg(jnp.asarray(b), ctx, tol=1e-5, max_iters=100)
     b_eff = b - b.mean() if bc == "neumann" else b
     r = b_eff - np.asarray(poisson.laplacian(p, bc))
     if bc == "neumann":
@@ -42,7 +42,7 @@ def test_mgpcg_is_fast_converging(rng):
     shape = (32, 32)
     b = rng.standard_normal(shape).astype(np.float32)
     ctx = poisson.MGContext(shape, "dirichlet")
-    _, iters_mg, _ = poisson.mgpcg(jnp.asarray(b), ctx, tol=1e-5, max_iters=200)
+    _, iters_mg, _, _ = poisson.mgpcg(jnp.asarray(b), ctx, tol=1e-5, max_iters=200)
     _, iters_cg, _ = poisson.cg(jnp.asarray(b), "dirichlet", tol=1e-5, max_iters=400)
     assert int(iters_mg) * 3 < int(iters_cg), (int(iters_mg), int(iters_cg))
 
@@ -59,7 +59,7 @@ def test_projection_removes_divergence_3d(rng, bc):
         v[:, 0] = v[:, -1] = 0
         w[:, :, 0] = w[:, :, -1] = 0
     ctx = poisson.MGContext((ni, nj, nk), bc)
-    u2, v2, w2, p, iters, res = poisson.project_3d(
+    u2, v2, w2, p, iters, res, _ = poisson.project_3d(
         jnp.asarray(u), jnp.asarray(v), jnp.asarray(w), ctx, tol=1e-6, max_iters=200
     )
     div = oracles.divergence_3d(np.asarray(u2), np.asarray(v2), np.asarray(w2))
