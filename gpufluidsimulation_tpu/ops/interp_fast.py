@@ -9,27 +9,30 @@ instead of thousands of scalar gathers.
 
 Kernel geometry (`_kernel`): output blocks of (8, 8, 128) over a 3D grid.
 Per block:
-  1. XLA prepass: per-block integer base shifts s = round(mean(g - node))
-     per axis; window origins (x free; y floor-8 aligned; z = the three
-     128-tiles around the block — Mosaic needs pl.multiple_of proofs for
-     tiled-dim DMA offsets) via scalar prefetch.
-  2. One async DMA pulls the (Wx, Wy, 384) window HBM->VMEM.
-  3. In-kernel re-basing: a dynamic lane `pltpu.roll` absorbs the z base
-     shift (the sublane axis has no global dynamic roll/slice on this
-     hardware, so y keeps its <=7-cell alignment slack in the hat loop).
+  1. XLA prepass computes per-block integer base shifts
+     s = round(mean(g - node)) per axis and window origins:
+     x free (leading dim, arbitrary offsets), y floor-8 aligned,
+     z = the 128-aligned tile at the shifted band start (dynamic
+     tile-aligned DMA offsets are legal; arbitrary ones are not).
+  2. One async DMA pulls the (Wx, 32, 256) window HBM->VMEM.
+  3. In-kernel re-basing with dynamic `pltpu.roll`s: a lane roll (256,
+     power of two — a hard requirement, dynamic rolls on non-pow2 dims
+     miscompile on this Mosaic) absorbs the sub-tile z offset, a sublane
+     roll (32) absorbs the y alignment slack. After the rolls the needed
+     (x, y, z) tap band sits at the window origin.
   4. Trilinear interpolation = hat-weighted sum over the relative integer
-     shifts ((2Rr+3) x (2Rr+10) x (2Rr+3), static slices); hat(t) =
-     max(0,1-|t|) is simultaneously the trilinear weight AND the window
-     mask, so the sum is exact under the residual contract. Pure VPU fmas
-     on VMEM-resident data.
+     shifts ((2Rr+3)^3 static slices); hat(t) = max(0,1-|t|) is
+     simultaneously the trilinear weight AND the window mask, so the sum
+     is exact under the residual contract. Pure VPU fmas on VMEM data,
+     with all hat weights hoisted out of the triple loop.
   5. Coverage (product of per-axis hat sums) renormalizes window-clipped
      edge cells (clamp-to-window instead of silent mass loss).
 
 Contract (checked by residual_overflow / tests): per-axis
 |(g - node) - round(block mean)| <= Rr + 0.5 over each (8,8,128) block
-(plus |z shift| <= 127-Rr, far beyond any CFL-bounded flow). BiMocq with
-per-frame reinitialization keeps total displacement around the CFL number
-and in-block variation well under Rr=2 (default).
+(plus |z base shift| <= 127-Rr, far beyond any CFL-bounded flow). BiMocq
+with per-frame reinitialization keeps total displacement around the CFL
+number and in-block variation well under Rr=2 (default).
 
 CPU fallback / correctness oracle: interp.sample3 (exact gather form).
 """
@@ -45,6 +48,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BX, BY = 8, 8
+WY_WIN = 32   # y window rows (power of two: dynamic sublane rolls require it)
+WZ_WIN = 384  # z window lanes DMA'd (3 tiles; rebased to a pow2 256 in-kernel)
 
 
 def _ceil(a, b):
@@ -55,71 +60,161 @@ def _hat(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
-def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
-            sem, *, Rr, block, win_shape):
-    bi = pl.program_id(0)
-    bj = pl.program_id(1)
-    bk = pl.program_id(2)
-    blk = (bi * pl.num_programs(1) + bj) * pl.num_programs(2) + bk
+# ---------------------------------------------------------------------------
+# shared prepass: window origins + rebased local coordinates
+# ---------------------------------------------------------------------------
 
-    # origins are flattened (blk*3 + c) — 2D SMEM operands get row-padded
-    # to 128 lanes, which overflows the 1MB SMEM at large grids
-    ox = origin_ref[blk * 3]
-    oy = pl.multiple_of(origin_ref[blk * 3 + 1], 8)
-    sz = origin_ref[blk * 3 + 2]  # z base shift
-    B1, B2, B3 = block
-    # z window: the three 128-tiles around this z block (tile-aligned DMA)
-    zoff = pl.multiple_of(bk * B3, 128)
 
-    copy = pltpu.make_async_copy(
-        field_hbm.at[
-            pl.ds(ox, win_shape[0]), pl.ds(oy, win_shape[1]),
-            pl.ds(zoff, win_shape[2]),
-        ],
-        win_ref,
-        sem,
-    )
-    copy.start()
+def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb):
+    """Per-block scalars [ox, oy, sy_slack, ozw, g0] flattened.
 
+    ox: x window origin (arbitrary); oy: y origin (floor-8, slack absorbed
+    by a sublane roll); ozw: 128-aligned z window origin; g0: padded-coord
+    start of the z tap band (g0 - ozw is the in-window lane roll).
+    """
+    def block_mean(d):
+        r = d.reshape(nb[0], BX, nb[1], BY, nb[2], 128)
+        return r.mean(axis=(1, 3, 5))
+
+    node_x = jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P
+    node_y = jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P
+    node_z = jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + 128
+    s_x = jnp.round(block_mean(gx - node_x)).astype(jnp.int32)
+    s_y = jnp.round(block_mean(gy - node_y)).astype(jnp.int32)
+    s_z = jnp.round(block_mean(gz - node_z)).astype(jnp.int32)
+
+    Wx = BX + 2 * Rr + 2
+    bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
+    bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * BY)[None, :, None]
+    bo_z = (jnp.arange(nb[2], dtype=jnp.int32) * 128)[None, None, :]
+    ox = jnp.clip(bo_x + P + s_x - (Rr + 1), 0, fs_xy[0] - Wx)
+    oy_ideal = jnp.clip(bo_y + P + s_y - (Rr + 1), 0,
+                        fs_xy[1] - (BY + 2 * Rr + 2))
+    oy = jnp.minimum((oy_ideal // 8) * 8, fs_xy[1] - WY_WIN)
+    slack = oy_ideal - oy
+    # z: padded band start G0 = 128 + 128*bk + s_z - (Rr+1); window origin is
+    # its 128-aligned floor, the remainder is rolled away in-kernel
+    s_z = jnp.clip(s_z, -(127 - Rr), 127 - Rr)
+    g0 = 128 + bo_z + s_z - (Rr + 1)
+    ozw = (g0 // 128) * 128
+    shape3 = (nb[0], nb[1], nb[2])
+    return jnp.stack(
+        [jnp.broadcast_to(ox, shape3).reshape(-1),
+         jnp.broadcast_to(oy, shape3).reshape(-1),
+         jnp.broadcast_to(slack, shape3).reshape(-1),
+         jnp.broadcast_to(ozw, shape3).reshape(-1),
+         jnp.broadcast_to(g0, shape3).reshape(-1)],
+        axis=-1,
+    ).reshape(-1)
+
+
+def _block_scalars(origin_ref, blk):
+    # origins are a flat i32 vector (blk*5 + c) — 2D SMEM operands get
+    # row-padded to 128 lanes, which overflows the 1MB SMEM at large grids
+    ox = origin_ref[blk * 5]
+    oy = pl.multiple_of(origin_ref[blk * 5 + 1], 8)
+    sy = origin_ref[blk * 5 + 2]
+    ozw = pl.multiple_of(origin_ref[blk * 5 + 3], 128)
+    g0 = origin_ref[blk * 5 + 4]
+    return ox, oy, sy, ozw, g0
+
+
+def _rebased_window(win_ref, sy, relz, y_axis):
+    """Rebase the (.., WY_WIN, 384) window so the tap band starts at row
+    (y=0, z=0) of a (.., WY_WIN, 256) buffer.
+
+    Dynamic `pltpu.roll` only compiles correctly on power-of-two dims, so
+    the 3-tile z window is rebased with two 256-lane rolls + a lane select:
+      want V[l] = win[l + relz], l in [0, 256), relz in [0, 127]
+      A = roll(win[0:256], -relz)          covers l + relz < 256
+      D = roll(concat(win[256:], win[256:]), -relz)   covers the tail
+    then one sublane roll (32 rows) absorbs the y alignment slack."""
+    win = win_ref[...]
+    z_axis = y_axis + 1
+    ndim = win.ndim
+
+    def zslice(lo, hi):
+        idx = [slice(None)] * ndim
+        idx[z_axis] = slice(lo, hi)
+        return win[tuple(idx)]
+
+    a = pltpu.roll(zslice(0, 256), -relz, z_axis)
+    w2 = zslice(256, 384)
+    d = pltpu.roll(jnp.concatenate([w2, w2], axis=z_axis), -relz, z_axis)
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, z_axis)
+    v = jnp.where(lane + relz < 256, a, d)
+    return pltpu.roll(v, -sy, y_axis)
+
+
+def _local_coords(gx_ref, gy_ref, gz_ref, ox, oy, sy, g0, Rr):
     lx = gx_ref[...] - ox.astype(jnp.float32)
-    ly = gy_ref[...] - oy.astype(jnp.float32)
-    # gz carries the +128 z lo-pad; window starts at bk*B3 in padded coords
-    lz = gz_ref[...] - (zoff + sz).astype(jnp.float32)
+    ly = gy_ref[...] - (oy + sy).astype(jnp.float32)
+    # lz measured from the tap-band start: band row 0 = padded row g0, and
+    # g0 = node_base + s_z - (Rr+1), so local tap dr matches hat offset
+    # (lz - dr) with lz in [Rr+0.5, Rr+1.5] + residual
+    lz = gz_ref[...] - g0.astype(jnp.float32)
+    return lx, ly, lz
 
+
+def _hats(lx, ly, lz, block, Rr):
+    W = 2 * Rr + 3
     a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
     b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
     c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
-
-    W = 2 * Rr + 3
-    WY = 2 * Rr + 10  # y shifts incl. the floor-8 alignment slack (<= 7)
-    ZB = 128 - Rr - 1  # z hat base inside the rolled 3-tile window
-
-    copy.wait()
-    # re-base z via a dynamic LANE roll (exact global roll; the sublane axis
-    # has no global dynamic roll/slice on this hardware, so y keeps its
-    # alignment slack in the hat loop instead)
-    win = pltpu.roll(win_ref[...], -sz, 2)
-
-    # hoist all hat weights out of the triple loop: W+WY+W evaluations
-    # instead of ~W*WY*W (the fma chain below is the whole kernel cost)
+    # hoisted hat weights: 3W evaluations instead of ~W^3
     hx = [_hat(lx - (a + dp)) for dp in range(W)]
-    hy = [_hat(ly - (b + dq)) for dq in range(WY)]
-    hz = [_hat(lz - (c + (ZB + dr))) for dr in range(W)]
+    hy = [_hat(ly - (b + dq)) for dq in range(W)]
+    hz = [_hat(lz - (c + dr)) for dr in range(W)]
+    return hx, hy, hz
 
+
+def _trilerp_sum(win, hx, hy, hz, block, Rr):
+    W = 2 * Rr + 3
+    B1, B2, B3 = block
     out = jnp.zeros(block, jnp.float32)
     for dr in range(W):
-        winz = win[:, :, ZB + dr : ZB + dr + B3]
+        winz = win[:, :, dr : dr + B3]
         acc_y = jnp.zeros(block, jnp.float32)
-        for dq in range(WY):
+        for dq in range(W):
             winyz = winz[:, dq : dq + B2, :]
             acc_x = jnp.zeros(block, jnp.float32)
             for dp in range(W):
                 acc_x = acc_x + hx[dp] * winyz[dp : dp + B1]
             acc_y = acc_y + hy[dq] * acc_x
         out = out + hz[dr] * acc_y
-
     cov = sum(hx) * sum(hy) * sum(hz)
-    out_ref[...] = jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
+    return jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# single-channel sampler
+# ---------------------------------------------------------------------------
+
+
+def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
+            sem, *, Rr, block, win_shape):
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    bk = pl.program_id(2)
+    blk = (bi * pl.num_programs(1) + bj) * pl.num_programs(2) + bk
+    ox, oy, sy, ozw, g0 = _block_scalars(origin_ref, blk)
+
+    copy = pltpu.make_async_copy(
+        field_hbm.at[
+            pl.ds(ox, win_shape[0]), pl.ds(oy, win_shape[1]),
+            pl.ds(ozw, win_shape[2]),
+        ],
+        win_ref,
+        sem,
+    )
+    copy.start()
+
+    lx, ly, lz = _local_coords(gx_ref, gy_ref, gz_ref, ox, oy, sy, g0, Rr)
+    hx, hy, hz = _hats(lx, ly, lz, block, Rr)
+
+    copy.wait()
+    win = _rebased_window(win_ref, sy, g0 - ozw, 1)
+    out_ref[...] = _trilerp_sum(win, hx, hy, hz, block, Rr)
 
 
 @functools.partial(
@@ -134,34 +229,8 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape):
     block = (BX, BY, 128)
     fs = field_padded.shape
     Wx = BX + 2 * Rr + 2
-    Wy = _ceil(BY + 2 * Rr + 2 + 7, 8)
-    win_shape = (Wx, Wy, 384)
-
-    # per-(8, 8, 128)-block statistics
-    def block_mean(d):
-        r = d.reshape(nb[0], BX, nb[1], BY, nb[2], 128)
-        return r.mean(axis=(1, 3, 5))
-
-    node_x = jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P
-    node_y = jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P
-    node_z = jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + 128
-    s_x = jnp.round(block_mean(gx - node_x)).astype(jnp.int32)
-    s_y = jnp.round(block_mean(gy - node_y)).astype(jnp.int32)
-    s_z = jnp.round(block_mean(gz - node_z)).astype(jnp.int32)
-    bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
-    bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * BY)[None, :, None]
-    ox = jnp.clip(bo_x + P + s_x - (Rr + 1), 0, fs[0] - Wx)
-    oy_ideal = jnp.clip(bo_y + P + s_y - (Rr + 1), 0, fs[1] - (BY + 2 * Rr + 2))
-    oy = jnp.minimum((oy_ideal // 8) * 8, fs[1] - Wy)
-    # z roll budget: keep the needed band inside the rolled 3-tile window
-    s_z = jnp.clip(s_z, -(127 - Rr), 127 - Rr)
-    shape3 = (nb[0], nb[1], nb[2])
-    origins = jnp.stack(
-        [jnp.broadcast_to(ox, shape3).reshape(-1),
-         jnp.broadcast_to(oy, shape3).reshape(-1),
-         s_z.reshape(-1)],
-        axis=-1,
-    ).reshape(-1)
+    win_shape = (Wx, WY_WIN, WZ_WIN)
+    origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -194,27 +263,22 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape):
     return out[: out_shape[0], : out_shape[1], : out_shape[2]]
 
 
-def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False):
-    """Drop-in replacement for interp.sample3 (world positions, field offset
-    in units of h) under the bounded-displacement contract above.
-
-    `px, py, pz` must be full-lattice position arrays whose element (i,j,k)
-    samples near lattice site (i,j,k) (true for every use in this engine).
-    """
-    del Rz  # the 3-tile z window covers shifts up to ~127 cells
+def _pad_field_positions(field_like, px, py, pz, h, off, Rr):
+    """Shared host-side prep: edge-pad the field (leading C axis optional)
+    to the window-safe extent and rebase positions into padded coords."""
     out_shape = px.shape
     P = Rr + 2
-
     Z = _ceil(out_shape[2], 128)
-    ZP = Z + 256  # one full 128-tile of z halo each side
+    ZP = Z + 384  # 128 front pad + up to a 256-window reach past the end
+    spatial = field_like.shape[-3:]
 
-    xpad = P + max(0, _ceil(out_shape[0], BX) - field.shape[0])
-    ypad = P + max(0, _ceil(out_shape[1], BY) - field.shape[1])
-    fpad = jnp.pad(
-        field,
-        ((P, xpad), (P, ypad), (128, ZP - 128 - field.shape[2])),
-        mode="edge",
-    )
+    xpad = P + max(0, _ceil(out_shape[0], BX) - spatial[0])
+    ypad = max(P + max(0, _ceil(out_shape[1], BY) - spatial[1]),
+               WY_WIN - spatial[1] + 1)
+    padw = [(P, xpad), (P, ypad), (128, ZP - 128 - spatial[2])]
+    if field_like.ndim == 4:
+        padw = [(0, 0)] + padw
+    fpad = jnp.pad(field_like, padw, mode="edge")
 
     gx = px / h - off[0] + P
     gy = py / h - off[1] + P
@@ -225,20 +289,32 @@ def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False):
         _ceil(out_shape[1], BY) - out_shape[1],
         Z - out_shape[2],
     )
-    padw = [(0, p) for p in pad_to]
+    pw = [(0, p) for p in pad_to]
 
     def node_like(x, axis, p):
         return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
 
     # pad to block multiples in DISPLACEMENT space so rim-block statistics
     # stay representative of the real cells
-    dx = jnp.pad(gx - node_like(gx, 0, P), padw, mode="edge")
-    dy = jnp.pad(gy - node_like(gy, 1, P), padw, mode="edge")
-    dz = jnp.pad(gz - node_like(gz, 2, 128), padw, mode="edge")
+    dx = jnp.pad(gx - node_like(gx, 0, P), pw, mode="edge")
+    dy = jnp.pad(gy - node_like(gy, 1, P), pw, mode="edge")
+    dz = jnp.pad(gz - node_like(gz, 2, 128), pw, mode="edge")
     gx = node_like(dx, 0, P) + dx
     gy = node_like(dy, 1, P) + dy
     gz = node_like(dz, 2, 128) + dz
+    return fpad, gx, gy, gz, P
 
+
+def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False):
+    """Drop-in replacement for interp.sample3 (world positions, field offset
+    in units of h) under the bounded-displacement contract above.
+
+    `px, py, pz` must be full-lattice position arrays whose element (i,j,k)
+    samples near lattice site (i,j,k) (true for every use in this engine).
+    """
+    del Rz  # the dynamic-tile z window covers shifts up to ~125 cells
+    out_shape = px.shape
+    fpad, gx, gy, gz, P = _pad_field_positions(field, px, py, pz, h, off, Rr)
     return _sample3_padded(
         fpad, gx, gy, gz,
         Rr=Rr, P=P, interpret=interpret, out_shape=out_shape,
@@ -248,7 +324,7 @@ def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False):
 def residual_overflow(px, py, pz, h, off, *, Rr=2, Rz=8):
     """Diagnostic: count of samples violating the kernel's reach — per-axis
     in-block residual > Rr+0.5 after mean-centering with the kernel's own
-    (8, 8, full-z) blocking, or |z base shift| beyond the Rz roll budget.
+    (8, 8, 128) blocking, or |z base shift| beyond the window budget.
     Keep at 0."""
     out_shape = px.shape
     gx = px / h - off[0]
@@ -287,52 +363,36 @@ def _kernel_minmax(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm,
     bj = pl.program_id(1)
     bk = pl.program_id(2)
     blk = (bi * pl.num_programs(1) + bj) * pl.num_programs(2) + bk
-
-    ox = origin_ref[blk * 3]
-    oy = pl.multiple_of(origin_ref[blk * 3 + 1], 8)
-    sz = origin_ref[blk * 3 + 2]
-    B1, B2, B3 = block
-    zoff = pl.multiple_of(bk * B3, 128)
+    ox, oy, sy, ozw, g0 = _block_scalars(origin_ref, blk)
 
     copy = pltpu.make_async_copy(
         field_hbm.at[
             pl.ds(ox, win_shape[0]), pl.ds(oy, win_shape[1]),
-            pl.ds(zoff, win_shape[2]),
+            pl.ds(ozw, win_shape[2]),
         ],
         win_ref,
         sem,
     )
     copy.start()
 
-    lx = gx_ref[...] - ox.astype(jnp.float32)
-    ly = gy_ref[...] - oy.astype(jnp.float32)
-    lz = gz_ref[...] - (zoff + sz).astype(jnp.float32)
-
-    a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
-    b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
-    c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
-
+    lx, ly, lz = _local_coords(gx_ref, gy_ref, gz_ref, ox, oy, sy, g0, Rr)
+    hx, hy, hz = _hats(lx, ly, lz, block, Rr)
     W = 2 * Rr + 3
-    WY = 2 * Rr + 10
-    ZB = 128 - Rr - 1
+    B1, B2, B3 = block
 
     copy.wait()
-    win = pltpu.roll(win_ref[...], -sz, 2)
-
-    mx_hats = [_hat(lx - (a + dp)) > 0.0 for dp in range(W)]
-    my_hats = [_hat(ly - (b + dq)) > 0.0 for dq in range(WY)]
-    mz_hats = [_hat(lz - (c + (ZB + dr))) > 0.0 for dr in range(W)]
+    win = _rebased_window(win_ref, sy, g0 - ozw, 1)
 
     big = jnp.float32(3.0e38)
     mn = jnp.full(block, big)
     mx = jnp.full(block, -big)
     for dr in range(W):
-        winz = win[:, :, ZB + dr : ZB + dr + B3]
-        for dq in range(WY):
-            myq = mz_hats[dr] & my_hats[dq]
+        winz = win[:, :, dr : dr + B3]
+        for dq in range(W):
+            myq = (hz[dr] > 0.0) & (hy[dq] > 0.0)
             winyz = winz[:, dq : dq + B2, :]
             for dp in range(W):
-                m = myq & mx_hats[dp]
+                m = myq & (hx[dp] > 0.0)
                 vals = winyz[dp : dp + B1]
                 mn = jnp.where(m, jnp.minimum(mn, vals), mn)
                 mx = jnp.where(m, jnp.maximum(mx, vals), mx)
@@ -346,36 +406,7 @@ def minmax3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False):
     displacement contract as sample3_fast."""
     del Rz
     out_shape = px.shape
-    P = Rr + 2
-    Z = _ceil(out_shape[2], 128)
-    ZP = Z + 256
-
-    xpad = P + max(0, _ceil(out_shape[0], BX) - field.shape[0])
-    ypad = P + max(0, _ceil(out_shape[1], BY) - field.shape[1])
-    fpad = jnp.pad(
-        field,
-        ((P, xpad), (P, ypad), (128, ZP - 128 - field.shape[2])),
-        mode="edge",
-    )
-    gx = px / h - off[0] + P
-    gy = py / h - off[1] + P
-    gz = pz / h - off[2] + 128
-    pad_to = (
-        _ceil(out_shape[0], BX) - out_shape[0],
-        _ceil(out_shape[1], BY) - out_shape[1],
-        Z - out_shape[2],
-    )
-    padw = [(0, p) for p in pad_to]
-
-    def node_like(x, axis, p):
-        return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
-
-    dx = jnp.pad(gx - node_like(gx, 0, P), padw, mode="edge")
-    dy = jnp.pad(gy - node_like(gy, 1, P), padw, mode="edge")
-    dz = jnp.pad(gz - node_like(gz, 2, 128), padw, mode="edge")
-    gx = node_like(dx, 0, P) + dx
-    gy = node_like(dy, 1, P) + dy
-    gz = node_like(dz, 2, 128) + dz
+    fpad, gx, gy, gz, P = _pad_field_positions(field, px, py, pz, h, off, Rr)
     return _minmax3_padded(
         fpad, gx, gy, gz, Rr=Rr, P=P, interpret=interpret,
         out_shape=out_shape,
@@ -391,32 +422,8 @@ def _minmax3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape):
     block = (BX, BY, 128)
     fs = field_padded.shape
     Wx = BX + 2 * Rr + 2
-    Wy = _ceil(BY + 2 * Rr + 2 + 7, 8)
-    win_shape = (Wx, Wy, 384)
-
-    def block_mean(d):
-        r = d.reshape(nb[0], BX, nb[1], BY, nb[2], 128)
-        return r.mean(axis=(1, 3, 5))
-
-    node_x = jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P
-    node_y = jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P
-    node_z = jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + 128
-    s_x = jnp.round(block_mean(gx - node_x)).astype(jnp.int32)
-    s_y = jnp.round(block_mean(gy - node_y)).astype(jnp.int32)
-    s_z = jnp.round(block_mean(gz - node_z)).astype(jnp.int32)
-    bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
-    bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * BY)[None, :, None]
-    ox = jnp.clip(bo_x + P + s_x - (Rr + 1), 0, fs[0] - Wx)
-    oy_ideal = jnp.clip(bo_y + P + s_y - (Rr + 1), 0, fs[1] - (BY + 2 * Rr + 2))
-    oy = jnp.minimum((oy_ideal // 8) * 8, fs[1] - Wy)
-    s_z = jnp.clip(s_z, -(127 - Rr), 127 - Rr)
-    shape3 = (nb[0], nb[1], nb[2])
-    origins = jnp.stack(
-        [jnp.broadcast_to(ox, shape3).reshape(-1),
-         jnp.broadcast_to(oy, shape3).reshape(-1),
-         s_z.reshape(-1)],
-        axis=-1,
-    ).reshape(-1)
+    win_shape = (Wx, WY_WIN, WZ_WIN)
+    origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -472,67 +479,37 @@ def _kernel_multi(origin_ref, gx_ref, gy_ref, gz_ref, fields_hbm, out_ref,
     bj = pl.program_id(1)
     bk = pl.program_id(2)
     blk = (bi * pl.num_programs(1) + bj) * pl.num_programs(2) + bk
-
-    ox = origin_ref[blk * 3]
-    oy = pl.multiple_of(origin_ref[blk * 3 + 1], 8)
-    sz = origin_ref[blk * 3 + 2]
-    B1, B2, B3 = block
-    zoff = pl.multiple_of(bk * B3, 128)
+    ox, oy, sy, ozw, g0 = _block_scalars(origin_ref, blk)
 
     copy = pltpu.make_async_copy(
         fields_hbm.at[
             :, pl.ds(ox, win_shape[1]), pl.ds(oy, win_shape[2]),
-            pl.ds(zoff, win_shape[3]),
+            pl.ds(ozw, win_shape[3]),
         ],
         win_ref,
         sem,
     )
     copy.start()
 
-    lx0 = gx_ref[...] - ox.astype(jnp.float32)
-    ly0 = gy_ref[...] - oy.astype(jnp.float32)
-    lz0 = gz_ref[...] - (zoff + sz).astype(jnp.float32)
-
-    a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
-    b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
-    c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
-
-    W = 2 * Rr + 3
-    WY = 2 * Rr + 10
-    ZB = 128 - Rr - 1
+    lx0, ly0, lz0 = _local_coords(gx_ref, gy_ref, gz_ref, ox, oy, sy, g0, Rr)
 
     copy.wait()
-    win_all = pltpu.roll(win_ref[...], -sz, 3)
+    win_all = _rebased_window(win_ref, sy, g0 - ozw, 2)
 
     # hats are shared between channels with identical offset deltas
     hat_cache = {}
 
-    def hats(delta):
+    def hats_for(delta):
         if delta not in hat_cache:
             dxo, dyo, dzo = delta
-            hat_cache[delta] = (
-                [_hat(lx0 + dxo - (a + dp)) for dp in range(W)],
-                [_hat(ly0 + dyo - (b + dq)) for dq in range(WY)],
-                [_hat(lz0 + dzo - (c + (ZB + dr))) for dr in range(W)],
+            hat_cache[delta] = _hats(
+                lx0 + dxo, ly0 + dyo, lz0 + dzo, block, Rr
             )
         return hat_cache[delta]
 
     for ch in range(C):
-        hx, hy, hz = hats(deltas[ch])
-        win = win_all[ch]
-        out = jnp.zeros(block, jnp.float32)
-        for dr in range(W):
-            winz = win[:, :, ZB + dr : ZB + dr + B3]
-            acc_y = jnp.zeros(block, jnp.float32)
-            for dq in range(WY):
-                winyz = winz[:, dq : dq + B2, :]
-                acc_x = jnp.zeros(block, jnp.float32)
-                for dp in range(W):
-                    acc_x = acc_x + hx[dp] * winyz[dp : dp + B1]
-                acc_y = acc_y + hy[dq] * acc_x
-            out = out + hz[dr] * acc_y
-        cov = sum(hx) * sum(hy) * sum(hz)
-        out_ref[ch] = jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
+        hx, hy, hz = hats_for(deltas[ch])
+        out_ref[ch] = _trilerp_sum(win_all[ch], hx, hy, hz, block, Rr)
 
 
 @functools.partial(
@@ -545,34 +522,10 @@ def _sample3_padded_multi(fields_padded, gx, gy, gz, *, Rr, P, interpret,
     nx, ny, Z = gx.shape
     nb = (nx // BX, ny // BY, Z // 128)
     block = (BX, BY, 128)
-    fs = fields_padded.shape
+    fs = fields_padded.shape[1:]
     Wx = BX + 2 * Rr + 2
-    Wy = _ceil(BY + 2 * Rr + 2 + 7, 8)
-    win_shape = (C, Wx, Wy, 384)
-
-    def block_mean(d):
-        r = d.reshape(nb[0], BX, nb[1], BY, nb[2], 128)
-        return r.mean(axis=(1, 3, 5))
-
-    node_x = jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P
-    node_y = jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P
-    node_z = jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + 128
-    s_x = jnp.round(block_mean(gx - node_x)).astype(jnp.int32)
-    s_y = jnp.round(block_mean(gy - node_y)).astype(jnp.int32)
-    s_z = jnp.round(block_mean(gz - node_z)).astype(jnp.int32)
-    bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
-    bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * BY)[None, :, None]
-    ox = jnp.clip(bo_x + P + s_x - (Rr + 1), 0, fs[1] - Wx)
-    oy_ideal = jnp.clip(bo_y + P + s_y - (Rr + 1), 0, fs[2] - (BY + 2 * Rr + 2))
-    oy = jnp.minimum((oy_ideal // 8) * 8, fs[2] - Wy)
-    s_z = jnp.clip(s_z, -(127 - Rr), 127 - Rr)
-    shape3 = (nb[0], nb[1], nb[2])
-    origins = jnp.stack(
-        [jnp.broadcast_to(ox, shape3).reshape(-1),
-         jnp.broadcast_to(oy, shape3).reshape(-1),
-         s_z.reshape(-1)],
-        axis=-1,
-    ).reshape(-1)
+    win_shape = (C, Wx, WY_WIN, WZ_WIN)
+    origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -611,20 +564,7 @@ def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False):
     """Sample C stacked same-shape fields (C, nx, ny, nz) at one position
     lattice with per-channel offsets `offs` (C tuples, units of h). Returns
     (C, *px.shape). One window DMA + one launch for all channels."""
-    C = fields.shape[0]
     out_shape = px.shape
-    P = Rr + 2
-    Z = _ceil(out_shape[2], 128)
-    ZP = Z + 256
-
-    xpad = P + max(0, _ceil(out_shape[0], BX) - fields.shape[1])
-    ypad = P + max(0, _ceil(out_shape[1], BY) - fields.shape[2])
-    fpad = jnp.pad(
-        fields,
-        ((0, 0), (P, xpad), (P, ypad), (128, ZP - 128 - fields.shape[3])),
-        mode="edge",
-    )
-
     # reference channel 0 defines the position lattice; other channels get
     # static per-channel coordinate deltas (offs in units of h)
     off0 = offs[0]
@@ -632,27 +572,9 @@ def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False):
         (float(off0[0] - o[0]), float(off0[1] - o[1]), float(off0[2] - o[2]))
         for o in offs
     )
-    gx = px / h - off0[0] + P
-    gy = py / h - off0[1] + P
-    gz = pz / h - off0[2] + 128
-
-    pad_to = (
-        _ceil(out_shape[0], BX) - out_shape[0],
-        _ceil(out_shape[1], BY) - out_shape[1],
-        Z - out_shape[2],
+    fpad, gx, gy, gz, P = _pad_field_positions(
+        fields, px, py, pz, h, off0, Rr
     )
-    padw = [(0, p) for p in pad_to]
-
-    def node_like(x, axis, p):
-        return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
-
-    dx = jnp.pad(gx - node_like(gx, 0, P), padw, mode="edge")
-    dy = jnp.pad(gy - node_like(gy, 1, P), padw, mode="edge")
-    dz = jnp.pad(gz - node_like(gz, 2, 128), padw, mode="edge")
-    gx = node_like(dx, 0, P) + dx
-    gy = node_like(dy, 1, P) + dy
-    gz = node_like(dz, 2, 128) + dz
-
     return _sample3_padded_multi(
         fpad, gx, gy, gz,
         Rr=Rr, P=P, interpret=interpret, out_shape=out_shape, deltas=deltas,

@@ -190,22 +190,27 @@ class MGContext:
         self.shapes = mg_shapes(shape)
         self.diags = [jnp.asarray(_diag(s, bc)) for s in self.shapes]
 
+    def _smooth(self, x, b, level, iters, omega):
+        """Per-level smoother hook — subclasses substitute Pallas RBGS
+        (ops/pallas_kernels.py) or the ppermute-halo sharded smoother
+        (parallel/sharding.ShardedMGContext)."""
+        return jacobi_smooth(x, b, self.bc, self.diags[level], iters, omega)
+
     def v_cycle(self, r, level=0, n_pre=2, n_post=2, n_coarse=40, omega=0.8):
         """Approximately solve L e = r; returns e. The 4x residual scaling per
         level accounts for the unscaled stencil under 2x coarsening (the
         reference's alpha*8 'scale' hack, GPU_kernel.cu:1639-1673, plays the
         same role)."""
         bc = self.bc
-        diag = self.diags[level]
         if level == len(self.shapes) - 1:
             e = jnp.zeros_like(r)
-            return jacobi_smooth(e, r, bc, diag, n_coarse, omega)
-        e = jacobi_smooth(jnp.zeros_like(r), r, bc, diag, n_pre, omega)
+            return self._smooth(e, r, level, n_coarse, omega)
+        e = self._smooth(jnp.zeros_like(r), r, level, n_pre, omega)
         rr = r - laplacian(e, bc)
         rc = 4.0 * restrict_full(rr, self.shapes[level + 1])
         ec = self.v_cycle(rc, level + 1, n_pre, n_post, n_coarse, omega)
         e = e + prolong_linear(ec, self.shapes[level])
-        return jacobi_smooth(e, r, bc, diag, n_post, omega)
+        return self._smooth(e, r, level, n_post, omega)
 
 
 # ---------------------------------------------------------------------------

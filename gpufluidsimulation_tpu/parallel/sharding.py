@@ -59,14 +59,72 @@ def shard_state(state, mesh: Mesh):
     return jax.tree.map(put, state)
 
 
-def sharded_step(solver, mesh: Mesh):
-    """Jit the full solver step with in/out shardings pinned to the mesh."""
+class ShardedMGContext:
+    """MGContext whose fine-level smoothing rides explicit ppermute halos
+    (parallel/halo.jacobi_smooth_sharded) instead of whatever collectives
+    GSPMD picks for the pad/slice stencil — the bandwidth-critical inner
+    loop of the projection stays neighbor-only on ICI. Levels whose z
+    extent no longer divides the mesh fall back to the GSPMD form (they
+    are tiny)."""
+
+    def __init__(self, shape, bc, mesh: Mesh):
+        from gpufluidsimulation_tpu.ops import poisson
+
+        self._base = poisson.MGContext(shape, bc)
+        self.bc = self._base.bc
+        self.shapes = self._base.shapes
+        self.diags = self._base.diags
+        self.mesh = mesh
+
+    def _smooth(self, x, b, level, iters, omega):
+        from gpufluidsimulation_tpu.ops import poisson
+        from gpufluidsimulation_tpu.parallel import halo
+
+        nz = self.shapes[level][2]
+        if nz % self.mesh.size == 0 and nz // self.mesh.size >= 2:
+            return halo.jacobi_smooth_sharded(
+                x, b, self.mesh, self.bc, self.diags[level], iters, omega
+            )
+        return poisson.jacobi_smooth(
+            x, b, self.bc, self.diags[level], iters, omega
+        )
+
+    def v_cycle(self, r, level=0, n_pre=2, n_post=2, n_coarse=40, omega=0.8):
+        from gpufluidsimulation_tpu.ops import poisson
+
+        return poisson.MGContext.v_cycle(
+            self, r, level, n_pre, n_post, n_coarse, omega
+        )
+
+
+def sharded_step(solver, mesh: Mesh, halo_smoother: bool = True):
+    """Jit the full solver step with in/out shardings pinned to the mesh.
+
+    With halo_smoother=True (default) the projection's MG smoothing runs
+    through the shard_map ppermute-halo path (ShardedMGContext); otherwise
+    the unmodified step is jitted and GSPMD chooses all collectives."""
     from functools import partial
 
     from gpufluidsimulation_tpu.solvers import smoke3d
 
     step_fn = smoke3d._STEPS[solver.cfg.scheme]
-    fn = partial(step_fn, solver.cfg, solver.grid, solver.ctx)
+    ctx = solver.ctx
+    if halo_smoother:
+        ctx = ShardedMGContext(solver.grid.shape_c, solver.cfg.bc, mesh)
+
+    def fn(state):
+        # Trace the sharded step on the exact-gather path: the windowed-DMA
+        # Pallas kernels carry no GSPMD partitioning rules yet (grid-sharded
+        # window sampling with explicit halos is the planned upgrade), and
+        # XLA's gather partitioning is correct under any sharding.
+        from gpufluidsimulation_tpu import config
+
+        prev = config._FORCED
+        config.set_fast_interp(False)
+        try:
+            return step_fn(solver.cfg, solver.grid, ctx, state)
+        finally:
+            config.set_fast_interp(prev)
 
     example = solver.init_state()
     shardings = jax.tree.map(

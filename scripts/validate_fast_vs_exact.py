@@ -50,7 +50,7 @@ def main():
     umax = max(np.abs(u_exact).max(), 1e-9)
     print(f"steps={steps}  density Linf drift={dr:.4e}  "
           f"velocity Linf drift={du:.4e} (rel {du/umax:.3e})")
-    print("PASS" if dr <= 1e-2 else "CHECK: drift above loose bound")
+    print("PASS" if dr <= 1e-3 else "FAIL: drift above the 1e-3 acceptance bound")
 
 
 if __name__ == "__main__":

@@ -157,3 +157,30 @@ def test_sample3_multi_matches_per_channel(rng):
             jnp.asarray(fields[ch]), jnp.asarray(px), jnp.asarray(py),
             jnp.asarray(pz), h, offs[ch]))
         np.testing.assert_allclose(got[ch], want, rtol=1e-3, atol=1e-4)
+
+
+def test_sample3_fast_large_z_base_shift(rng):
+    """Blocks whose mean z displacement spans multiple 128-lane tiles
+    exercise the dynamic tile-origin + pow2 roll-decomposition rebase (the
+    round-1 kernel's single 384-lane dynamic roll miscompiled natively for
+    any nonzero z base shift)."""
+    shape = (16, 16, 256)
+    h = 0.1
+    off = (0.0, 0.0, 0.0)
+    field = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    i = np.arange(shape[0])[:, None, None]
+    j = np.arange(shape[1])[None, :, None]
+    k = np.arange(shape[2])[None, None, :]
+    dz = np.broadcast_to(90.0 * np.sin((i + j) / 600 + k / 20000), shape)
+    px = jnp.asarray(((i + 0.0 * j + 0.0 * k) * h).astype(np.float32)
+                     + jnp.zeros(shape, jnp.float32))
+    py = jnp.asarray(((j + 0.0 * i + 0.0 * k) * h).astype(np.float32)
+                     + jnp.zeros(shape, jnp.float32))
+    pz = jnp.asarray(((k + dz) * h).astype(np.float32)
+                     + jnp.zeros(shape, jnp.float32))
+    assert int(interp_fast.residual_overflow(px, py, pz, h, off, Rr=2)) == 0
+    want = interp.sample3(field, px, py, pz, h, off)
+    got = interp_fast.sample3_fast(field, px, py, pz, h, off, Rr=2,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

@@ -43,3 +43,39 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_bimocq_step_matches_single_device():
+    """Full BiMocq step on an 8-virtual-device z-sharded mesh == the
+    single-device step (VERDICT round-1 item 7). Uses the halo-smoothed
+    sharded projection (ShardedMGContext)."""
+    from gpufluidsimulation_tpu.scenes.scenes3d import vortex_collision_config
+    from gpufluidsimulation_tpu.solvers.schemes import Scheme
+    from gpufluidsimulation_tpu.solvers.smoke3d import Emitter3D, Smoke3D
+
+    cfg = vortex_collision_config(
+        ni=16, nj=16, nk=16, scheme=Scheme.BIMOCQ, dt=0.01,
+        emitters=(Emitter3D(center=(0.05, 0.1, 0.1), radius=0.03, sign=1.0),),
+        viscosity=0.0, proj_tol=1e-6, proj_max_iters=60,
+    )
+    solver = Smoke3D(cfg)
+
+    # single-device reference
+    s0 = solver.init_state()
+    for _ in range(2):
+        s0 = solver.step(s0)
+
+    # sharded run (halo-smoothed projection)
+    mesh = make_mesh(8)
+    step = sharded_step(solver, mesh, halo_smoother=True)
+    s1 = shard_state(solver.init_state(), mesh)
+    for _ in range(2):
+        s1 = step(s1)
+
+    assert len(s1.u.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(s1.u), np.asarray(s0.u),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1.rho), np.asarray(s0.rho),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1.vel_map.bwd), np.asarray(s0.vel_map.bwd),
+                               rtol=1e-5, atol=1e-6)
