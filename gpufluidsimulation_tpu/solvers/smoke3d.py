@@ -37,12 +37,21 @@ from gpufluidsimulation_tpu.solvers.schemes import Scheme
 
 @dataclasses.dataclass(frozen=True)
 class Emitter3D:
-    """Analytic sphere emitter (gpu_emit_smoke, GPU_kernel.cu:736-802).
+    """Smoke emitter — analytic sphere by default (gpu_emit_smoke,
+    GPU_kernel.cu:736-802: rho/T set inside `radius`, theta-modulated
+    x-velocity sign*0.06*(1 + 0.01*cos(8 theta)), v/w zeroed), generalized
+    to the reference `Emitter`'s full surface (BimocqSolver.h:31-59):
 
-    Sets rho/T inside `radius` and a theta-modulated x-velocity
-    sign*0.06*(1 + 0.01*cos(8 theta)); v/w are zeroed inside the sphere.
-    Matches the hard-coded vortex-collision emitters (BimocqGPUSolver.cpp:387-390,
-    bimocq3D/main.cpp:52-79).
+    * `sdf_grid`: a voxel level set (cell lattice x = i*h, voxel size =
+      the simulation h — use io_utils.mesh.mesh_to_sdf for OBJ meshes);
+      emission happens where the translated SDF <= 0, mirroring the VDB
+      wsSample loop of emitSmoke (BimocqSolver.cpp:697-815).
+    * `trans(frame)` -> (dx, dy, dz): closed-form world offset of the
+      emitter at a frame (the e_pos integration of Emitter::update;
+      must be jnp-traceable).
+    * `emit_velocity(X, Y, Z)` -> (u, v, w): emission velocity field
+      evaluated at world coordinates (the emit_velocity lambda,
+      bimocq3D/main.cpp:56-66); defaults to the analytic theta form.
     """
 
     center: Tuple[float, float, float]
@@ -51,27 +60,53 @@ class Emitter3D:
     temperature: float = 50.0
     sign: float = 1.0
     emit_frames: int = 10
+    sdf_grid: object = dataclasses.field(default=None, compare=False)
+    trans: object = dataclasses.field(default=None, compare=False)
+    emit_velocity: object = dataclasses.field(default=None, compare=False)
+
+    def offset_at(self, frame, dt):
+        if self.trans is None:
+            return (0.0, 0.0, 0.0)
+        o = self.trans(frame.astype(jnp.float32)
+                       if hasattr(frame, "astype") else float(frame))
+        return (o[0], o[1], o[2])
 
 
 @dataclasses.dataclass(frozen=True)
 class Boundary3D:
-    """Moving rigid obstacle with an analytic SDF — the TPU counterpart of
-    the reference's VDB `Boundary` (BimocqSolver.h:61-80): cells inside get
-    flag 3 + the boundary's rigid velocity; a shell of `half_width` cells
-    outside blends the advected fields with the semi-Lagrangian fallback
-    (blendBoundary, BimocqSolver.cpp:879-912)."""
+    """Moving rigid obstacle — the TPU counterpart of the reference's VDB
+    `Boundary` (BimocqSolver.h:61-80): cells inside get flag 3 + the
+    boundary's rigid velocity; a shell of `half_width` cells outside blends
+    the advected fields with the semi-Lagrangian fallback (blendBoundary,
+    BimocqSolver.cpp:879-912).
+
+    Shapes: analytic sphere/box, or a voxel `sdf_grid` level set (cell
+    lattice, voxel size = simulation h; io_utils.mesh.mesh_to_sdf converts
+    OBJ meshes — the readMeshToLevelset role). Motion: constant `velocity`,
+    or a closed-form `trans(frame)` world offset (the b_pos integration of
+    Boundary::update) whose rigid velocity is taken as the one-frame
+    finite difference."""
 
     center: Tuple[float, float, float]
     radius: float = 0.02
     velocity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     half_width: float = 3.0     # shell width in cells (main.cpp:49)
-    kind: str = "sphere"        # 'sphere' | 'box'
+    kind: str = "sphere"        # 'sphere' | 'box' | 'voxel'
     half_extents: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    sdf_grid: object = dataclasses.field(default=None, compare=False)
+    trans: object = dataclasses.field(default=None, compare=False)
 
-    def sdf(self, x, y, z, pos):
+    def sdf(self, x, y, z, pos, h=None):
         dx = x - pos[0]
         dy = y - pos[1]
         dz = z - pos[2]
+        if self.sdf_grid is not None or self.kind == "voxel":
+            # voxel level set: lattice x = center + trans + i*h
+            from gpufluidsimulation_tpu.core import interp
+
+            grid_vals = jnp.asarray(self.sdf_grid, jnp.float32)
+            return interp.sample3_lattice(grid_vals, dx, dy, dz, h,
+                                          (0.0, 0.0, 0.0))
         if self.kind == "sphere":
             return jnp.sqrt(dx * dx + dy * dy + dz * dz) - self.radius
         ax = jnp.abs(dx) - self.half_extents[0]
@@ -82,6 +117,20 @@ class Boundary3D:
             + jnp.maximum(az, 0.0) ** 2
         )
         return outside + jnp.minimum(jnp.maximum(ax, jnp.maximum(ay, az)), 0.0)
+
+    def pose_at(self, frame, dt):
+        """(position, rigid velocity) at a frame: constant-velocity motion
+        or the trans(frame) closed form."""
+        t = frame.astype(jnp.float32) * dt
+        if self.trans is not None:
+            f = frame.astype(jnp.float32)
+            o0 = self.trans(f)
+            o1 = self.trans(f + 1.0)
+            pos = tuple(self.center[i] + o0[i] for i in range(3))
+            vel = tuple((o1[i] - o0[i]) / dt for i in range(3))
+            return pos, vel
+        pos = tuple(self.center[i] + self.velocity[i] * t for i in range(3))
+        return pos, self.velocity
 
 
 @dataclasses.dataclass(frozen=True)
@@ -215,11 +264,23 @@ def _max_velocity(u, v, w):
     return jnp.maximum(m, 1e-4)
 
 
-def _emit_smoke(cfg: Smoke3DConfig, g: Grid3D, u, v, w, rho, T, frame):
-    """Analytic sphere emission; per-emitter gating on frame < emit_frames."""
+def _emit_smoke(cfg: Smoke3DConfig, g: Grid3D, u, v, w, rho, T, frame, dt):
+    """Smoke emission; per-emitter gating on frame < emit_frames.
+
+    Analytic emitters use the theta-modulated sphere kernels
+    (GPU_kernel.cu:736-802); voxel-SDF emitters mirror the hybrid solver's
+    wsSample loop (BimocqSolver.cpp:697-815): rho/T and each velocity
+    component set where the (translated) SDF <= 0, velocity from the
+    emitter's emit_velocity(pos) lambda."""
     h = g.h
     for em in cfg.emitters:
+        if em.sdf_grid is not None:
+            u, v, w, rho, T = _emit_voxel(em, g, u, v, w, rho, T, frame, dt)
+            continue
         cx, cy, cz = em.center
+        if em.trans is not None:
+            ox_, oy_, oz_ = em.offset_at(frame, dt)
+            cx, cy, cz = cx + ox_, cy + oy_, cz + oz_
         active = frame < em.emit_frames
 
         def field_mask(shape, x_is_staggered):
@@ -255,6 +316,39 @@ def _emit_smoke(cfg: Smoke3DConfig, g: Grid3D, u, v, w, rho, T, frame):
     return u, v, w, rho, T
 
 
+def _emit_voxel(em: Emitter3D, g: Grid3D, u, v, w, rho, T, frame, dt):
+    """Voxel-SDF emitter: sample the translated level set on every field
+    lattice; inside (<= 0) set rho/T and the emit_velocity components."""
+    from gpufluidsimulation_tpu.core import interp as _interp
+
+    active = frame < em.emit_frames
+    grid_vals = jnp.asarray(em.sdf_grid, jnp.float32)
+    ox_, oy_, oz_ = em.offset_at(frame, dt)
+    pos = (em.center[0] + ox_, em.center[1] + oy_, em.center[2] + oz_)
+
+    def inside_at(kind):
+        x, y, z = g.node_coords(kind)
+        sd = _interp.sample3_lattice(
+            grid_vals, x - pos[0], y - pos[1], z - pos[2], g.h, (0, 0, 0))
+        return (sd <= 0.0), (x, y, z)
+
+    def evel(coords):
+        if em.emit_velocity is None:
+            return (jnp.zeros_like(coords[0]),) * 3
+        return em.emit_velocity(*coords)
+
+    ins_u, cu = inside_at("u")
+    u = jnp.where(active & ins_u, evel(cu)[0], u)
+    ins_v, cv = inside_at("v")
+    v = jnp.where(active & ins_v, evel(cv)[1], v)
+    ins_w, cw = inside_at("w")
+    w = jnp.where(active & ins_w, evel(cw)[2], w)
+    ins_c, _ = inside_at("c")
+    rho = jnp.where(active & ins_c, em.density, rho)
+    T = jnp.where(active & ins_c, em.temperature, T)
+    return u, v, w, rho, T
+
+
 def _update_boundary(cfg: Smoke3DConfig, g: Grid3D, frame, dt):
     """Per-frame voxel boundary state (updateBoundary, BimocqSolver.cpp:936-1060):
     flags 0=fluid, 1=air (open top), 2=domain wall, 3=moving object; staggered
@@ -281,27 +375,23 @@ def _update_boundary(cfg: Smoke3DConfig, g: Grid3D, frame, dt):
     w_solid = g.zeros("w")
     shells = {k: jnp.zeros(getattr(g, f"shape_{k}"), bool)
               for k in ("c", "u", "v", "w")}
-    t = frame.astype(jnp.float32) * dt
     for bd in cfg.boundaries:
-        pos = (bd.center[0] + bd.velocity[0] * t,
-               bd.center[1] + bd.velocity[1] * t,
-               bd.center[2] + bd.velocity[2] * t)
+        pos, bvel = bd.pose_at(frame, dt)
         xc, yc, zc = g.node_coords("c")
-        sd_c = bd.sdf(xc, yc, zc, pos)
+        sd_c = bd.sdf(xc, yc, zc, pos, g.h)
         flags = jnp.where(sd_c <= 0.0, poisson.OBJECT, flags)
         shell_w = bd.half_width * g.h
         shells["c"] = shells["c"] | ((sd_c > 0.0) & (sd_c < shell_w))
-        for kind, vel_comp, sol in (("u", 0, u_solid), ("v", 1, v_solid),
-                                    ("w", 2, w_solid)):
+        for kind in ("u", "v", "w"):
             x, y, z = g.node_coords(kind)
-            sd = bd.sdf(x, y, z, pos)
+            sd = bd.sdf(x, y, z, pos, g.h)
             inside = sd <= 0.0
             if kind == "u":
-                u_solid = jnp.where(inside, bd.velocity[0], u_solid)
+                u_solid = jnp.where(inside, bvel[0], u_solid)
             elif kind == "v":
-                v_solid = jnp.where(inside, bd.velocity[1], v_solid)
+                v_solid = jnp.where(inside, bvel[1], v_solid)
             else:
-                w_solid = jnp.where(inside, bd.velocity[2], w_solid)
+                w_solid = jnp.where(inside, bvel[2], w_solid)
             shells[kind] = shells[kind] | ((sd > 0.0) & (sd < shell_w))
     return flags, u_solid, v_solid, w_solid, shells
 
@@ -333,7 +423,7 @@ def _clear_boundary(bnd, field):
 
 def _forces_and_project(cfg, g, ctx, u, v, w, rho, T, frame, dt):
     """emit + buoyancy + viscosity + projection; returns fields and deltas."""
-    u, v, w, rho, T = _emit_smoke(cfg, g, u, v, w, rho, T, frame)
+    u, v, w, rho, T = _emit_smoke(cfg, g, u, v, w, rho, T, frame, dt)
     v = forces.buoyancy_3d(v, rho, T, cfg.alpha, cfg.beta, dt)
     if cfg.viscosity:
         coef = cfg.viscosity * dt / (g.h * g.h)
