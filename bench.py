@@ -2,15 +2,17 @@
 
 Measures the flagship 3D BiMocq smoke step (vortex-collision physics) on the
 available accelerator and reports throughput in Mcells/s plus the ratio
-vs. the reference-CPU estimate.
+vs. the reference-CPU estimate, the ms/step, and the Poisson-solve
+ms-to-1e-4 metric (the BASELINE.md table).
 
-Baseline note (see BASELINE.md): the reference publishes no numbers and its
-"CPU" 3D solver still calls CUDA for advection, so the reference-CPU
-steps/s is estimated from the serial-CPU cost of the same algorithm:
-REF_CPU_NS_PER_CELL_STEP below was measured by timing this engine's own
-step on the single-core CPU backend at 48^3 (python bench.py --calibrate)
-— ~3.4us per cell per BiMocq step, in line with a TBB-class CPU
-implementation of ~40 stencil+interp passes per cell.
+Baseline provenance (see BASELINE.md): the reference publishes no numbers
+and its "CPU" 3D solver still calls CUDA for advection, so the
+reference-CPU comparator follows BASELINE.md's own procedure: the repo's
+full-step NumPy oracle (tests/oracle3d.py — an independent implementation
+of the same frame) MEASURED at 291,354 ns/cell/step single-threaded at
+48^3 (python bench.py --calibrate-oracle), scaled by a generous 160x
+(10x optimized C++ per core x 16 TBB cores) for the reference's platform
+class => 1,821 ns/cell/step.
 """
 
 from __future__ import annotations
@@ -21,15 +23,11 @@ import os
 import sys
 import time
 
-
-# Estimated nanoseconds per (cell * step) for the full BiMocq step on a
-# 16-core TBB workstation (the reference's platform class). Our own XLA-CPU
-# single-core measurement is 400,000 ns/cell/step (python bench.py
-# --calibrate); an optimized C++/TBB implementation is assumed 10x faster
-# per core and 16-way parallel => 400000/10/16 = 2500. Generous to the
-# reference; revisit when a real reference-CPU run is available.
-REF_CPU_NS_PER_CELL_STEP = 2500.0
-REF_CPU_ASSUMED_CORES = 1.0  # already folded into the constant
+# measured: tests/oracle3d.step_bimocq at 48^3, single-thread NumPy
+ORACLE_NS_PER_CELL_STEP = 291_354.0
+# optimized C++/TBB advantage assumed for the reference's 16-core platform
+CPP_TBB_SPEEDUP = 160.0
+REF_CPU_NS_PER_CELL_STEP = ORACLE_NS_PER_CELL_STEP / CPP_TBB_SPEEDUP
 
 
 def build(n, scheme_name="bimocq", proj_iters=30):
@@ -70,27 +68,63 @@ def measure(n, steps, scheme_name="bimocq"):
     return ms_per_step, compile_s
 
 
+def measure_poisson(n, tol=1e-4, reps=5):
+    """Pressure-solve wall time to `tol` relative residual at n^3 — the
+    BASELINE.md 'Poisson ms to 1e-4' metric, on a random solenoidal-free
+    velocity field (worst-case rhs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpufluidsimulation_tpu.ops import poisson
+
+    key = jax.random.PRNGKey(0)
+    ku, kv, kw = jax.random.split(key, 3)
+    u = jax.random.normal(ku, (n + 1, n, n), jnp.float32)
+    v = jax.random.normal(kv, (n, n + 1, n), jnp.float32)
+    w = jax.random.normal(kw, (n, n, n + 1), jnp.float32)
+    ctx = poisson.MGContext((n, n, n), "dirichlet")
+    f = jax.jit(lambda u, v, w: poisson.project_3d(u, v, w, ctx, tol, 60))
+    out = f(u, v, w)
+    jax.block_until_ready(out[0])
+    iters = int(out[4])
+    t0 = time.time()
+    for _ in range(reps):
+        out = f(u, v, w)
+    jax.block_until_ready(out[0])
+    ms = (time.time() - t0) / reps * 1e3
+    return ms, iters, float(out[5])
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=int(os.environ.get("BENCH_N", "64")))
-    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--n", type=int, default=int(os.environ.get("BENCH_N", "256")))
+    ap.add_argument("--steps", type=int, default=int(os.environ.get("BENCH_STEPS", "3")))
     ap.add_argument("--scheme", default="bimocq")
-    ap.add_argument("--calibrate", action="store_true",
-                    help="measure the CPU-backend ns/cell/step constant")
+    ap.add_argument("--skip-poisson", action="store_true")
+    ap.add_argument("--calibrate-oracle", action="store_true",
+                    help="re-measure the NumPy-oracle ns/cell/step constant")
     args = ap.parse_args()
 
-    if args.calibrate:
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
-        import jax._src.xla_bridge as xb
+    if args.calibrate_oracle:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import numpy as np  # noqa: F401
+        import tests.oracle3d as oc
 
-        jax.config.update("jax_platforms", "cpu")
-        if xb.backends_are_initialized():
-            xb._clear_backends()
         n = 48
-        ms, _ = measure(n, 3, args.scheme)
-        print(f"CPU {n}^3: {ms:.1f} ms/step -> "
-              f"{ms * 1e6 / n**3:.0f} ns/cell/step", file=sys.stderr)
+        og = oc.OGrid(n, n, n, 0.2 / n)
+        cfg = dict(dt=8.0 / n * 0.5, blend_coeff=1.0, alpha=0.0, beta=0.0,
+                   viscosity=1e-6, vel_reinit_gap=10, scalar_reinit_gap=30,
+                   emitters=[dict(center=(0.04, 0.1, 0.1), radius=0.015,
+                                  sign=1.0, density=1.0, temperature=50.0,
+                                  emit_frames=10)])
+        s = oc.make_state(og)
+        s = oc.step_bimocq(cfg, og, s)
+        t0 = time.time()
+        for _ in range(2):
+            s = oc.step_bimocq(cfg, og, s)
+        per = (time.time() - t0) / 2
+        print(f"oracle {n}^3: {per*1e3:.0f} ms/step -> "
+              f"{per*1e9/n**3:.0f} ns/cell/step", file=sys.stderr)
         return
 
     # enable the persistent compilation cache so repeat runs skip the
@@ -108,9 +142,9 @@ def main():
     ms_per_step, compile_s = measure(n, args.steps, args.scheme)
     cells = n**3
     mcells_per_s = cells / 1e6 / (ms_per_step / 1e3)
-    ref_ms = cells * REF_CPU_NS_PER_CELL_STEP / REF_CPU_ASSUMED_CORES / 1e6
+    ref_ms = cells * REF_CPU_NS_PER_CELL_STEP / 1e6
     vs_baseline = ref_ms / ms_per_step
-    print(json.dumps({
+    result = {
         "metric": f"smoke3d_{args.scheme}_{n}cubed_mcells_per_s",
         "value": round(mcells_per_s, 3),
         "unit": "Mcells/s",
@@ -118,7 +152,16 @@ def main():
         "ms_per_step": round(ms_per_step, 2),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
-    }))
+        "baseline_provenance": (
+            f"measured NumPy-oracle {ORACLE_NS_PER_CELL_STEP:.0f} ns/cell "
+            f"/ {CPP_TBB_SPEEDUP:.0f}x C++/TBB factor"
+        ),
+    }
+    if not args.skip_poisson:
+        pms, piters, pres = measure_poisson(n)
+        result["poisson_ms_to_1e-4"] = round(pms, 2)
+        result["poisson_iters"] = piters
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

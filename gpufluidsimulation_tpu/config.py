@@ -49,6 +49,24 @@ def interp_rz() -> int:
     return _RZ
 
 
+_RBGS_ENV = os.environ.get("GFS_RBGS")
+_RBGS: bool | None = None if _RBGS_ENV is None else _RBGS_ENV not in ("0", "false")
+
+
+def use_rbgs() -> bool:
+    """Use the blocked Pallas red-black Gauss-Seidel smoother for the MG
+    pre/post smoothing (ops/pallas_kernels.py). Default: on for TPU
+    backends (where it halves smoother HBM traffic), off elsewhere."""
+    if _RBGS is not None:
+        return _RBGS
+    return use_fast_interp()
+
+
+def set_rbgs(value: bool | None) -> None:
+    global _RBGS
+    _RBGS = value
+
+
 _INTERPRET = os.environ.get("GFS_INTERP_INTERPRET", "0") not in ("0", "false")
 
 

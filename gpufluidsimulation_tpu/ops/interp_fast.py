@@ -47,7 +47,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BX, BY = 8, 8
+BX, BY = 16, 16
 WY_WIN = 32   # y window rows (power of two: dynamic sublane rolls require it)
 WZ_WIN = 384  # z window lanes DMA'd (3 tiles; rebased to a pow2 256 in-kernel)
 
@@ -72,16 +72,19 @@ def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb):
     by a sublane roll); ozw: 128-aligned z window origin; g0: padded-coord
     start of the z tap band (g0 - ozw is the in-window lane roll).
     """
-    def block_mean(d):
-        r = d.reshape(nb[0], BX, nb[1], BY, nb[2], 128)
-        return r.mean(axis=(1, 3, 5))
-
-    node_x = jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P
-    node_y = jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P
-    node_z = jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + 128
-    s_x = jnp.round(block_mean(gx - node_x)).astype(jnp.int32)
-    s_y = jnp.round(block_mean(gy - node_y)).astype(jnp.int32)
-    s_z = jnp.round(block_mean(gz - node_z)).astype(jnp.int32)
+    # per-block base shift from the block-CENTER displacement sample: a
+    # strided slice instead of a full-array mean+reshape reduction (for
+    # smooth displacement fields |center - mean| << the Rr budget; the
+    # runtime residual_overflow check uses the same convention)
+    cx = gx[BX // 2 :: BX, BY // 2 :: BY, 64::128]
+    cy = gy[BX // 2 :: BX, BY // 2 :: BY, 64::128]
+    cz = gz[BX // 2 :: BX, BY // 2 :: BY, 64::128]
+    nbx = jnp.arange(nb[0], dtype=jnp.float32)[:, None, None]
+    nby = jnp.arange(nb[1], dtype=jnp.float32)[None, :, None]
+    nbz = jnp.arange(nb[2], dtype=jnp.float32)[None, None, :]
+    s_x = jnp.round(cx - (nbx * BX + BX // 2 + P)).astype(jnp.int32)
+    s_y = jnp.round(cy - (nby * BY + BY // 2 + P)).astype(jnp.int32)
+    s_z = jnp.round(cz - (nbz * 128 + 64 + 128)).astype(jnp.int32)
 
     Wx = BX + 2 * Rr + 2
     bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
@@ -289,19 +292,20 @@ def _pad_field_positions(field_like, px, py, pz, h, off, Rr):
         _ceil(out_shape[1], BY) - out_shape[1],
         Z - out_shape[2],
     )
-    pw = [(0, p) for p in pad_to]
+    if any(pad_to):
+        pw = [(0, p) for p in pad_to]
 
-    def node_like(x, axis, p):
-        return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
+        def node_like(x, axis, p):
+            return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
 
-    # pad to block multiples in DISPLACEMENT space so rim-block statistics
-    # stay representative of the real cells
-    dx = jnp.pad(gx - node_like(gx, 0, P), pw, mode="edge")
-    dy = jnp.pad(gy - node_like(gy, 1, P), pw, mode="edge")
-    dz = jnp.pad(gz - node_like(gz, 2, 128), pw, mode="edge")
-    gx = node_like(dx, 0, P) + dx
-    gy = node_like(dy, 1, P) + dy
-    gz = node_like(dz, 2, 128) + dz
+        # pad to block multiples in DISPLACEMENT space so rim-block
+        # statistics stay representative of the real cells
+        dx = jnp.pad(gx - node_like(gx, 0, P), pw, mode="edge")
+        dy = jnp.pad(gy - node_like(gy, 1, P), pw, mode="edge")
+        dz = jnp.pad(gz - node_like(gz, 2, 128), pw, mode="edge")
+        gx = node_like(dx, 0, P) + dx
+        gy = node_like(dy, 1, P) + dy
+        gz = node_like(dz, 2, 128) + dz
     return fpad, gx, gy, gz, P
 
 
@@ -342,7 +346,7 @@ def residual_overflow(px, py, pz, h, off, *, Rr=2, Rz=8):
         nbx, nby = d.shape[0] // BX, d.shape[1] // BY
         nbz = d.shape[2] // 128
         r = d.reshape(nbx, BX, nby, BY, nbz, 128)
-        s = jnp.round(r.mean(axis=(1, 3, 5)))
+        s = jnp.round(r[:, BX // 2, :, BY // 2, :, 64])
         if axis == 2:
             s = jnp.clip(s, -(127 - Rr), 127 - Rr)
         res = jnp.abs(r - s[:, None, :, None, :, None])

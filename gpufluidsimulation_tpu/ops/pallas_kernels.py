@@ -1,18 +1,27 @@
 """Pallas TPU kernels for the bandwidth-bound inner loops.
 
-First kernel: fused red-black Gauss-Seidel smoother for the Poisson solve —
-the parallel-safe smoother the reference uses on CPU (RBGS,
+Blocked red-black Gauss-Seidel smoother for the Poisson solve — the
+parallel-safe smoother the reference uses on CPU (RBGS,
 utils/AlgebraicMultigrid.h:22-151) and approximates with Jacobi on GPU
-(smoothing_jacobi, GPU_kernel.cu:1420-1485). One kernel invocation performs
-`iters` full red+black sweeps entirely in VMEM: a single HBM read of (x, b)
-and a single write of x per call, vs 2*iters round-trips for the XLA
-pad/slice formulation.
+(smoothing_jacobi, GPU_kernel.cu:1420-1485).
+
+Geometry: (16, 16, nz) output tiles over an (x, y) grid, full z column in
+VMEM. Each launch performs up to 2 full red+black sweeps entirely on-chip:
+one window DMA of (x, b, diag) and one write of the tile per launch, vs
+2 HBM round-trips per half-sweep for the XLA pad/slice formulation. Halo
+cells (4 in x, 8 in y — the y halo doubles as the 8-row DMA alignment)
+are recomputed redundantly and discarded; their validity shrinks by one
+ring per half-sweep, which bounds sweeps-per-launch at 2.
+
+Boundary conditions ride the unified zero-ghost form: ghosts are frozen
+at 0 and `diag` carries the BC (6 everywhere for Dirichlet, the existing-
+neighbor count for Neumann) — identical to ops.poisson.laplacian.
 
 Red-black coloring keeps the update race-free under SIMD (same structural
 trick as the reference's coloring, SURVEY.md §5 'race detection').
 
-CPU fallback: `interpret=True` (tests); the caller can also use
-ops.poisson.jacobi_smooth when Pallas is unavailable.
+CPU fallback: `interpret=True` (tests); ops.poisson.jacobi_smooth remains
+the XLA-native alternative.
 """
 
 from __future__ import annotations
@@ -25,71 +34,108 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _checkerboard(shape):
-    ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2) if len(shape) == 3 else 0
-    return (ii + jj + kk) % 2 == 0
+TX, TY = 16, 16
+HX, HY = 4, 8  # halo (x) and halo+alignment (y); sweeps/launch <= HX/2
 
 
-def _rbgs_kernel_3d(x_ref, b_ref, diag_ref, out_ref, *, iters, bc):
-    """Full-volume red-black GS; assumes the block fits VMEM."""
-    shape = x_ref.shape
-    red = _checkerboard(shape)
+def _shift_zero(x, d, axis):
+    """x shifted so result[i] = x[i+d], zero-filled at the window edge."""
+    zshape = list(x.shape)
+    zshape[axis] = abs(d)
+    zeros = jnp.zeros(zshape, x.dtype)
+    sl = [slice(None)] * x.ndim
+    if d > 0:
+        sl[axis] = slice(d, None)
+        return jnp.concatenate([x[tuple(sl)], zeros], axis=axis)
+    sl[axis] = slice(0, d)
+    return jnp.concatenate([zeros, x[tuple(sl)]], axis=axis)
 
-    def neighbor_sum(x):
-        mode = "edge" if bc == "neumann" else "constant"
+
+def _rbgs_kernel(x_hbm, b_hbm, d_hbm, out_ref, xw, bw, dw, sems, *,
+                 sweeps, win, nx, ny):
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    ox = bi * TX          # window x origin in padded coords (pad = HX)
+    oy = pl.multiple_of(bj * TY, 8)
+
+    cps = [
+        pltpu.make_async_copy(
+            src.at[pl.ds(ox, win[0]), pl.ds(oy, win[1]), :], dst, sems.at[i])
+        for i, (src, dst) in enumerate(((x_hbm, xw), (b_hbm, bw), (d_hbm, dw)))
+    ]
+    for cp in cps:
+        cp.start()
+
+    li = jax.lax.broadcasted_iota(jnp.int32, win, 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, win, 1)
+    lk = jax.lax.broadcasted_iota(jnp.int32, win, 2)
+    gi = ox + li - HX
+    gj = oy + lj - HY
+    valid = (gi >= 0) & (gi < nx) & (gj >= 0) & (gj < ny)
+    # global checkerboard: pads/origins are even, so local parity == global
+    red = (li + lj + lk) % 2 == 0
+
+    for cp in cps:
+        cp.wait()
+    x = xw[...]
+    b = bw[...]
+    diag = dw[...]
+
+    def nbr(x):
         total = jnp.zeros_like(x)
         for axis in range(3):
-            padw = [(0, 0)] * 3
-            padw[axis] = (1, 1)
-            pp = jnp.pad(x, padw, mode=mode)
-            lo = [slice(None)] * 3
-            hi = [slice(None)] * 3
-            lo[axis] = slice(0, -2)
-            hi[axis] = slice(2, None)
-            total = total + pp[tuple(lo)] + pp[tuple(hi)]
+            total = total + _shift_zero(x, 1, axis) + _shift_zero(x, -1, axis)
         return total
 
-    b = b_ref[...]
-    diag = diag_ref[...]
-    # edge-replicate neighbor sums count the center cell once per missing
-    # neighbor (the Neumann trick); subtract it for the true in-domain sum
-    overcount = 6.0 - diag
+    for _ in range(sweeps):
+        gs = (nbr(x) + b) / diag
+        x = jnp.where(valid & red, gs, x)
+        gs = (nbr(x) + b) / diag
+        x = jnp.where(valid & ~red, gs, x)
 
-    def sweep(_, x):
-        gs = (neighbor_sum(x) - overcount * x + b) / diag
-        x = jnp.where(red, gs, x)
-        gs = (neighbor_sum(x) - overcount * x + b) / diag
-        x = jnp.where(red, x, gs)
-        return x
-
-    out_ref[...] = jax.lax.fori_loop(0, iters, sweep, x_ref[...])
+    out_ref[...] = x[HX : HX + TX, HY : HY + TY, :]
 
 
-def _vmem_ok(shape, n_buffers=4, budget=12 * 2**20):
-    return int(np.prod(shape)) * 4 * n_buffers <= budget
+@functools.partial(jax.jit, static_argnames=("sweeps", "interpret"))
+def _rbgs_launch(x, b, diag, *, sweeps, interpret):
+    nx, ny, nz = x.shape
+    gx_ = -(-nx // TX)
+    gy_ = -(-ny // TY)
+    padw = [(HX, HX + gx_ * TX - nx), (HY, HY + gy_ * TY - ny), (0, 0)]
+    xp = jnp.pad(x, padw)
+    bp = jnp.pad(b, padw)
+    dp = jnp.pad(diag, padw, constant_values=1.0)
+    win = (TX + 2 * HX, TY + 2 * HY, nz)
 
-
-@functools.partial(jax.jit, static_argnames=("bc", "iters", "interpret"))
-def rbgs_smooth(x, b, diag, *, bc: str, iters: int, interpret: bool = False):
-    """Red-black Gauss-Seidel: solves L x = b approximately, L as in
-    ops.poisson.laplacian (x_new = (neighbor_sum + b)/diag per color)."""
-    if not _vmem_ok(x.shape):
-        # fall back to the XLA Jacobi formulation for oversized volumes
-        from gpufluidsimulation_tpu.ops.poisson import jacobi_smooth
-
-        return jacobi_smooth(x, b, bc, diag, 2 * iters, omega=1.0)
-    kernel = functools.partial(_rbgs_kernel_3d, iters=iters, bc=bc)
-    return pl.pallas_call(
+    kernel = functools.partial(
+        _rbgs_kernel, sweeps=sweeps, win=win, nx=nx, ny=ny)
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(gx_, gy_),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec((TX, TY, nz), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gx_ * TX, gy_ * TY, nz), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(win, jnp.float32),
+            pltpu.VMEM(win, jnp.float32),
+            pltpu.VMEM(win, jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, b, diag)
+    )(xp, bp, dp)
+    return out[:nx, :ny, :]
+
+
+def rbgs_smooth(x, b, diag, *, bc: str, iters: int, interpret: bool = False):
+    """Red-black Gauss-Seidel: `iters` full red+black sweeps of
+    L x = b with L as in ops.poisson.laplacian (x_new = (nbr_sum + b)/diag
+    per color; `bc` is encoded in `diag`). Blocked — works at any volume
+    size (the halo budget caps sweeps at 2 per launch)."""
+    del bc  # the unified zero-ghost form needs only diag
+    remaining = int(iters)
+    while remaining > 0:
+        s = min(2, remaining)
+        x = _rbgs_launch(x, b, diag, sweeps=s, interpret=interpret)
+        remaining -= s
+    return x

@@ -191,9 +191,28 @@ class MGContext:
         self.diags = [jnp.asarray(_diag(s, bc)) for s in self.shapes]
 
     def _smooth(self, x, b, level, iters, omega):
-        """Per-level smoother hook — subclasses substitute Pallas RBGS
-        (ops/pallas_kernels.py) or the ppermute-halo sharded smoother
-        (parallel/sharding.ShardedMGContext)."""
+        """Per-level smoother hook. On TPU (config.use_rbgs) the pre/post
+        smoothing runs the blocked Pallas red-black Gauss-Seidel kernel —
+        one HBM round-trip per 2 sweeps and ~2x the smoothing power of
+        damped Jacobi per sweep (the RBGS role of
+        utils/AlgebraicMultigrid.h:22-151). Coarse levels (< 16 cells an
+        axis) and long coarse solves stay on the fused XLA Jacobi; the
+        sharded override lives in parallel/sharding.ShardedMGContext."""
+        from gpufluidsimulation_tpu import config as _cfg
+
+        shape = self.shapes[level]
+        # fine levels only: natively, Mosaic DMA slice sizes on the lane
+        # (z) dim must be 128-aligned; interpret mode (CPU tests) has no
+        # such constraint. Coarse grids are cheap on XLA Jacobi anyway.
+        z_ok = (shape[2] % 128 == 0) or _cfg.interp_interpret()
+        if (_cfg.use_rbgs() and iters <= 4 and min(shape[:2]) >= 16
+                and min(shape) >= 16 and z_ok):
+            from gpufluidsimulation_tpu.ops.pallas_kernels import rbgs_smooth
+
+            return rbgs_smooth(
+                x, b, self.diags[level], bc=self.bc, iters=iters,
+                interpret=_cfg.interp_interpret(),
+            )
         return jacobi_smooth(x, b, self.bc, self.diags[level], iters, omega)
 
     def v_cycle(self, r, level=0, n_pre=2, n_post=2, n_coarse=40, omega=0.8):

@@ -171,7 +171,7 @@ def test_sample3_fast_large_z_base_shift(rng):
     i = np.arange(shape[0])[:, None, None]
     j = np.arange(shape[1])[None, :, None]
     k = np.arange(shape[2])[None, None, :]
-    dz = np.broadcast_to(90.0 * np.sin((i + j) / 600 + k / 20000), shape)
+    dz = np.broadcast_to(90.0 * np.sin((i + j) / 1200 + k / 20000), shape)
     px = jnp.asarray(((i + 0.0 * j + 0.0 * k) * h).astype(np.float32)
                      + jnp.zeros(shape, jnp.float32))
     py = jnp.asarray(((j + 0.0 * i + 0.0 * k) * h).astype(np.float32)
