@@ -190,25 +190,53 @@ def mac_velocity_2d(u, v, px, py, h):
     return us, vs
 
 
-def mac_velocity_3d(u, v, w, px, py, pz, h):
+_MAC_OFFS = ((-0.5, 0.0, 0.0), (0.0, -0.5, 0.0), (0.0, 0.0, -0.5))
+
+
+def mac_pack_3d(u, v, w, out_shape):
+    """Pre-pack the MAC triplet for repeated window sampling onto
+    `out_shape` lattices (the CFL-substepped trace loops sample the SAME
+    velocity up to ~9x per step — pad once instead of per call). Returns
+    None on the exact-gather path."""
+    from gpufluidsimulation_tpu import config
+
+    if not config.use_fast_interp():
+        return None
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    packed = jnp.stack([
+        jnp.pad(u, ((0, 0), (0, 1), (0, 1)), mode="edge"),
+        jnp.pad(v, ((0, 1), (0, 0), (0, 1)), mode="edge"),
+        jnp.pad(w, ((0, 1), (0, 1), (0, 0)), mode="edge"),
+    ])
+    return interp_fast.pad_fields(packed, out_shape, config.interp_rr())
+
+
+def mac_velocity_3d(u, v, w, px, py, pz, h, packed=None):
     """Sample the 3D MAC velocity at world positions (GPU_kernel.cu:64-72).
 
     Fast path: the three staggered components are edge-padded to a common
     shape and sampled by ONE multi-channel window kernel (shared DMA/launch;
-    edge replication matches boundedAt clamping)."""
+    edge replication matches boundedAt clamping). Pass `packed` from
+    mac_pack_3d to skip the padding."""
     from gpufluidsimulation_tpu import config
 
     if px.ndim == 3 and config.use_fast_interp():
         from gpufluidsimulation_tpu.ops import interp_fast
 
+        if packed is not None:
+            out = interp_fast.sample3_multi_padded(
+                packed, px, py, pz, h, _MAC_OFFS,
+                Rr=config.interp_rr(), interpret=config.interp_interpret(),
+            )
+            return out[0], out[1], out[2]
         packed = jnp.stack([
             jnp.pad(u, ((0, 0), (0, 1), (0, 1)), mode="edge"),
             jnp.pad(v, ((0, 1), (0, 0), (0, 1)), mode="edge"),
             jnp.pad(w, ((0, 1), (0, 1), (0, 0)), mode="edge"),
         ])
         out = interp_fast.sample3_multi(
-            packed, px, py, pz, h,
-            ((-0.5, 0.0, 0.0), (0.0, -0.5, 0.0), (0.0, 0.0, -0.5)),
+            packed, px, py, pz, h, _MAC_OFFS,
             Rr=config.interp_rr(), interpret=config.interp_interpret(),
         )
         return out[0], out[1], out[2]
@@ -216,6 +244,50 @@ def mac_velocity_3d(u, v, w, px, py, pz, h):
     vs = sample3_lattice(v, px, py, pz, h, (0.0, -0.5, 0.0))
     ws = sample3_lattice(w, px, py, pz, h, (0.0, 0.0, -0.5))
     return us, vs, ws
+
+
+def _cubic_weights(f):
+    """Cubic interpolation weights (cubic_interp_weights, utils/util.h:354-361)."""
+    f2 = f * f
+    f3 = f2 * f
+    wm = -(1.0 / 3.0) * f + 0.5 * f2 - (1.0 / 6.0) * f3
+    w0 = 1.0 - f2 + 0.5 * (f3 - f)
+    w1 = f + 0.5 * (f2 - f3)
+    w2 = (1.0 / 6.0) * (f3 - f)
+    return wm, w0, w1, w2
+
+
+def sample3_cubic(field, px, py, pz, h, off):
+    """Tricubic sample (buffer3Df::sample_cubic, fluid_buffer3D.h:237-309):
+    separable 4-tap cubic per axis over the 64-point neighborhood, corner
+    indices clamped (boundedAt). The reference declares this but never
+    calls it from the 3D solver hot path — provided for API parity and
+    high-order resampling/diagnostics."""
+    gx = px / h - off[0]
+    gy = py / h - off[1]
+    gz = pz / h - off[2]
+    i0 = jnp.floor(gx)
+    j0 = jnp.floor(gy)
+    k0 = jnp.floor(gz)
+    fx = gx - i0
+    fy = gy - j0
+    fz = gz - k0
+    i0 = i0.astype(jnp.int32)
+    j0 = j0.astype(jnp.int32)
+    k0 = k0.astype(jnp.int32)
+    wx = _cubic_weights(fx)
+    wy = _cubic_weights(fy)
+    wz = _cubic_weights(fz)
+    out = jnp.zeros_like(gx)
+    for dk, wk in zip((-1, 0, 1, 2), wz):
+        acc_y = jnp.zeros_like(gx)
+        for dj, wj in zip((-1, 0, 1, 2), wy):
+            acc_x = jnp.zeros_like(gx)
+            for di, wi in zip((-1, 0, 1, 2), wx):
+                acc_x = acc_x + wi * _gather3(field, i0 + di, j0 + dj, k0 + dk)
+            acc_y = acc_y + wj * acc_x
+        out = out + wk * acc_y
+    return out
 
 
 def mac_velocity_at_c_3d(u, v, w):

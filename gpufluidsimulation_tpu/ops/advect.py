@@ -40,14 +40,14 @@ from gpufluidsimulation_tpu.core import interp
 # ---------------------------------------------------------------------------
 
 
-def trace_rk3_3d(u, v, w, h, dt, px, py, pz, lo=1.0, hi=1.0):
+def trace_rk3_3d(u, v, w, h, dt, px, py, pz, lo=1.0, hi=1.0, packed=None):
     ni, nj, nk = v.shape[0], u.shape[1], u.shape[2]
     c1, c2, c3 = 2.0 / 9.0 * dt, 3.0 / 9.0 * dt, 4.0 / 9.0 * dt
-    u1, v1, w1 = interp.mac_velocity_3d(u, v, w, px, py, pz, h)
+    u1, v1, w1 = interp.mac_velocity_3d(u, v, w, px, py, pz, h, packed)
     m1x, m1y, m1z = px + 0.5 * dt * u1, py + 0.5 * dt * v1, pz + 0.5 * dt * w1
-    u2, v2, w2 = interp.mac_velocity_3d(u, v, w, m1x, m1y, m1z, h)
+    u2, v2, w2 = interp.mac_velocity_3d(u, v, w, m1x, m1y, m1z, h, packed)
     m2x, m2y, m2z = px + 0.75 * dt * u2, py + 0.75 * dt * v2, pz + 0.75 * dt * w2
-    u3, v3, w3 = interp.mac_velocity_3d(u, v, w, m2x, m2y, m2z, h)
+    u3, v3, w3 = interp.mac_velocity_3d(u, v, w, m2x, m2y, m2z, h, packed)
     ox = px + c1 * u1 + c2 * u2 + c3 * u3
     oy = py + c1 * v1 + c2 * v2 + c3 * v3
     oz = pz + c1 * w1 + c2 * w2 + c3 * w3
@@ -90,8 +90,12 @@ def _substepped(step_fn, cfldt, dt, pos):
 
 
 def trace_3d(u, v, w, h, cfldt, dt, px, py, pz):
+    # pack the MAC triplet once for the whole substep loop (up to 9
+    # window-sampler calls share it)
+    packed = interp.mac_pack_3d(u, v, w, px.shape) if px.ndim == 3 else None
+
     def step(sdt, p):
-        return trace_rk3_3d(u, v, w, h, sdt, *p)
+        return trace_rk3_3d(u, v, w, h, sdt, *p, packed=packed)
 
     return _substepped(step, cfldt, dt, (px, py, pz))
 

@@ -266,10 +266,11 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape):
     return out[: out_shape[0], : out_shape[1], : out_shape[2]]
 
 
-def _pad_field_positions(field_like, px, py, pz, h, off, Rr):
-    """Shared host-side prep: edge-pad the field (leading C axis optional)
-    to the window-safe extent and rebase positions into padded coords."""
-    out_shape = px.shape
+def pad_fields(field_like, out_shape, Rr):
+    """Edge-pad a field (leading C axis optional) to the window-safe extent
+    for sampling onto `out_shape` lattices. Expensive at large volumes —
+    callers that sample the same fields repeatedly (the CFL-substepped
+    trace loops) pad ONCE and reuse via the *_padded entry points."""
     P = Rr + 2
     Z = _ceil(out_shape[2], 128)
     ZP = Z + 384  # 128 front pad + up to a 256-window reach past the end
@@ -281,7 +282,15 @@ def _pad_field_positions(field_like, px, py, pz, h, off, Rr):
     padw = [(P, xpad), (P, ypad), (128, ZP - 128 - spatial[2])]
     if field_like.ndim == 4:
         padw = [(0, 0)] + padw
-    fpad = jnp.pad(field_like, padw, mode="edge")
+    return jnp.pad(field_like, padw, mode="edge")
+
+
+def _pad_field_positions(field_like, px, py, pz, h, off, Rr):
+    """Shared host-side prep: edge-pad the field (leading C axis optional)
+    to the window-safe extent and rebase positions into padded coords."""
+    out_shape = px.shape
+    P = Rr + 2
+    fpad = pad_fields(field_like, out_shape, Rr)
 
     gx = px / h - off[0] + P
     gy = py / h - off[1] + P
@@ -290,7 +299,7 @@ def _pad_field_positions(field_like, px, py, pz, h, off, Rr):
     pad_to = (
         _ceil(out_shape[0], BX) - out_shape[0],
         _ceil(out_shape[1], BY) - out_shape[1],
-        Z - out_shape[2],
+        _ceil(out_shape[2], 128) - out_shape[2],
     )
     if any(pad_to):
         pw = [(0, p) for p in pad_to]
@@ -562,6 +571,43 @@ def _sample3_padded_multi(fields_padded, gx, gy, gz, *, Rr, P, interpret,
         interpret=interpret,
     )(origins, gx, gy, gz, fields_padded)
     return out[:, : out_shape[0], : out_shape[1], : out_shape[2]]
+
+
+def sample3_multi_padded(fields_padded, px, py, pz, h, offs, *, Rr=2,
+                         interpret=False):
+    """sample3_multi over fields already padded by pad_fields(out_shape=
+    px.shape) — the reuse path for the substepped trace loops."""
+    out_shape = px.shape
+    off0 = offs[0]
+    deltas = tuple(
+        (float(off0[0] - o[0]), float(off0[1] - o[1]), float(off0[2] - o[2]))
+        for o in offs
+    )
+    P = Rr + 2
+    gx = px / h - off0[0] + P
+    gy = py / h - off0[1] + P
+    gz = pz / h - off0[2] + 128
+    pad_to = (
+        _ceil(out_shape[0], BX) - out_shape[0],
+        _ceil(out_shape[1], BY) - out_shape[1],
+        _ceil(out_shape[2], 128) - out_shape[2],
+    )
+    if any(pad_to):
+        pw = [(0, p) for p in pad_to]
+
+        def node_like(x, axis, p):
+            return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
+
+        dx = jnp.pad(gx - node_like(gx, 0, P), pw, mode="edge")
+        dy = jnp.pad(gy - node_like(gy, 1, P), pw, mode="edge")
+        dz = jnp.pad(gz - node_like(gz, 2, 128), pw, mode="edge")
+        gx = node_like(dx, 0, P) + dx
+        gy = node_like(dy, 1, P) + dy
+        gz = node_like(dz, 2, 128) + dz
+    return _sample3_padded_multi(
+        fields_padded, gx, gy, gz,
+        Rr=Rr, P=P, interpret=interpret, out_shape=out_shape, deltas=deltas,
+    )
 
 
 def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False):

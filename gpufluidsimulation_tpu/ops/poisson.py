@@ -163,19 +163,22 @@ def mg_shapes(shape, min_size=8, max_levels=8):
 
 
 def restrict_full(r, coarse_shape):
-    """Mean-pool 2x restriction with edge padding for odd sizes."""
+    """Mean-pool 2x restriction with edge padding for odd sizes.
+
+    Strided-slice adds instead of the (c0,2,c1,2,...) reshape+mean — the
+    6-D relayout costs real HBM passes at fine levels on TPU."""
     ndim = r.ndim
     padw = []
     for n, cn in zip(r.shape, coarse_shape):
         padw.append((0, 2 * cn - n))
     rp = jnp.pad(r, padw, mode="edge")
-    # reshape (c0,2,c1,2,...) and mean over the 2s
-    newshape = []
-    for cn in coarse_shape:
-        newshape.extend([cn, 2])
-    rp = rp.reshape(newshape)
-    axes = tuple(range(1, 2 * ndim, 2))
-    return rp.mean(axis=axes)
+    for axis in range(ndim):
+        lo = [slice(None)] * ndim
+        hi = [slice(None)] * ndim
+        lo[axis] = slice(0, None, 2)
+        hi[axis] = slice(1, None, 2)
+        rp = rp[tuple(lo)] + rp[tuple(hi)]
+    return rp * (0.5 ** ndim)
 
 
 def prolong_linear(e, fine_shape):
@@ -201,12 +204,12 @@ class MGContext:
         from gpufluidsimulation_tpu import config as _cfg
 
         shape = self.shapes[level]
-        # fine levels only: natively, Mosaic DMA slice sizes on the lane
+        # 3D fine levels only: natively, Mosaic DMA slice sizes on the lane
         # (z) dim must be 128-aligned; interpret mode (CPU tests) has no
         # such constraint. Coarse grids are cheap on XLA Jacobi anyway.
-        z_ok = (shape[2] % 128 == 0) or _cfg.interp_interpret()
-        if (_cfg.use_rbgs() and iters <= 4 and min(shape[:2]) >= 16
-                and min(shape) >= 16 and z_ok):
+        if (_cfg.use_rbgs() and iters <= 4 and len(shape) == 3
+                and min(shape) >= 16
+                and ((shape[2] % 128 == 0) or _cfg.interp_interpret())):
             from gpufluidsimulation_tpu.ops.pallas_kernels import rbgs_smooth
 
             return rbgs_smooth(
@@ -319,6 +322,57 @@ def cg(b, bc, tol=1e-6, max_iters=400):
         return (p, r, s, rr_new, k + 1)
 
     p, r, _, _, iters = lax.while_loop(cond, body, (p0, r0, s0, rr0, jnp.int32(0)))
+    return p, iters, jnp.max(jnp.abs(r)) / b_inf
+
+
+def pcg(b, bc, tol=1e-6, max_iters=400, order=3, omega=0.8):
+    """PCG with a truncated-Neumann (k-step damped-Jacobi) polynomial
+    preconditioner — the role of the reference's MIC(0) PCG
+    (utils/pcg_solver.h:18-312; declared but unused by its solvers).
+
+    MIC(0)'s sequential triangular solves are hostile to SIMD/TPU lanes; a
+    fixed-degree polynomial approximate inverse
+        M^-1 r = sum_{j<k} (I - w D^-1 L)^j w D^-1 r
+    is SPD for 0 < w < 2/rho(D^-1 L), applies as k fully-parallel stencil
+    passes, and keeps the PCG structure (and its convergence advantage over
+    plain CG) intact. Returns (p, iters, rel_res_inf)."""
+    if bc == "neumann":
+        b = b - jnp.mean(b)
+    diag = jnp.asarray(_diag(b.shape, bc))
+    b_inf = jnp.maximum(jnp.max(jnp.abs(b)), 1e-30)
+
+    def precond(r):
+        x = omega * r / diag
+        for _ in range(order - 1):
+            x = x + omega * (r - laplacian(x, bc)) / diag
+        if bc == "neumann":
+            x = x - jnp.mean(x)
+        return x
+
+    p0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    s0 = z0
+    rz0 = _dot(r0, z0)
+
+    def cond(carry):
+        _, r, _, _, k = carry
+        return (k < max_iters) & (jnp.max(jnp.abs(r)) > tol * b_inf)
+
+    def body(carry):
+        p, r, s, rz, k = carry
+        As = laplacian(s, bc)
+        alpha = rz / jnp.maximum(_dot(s, As), 1e-30)
+        p = p + alpha * s
+        r = r - alpha * As
+        if bc == "neumann":
+            r = r - jnp.mean(r)
+        z = precond(r)
+        rz_new = _dot(r, z)
+        s = z + (rz_new / jnp.maximum(rz, 1e-30)) * s
+        return (p, r, s, rz_new, k + 1)
+
+    p, r, _, _, iters = lax.while_loop(cond, body, (p0, r0, s0, rz0, jnp.int32(0)))
     return p, iters, jnp.max(jnp.abs(r)) / b_inf
 
 

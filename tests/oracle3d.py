@@ -430,12 +430,15 @@ def _laplacian64(p):
     return out
 
 
-def project(u, v, w, tol=1e-12, max_iters=4000):
+def project(u, v, w, tol=1e-10, max_iters=4000, p0=None):
+    """Near-exact f64 CG solve of L p = -div (dirichlet). `p0` warm-starts
+    the solve (the solution is unique, so this only saves iterations — the
+    engine's own solver always starts from zero)."""
     div = ((u[1:] - u[:-1]) + (v[:, 1:] - v[:, :-1])
            + (w[:, :, 1:] - w[:, :, :-1])).astype(np.float64)
     b = -div
-    p = np.zeros_like(b)
-    r = b.copy()
+    p = np.zeros_like(b) if p0 is None else p0.astype(np.float64).copy()
+    r = b - (_laplacian64(p) if p0 is not None else 0.0)
     s = r.copy()
     rr = float((r * r).sum())
     b_inf = max(np.abs(b).max(), 1e-300)
@@ -456,7 +459,7 @@ def project(u, v, w, tol=1e-12, max_iters=4000):
     v = (v - (gp[:, 1:] - gp[:, :-1])).astype(F)
     gp = np.pad(pf, ((0, 0), (0, 0), (1, 1)))
     w = (w - (gp[:, :, 1:] - gp[:, :, :-1])).astype(F)
-    return u, v, w
+    return u, v, w, p
 
 
 # ---------------------------------------------------------------------------
@@ -541,7 +544,7 @@ def step_bimocq(cfg, grid, s):
 
     # --- projection ---
     u_t, v_t, w_t = u, v, w
-    u, v, w = project(u, v, w)
+    u, v, w, p_sol = project(u, v, w, p0=s.get("p_prev"))
     du_p, dv_p, dw_p = u - u_t, v - v_t, w - w_t
 
     # --- counters steer proj_coeff only ('always' mode) ---
@@ -591,4 +594,5 @@ def step_bimocq(cfg, grid, s):
         "vel_last_reinit": s["frame"] if vel_gap else s["vel_last_reinit"],
         "scalar_last_reinit": (
             s["frame"] if scalar_gap else s["scalar_last_reinit"]),
+        "p_prev": p_sol,
     }

@@ -67,3 +67,24 @@ def test_mac_velocity_3d(rng):
         np.testing.assert_allclose(float(us[n]), wu, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(float(vs[n]), wv, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(float(ws[n]), ww, rtol=1e-4, atol=1e-5)
+
+
+def test_sample3_cubic_reproduces_cubics(rng):
+    """Tricubic sampling (buffer3Df::sample_cubic parity) is exact on
+    tri-cubic polynomials away from the boundary and interpolates nodes."""
+    h = 0.1
+    n = 12
+    i = np.arange(n)[:, None, None] * np.ones((1, n, n))
+    j = np.arange(n)[None, :, None] * np.ones((n, 1, n))
+    k = np.arange(n)[None, None, :] * np.ones((n, n, 1))
+    field = (0.02 * i**3 - 0.05 * j**2 * i + 0.3 * k + 0.1 * j
+             - 0.01 * k**3).astype(np.float32)
+    fj = jnp.asarray(field)
+    # sample at off-lattice points in the interior
+    pts = rng.uniform(2.0, n - 3.0, size=(3, 50)).astype(np.float32)
+    px, py, pz = (jnp.asarray(pts[0] * h), jnp.asarray(pts[1] * h),
+                  jnp.asarray(pts[2] * h))
+    got = np.asarray(interp.sample3_cubic(fj, px, py, pz, h, (0, 0, 0)))
+    want = (0.02 * pts[0]**3 - 0.05 * pts[1]**2 * pts[0] + 0.3 * pts[2]
+            + 0.1 * pts[1] - 0.01 * pts[2]**3)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

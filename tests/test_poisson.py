@@ -82,3 +82,18 @@ def test_projection_removes_divergence_2d(rng):
     )
     div0 = (u[1:] - u[:-1]) + (v[:, 1:] - v[:, :-1])
     assert np.max(np.abs(div)) < 5e-5 * np.max(np.abs(div0))
+
+
+def test_pcg_polynomial_preconditioner(rng):
+    """PCG with the k-step polynomial preconditioner (the MIC(0)-PCG role,
+    utils/pcg_solver.h) must beat plain CG on iterations and solve to tol."""
+    shape = (24, 24, 24)
+    b = rng.standard_normal(shape).astype(np.float32)
+    p, it_p, res = poisson.pcg(jnp.asarray(b), "dirichlet", tol=1e-5,
+                               max_iters=400)
+    _, it_c, _ = poisson.cg(jnp.asarray(b), "dirichlet", tol=1e-5,
+                            max_iters=400)
+    assert float(res) <= 1e-5
+    assert int(it_p) < int(it_c), (int(it_p), int(it_c))
+    r = b - np.asarray(poisson.laplacian(p, "dirichlet"))
+    assert np.abs(r).max() / np.abs(b).max() < 2e-5
