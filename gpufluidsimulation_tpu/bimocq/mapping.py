@@ -249,7 +249,7 @@ def volume_prefilter_3d(f):
 def _use_prefilter():
     from gpufluidsimulation_tpu import config
 
-    return config.use_fast_interp()
+    return config.use_fast_interp() and not config.volume_exact()
 
 
 def _volume_eval_3d(grid, kind, eval_fn, is_point=False):
@@ -261,10 +261,21 @@ def _volume_eval_3d(grid, kind, eval_fn, is_point=False):
     prefilter (see volume_prefilter_3d) and calls eval_fn once — callers
     pass prefiltered sources in that mode.
     """
+    from gpufluidsimulation_tpu import config
+
     h = grid.h
     px, py, pz = grid.node_coords(kind)
     if is_point or _use_prefilter():
         return eval_fn(px, py, pz)
+    if config.use_fast_interp():
+        # exact-volume fast mode (GFS_VOLUME_EXACT): one rank-3 windowed
+        # evaluation per stencil offset — exact 9-point composition
+        vals = [eval_fn(px + dx * h, py + dy * h, pz + dz * h)
+                for dx, dy, dz in _VOL3 + [(0.0, 0.0, 0.0)]]
+        corner_sum = vals[0]
+        for v in vals[1:8]:
+            corner_sum = corner_sum + v
+        return 0.5 * (corner_sum / 8.0) + 0.5 * vals[8]
     offs = jnp.asarray(_VOL3 + [(0.0, 0.0, 0.0)], px.dtype) * h  # (9, 3)
     sh = (9,) + (1,) * px.ndim
     bx = px[None] + offs[:, 0].reshape(sh)

@@ -49,6 +49,24 @@ def interp_rz() -> int:
     return _RZ
 
 
+_VOLUME_EXACT = os.environ.get("GFS_VOLUME_EXACT", "0") not in ("0", "false")
+
+
+def volume_exact() -> bool:
+    """Evaluate the reference's 9-point volume-composition average exactly
+    on the fast path (one windowed sample per stencil offset) instead of
+    the O(h^2) source-prefilter approximation. ~3-5x slower step; use when
+    strict volume-average parity matters more than speed. The prefilter
+    default matches the exact form to ~1-2% at density discontinuities and
+    to O(h^2) on smooth fields (tests/test_fidelity3d.py)."""
+    return _VOLUME_EXACT
+
+
+def set_volume_exact(value: bool) -> None:
+    global _VOLUME_EXACT
+    _VOLUME_EXACT = bool(value)
+
+
 _RBGS_ENV = os.environ.get("GFS_RBGS")
 _RBGS: bool | None = None if _RBGS_ENV is None else _RBGS_ENV not in ("0", "false")
 

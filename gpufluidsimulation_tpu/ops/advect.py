@@ -89,10 +89,12 @@ def _substepped(step_fn, cfldt, dt, pos):
     return out
 
 
-def trace_3d(u, v, w, h, cfldt, dt, px, py, pz):
+def trace_3d(u, v, w, h, cfldt, dt, px, py, pz, packed=None):
     # pack the MAC triplet once for the whole substep loop (up to 9
-    # window-sampler calls share it)
-    packed = interp.mac_pack_3d(u, v, w, px.shape) if px.ndim == 3 else None
+    # window-sampler calls share it); callers tracing several fields in the
+    # same velocity pass their own pack
+    if packed is None and px.ndim == 3:
+        packed = interp.mac_pack_3d(u, v, w, px.shape)
 
     def step(sdt, p):
         return trace_rk3_3d(u, v, w, h, sdt, *p, packed=packed)
@@ -112,13 +114,13 @@ def trace_2d(u, v, h, cfldt, dt, px, py):
 # ---------------------------------------------------------------------------
 
 
-def semilag_3d(grid, kind, field_src, u, v, w, cfldt, dt):
+def semilag_3d(grid, kind, field_src, u, v, w, cfldt, dt, packed=None):
     """Trace each node of `kind`'s lattice by `dt` (signed; pass -dt to
     backtrace) and sample field_src there. Nodes outside the reference's
     update band (semilag_kernel guard, GPU_kernel.cu:222) keep src values.
     """
     px, py, pz = grid.node_coords(kind)
-    bx, by, bz = trace_3d(u, v, w, grid.h, cfldt, dt, px, py, pz)
+    bx, by, bz = trace_3d(u, v, w, grid.h, cfldt, dt, px, py, pz, packed)
     off = grid.off_of(kind)
     out = interp.sample3_lattice(field_src, bx, by, bz, grid.h, off)
     # semilag_kernel guard: i>1 && i<buffer-2-dim per axis (GPU_kernel.cu:222)
@@ -202,7 +204,7 @@ def bfecc_2d(grid, kind, src, u, v, cfldt, dt):
     return _maccormack_clamp_2d(grid, kind, src, dst, u, v, cfldt, dt)
 
 
-def maccormack_3d(grid, kind, src, u, v, w, cfldt, dt):
+def maccormack_3d(grid, kind, src, u, v, w, cfldt, dt, packed=None):
     """3D MacCormack: forward/backward semilag + 0.5 correction + clamp.
 
     Orchestration of BimocqGPUSolver::advanceReflection scalar blocks
@@ -210,17 +212,21 @@ def maccormack_3d(grid, kind, src, u, v, w, cfldt, dt):
     tmp += 0.5*(src - aux); clamp. Here SL(x, -dt) backtraces. The clamp is
     the intended gather-style one (see module docstring).
     """
-    fwd = semilag_3d(grid, kind, src, u, v, w, cfldt, -dt)
-    back = semilag_3d(grid, kind, fwd, u, v, w, cfldt, dt)
+    from gpufluidsimulation_tpu import config as _cfg
+
+    px, py, pz = grid.node_coords(kind)
+    if packed is None and _cfg.use_fast_interp():
+        packed = interp.mac_pack_3d(u, v, w, px.shape)
+    fwd = semilag_3d(grid, kind, src, u, v, w, cfldt, -dt, packed)
+    back = semilag_3d(grid, kind, fwd, u, v, w, cfldt, dt, packed)
     dst = fwd + 0.5 * (src - back)
 
     h = grid.h
     off = grid.off_of(kind)
-    px, py, pz = grid.node_coords(kind)
     # two-stage midpoint backtrace of clamp_extrema_kernel (GPU_kernel.cu:900-911)
-    u1, v1, w1 = interp.mac_velocity_3d(u, v, w, px, py, pz, h)
+    u1, v1, w1 = interp.mac_velocity_3d(u, v, w, px, py, pz, h, packed)
     mx_, my_, mz_ = px - 0.5 * dt * u1, py - 0.5 * dt * v1, pz - 0.5 * dt * w1
-    u2, v2, w2 = interp.mac_velocity_3d(u, v, w, mx_, my_, mz_, h)
+    u2, v2, w2 = interp.mac_velocity_3d(u, v, w, mx_, my_, mz_, h, packed)
     bx, by, bz = px - dt * u2, py - dt * v2, pz - dt * w2
     from gpufluidsimulation_tpu import config
 

@@ -434,7 +434,11 @@ def _forces_and_project(cfg, g, ctx, u, v, w, rho, T, frame, dt):
 
 
 def _semilag_vel(g, u, v, w, au, av, aw, cfldt, dt):
-    """Advect the (au,av,aw) staggered triplet by tracing in (u,v,w)."""
+    """Advect the (au,av,aw) staggered triplet by tracing in (u,v,w).
+
+    The trace velocity is packed once and shared by all three components'
+    substepped traces (each kind's lattice shape differs, but the pack is
+    keyed to the largest out-lattice, which covers all)."""
     nu = advect.semilag_3d(g, "u", au, u, v, w, cfldt, dt)
     nv = advect.semilag_3d(g, "v", av, u, v, w, cfldt, dt)
     nw = advect.semilag_3d(g, "w", aw, u, v, w, cfldt, dt)
