@@ -90,14 +90,21 @@ def _run_3d(args):
         return 2
     scheme = SCHEME_3D_ARGV[args.scheme]
     res = args.res
-    solver, state = scenes3d.make_vortex_collision(
+    make_scene = scenes3d.SCENES_3D.get(args.example,
+                                        scenes3d.make_vortex_collision)
+    solver, state = make_scene(
         scheme=scheme, ni=res, nj=2 * res, nk=2 * res, dt=args.dt
     )
     out_dir = os.path.join(args.out, f"{args.scheme}-{scheme.display_name()}-Tpu")
     os.makedirs(out_dir, exist_ok=True)
+    start_frame = 0
+    if args.resume:
+        state = checkpoint.load_state(args.resume, state)
+        start_frame = int(state.frame)
+        print(f"resumed from {args.resume} at frame {start_frame}")
     frames = args.frames or scenes3d.TOTAL_FRAMES
     timer = timing.FrameTimer()
-    for frame in range(frames):
+    for frame in range(start_frame, frames):
         print(f"Frame {frame} Starts !!!")
         state, ms = timer.time_step(solver.step, state)
         print(timing.YELLOW + f"[ CFL number is: {float(state.cfl):.4f} ] "
@@ -139,6 +146,12 @@ def main(argv=None):
     p3.add_argument("scheme", type=int,
                     help="0 BiMocq | 1 Semilag | 2 MacCormack | 3 Reflection")
     p3.add_argument("--res", type=int, default=100, help="ni (nj=nk=2*ni)")
+    p3.add_argument("--example", type=int, default=0,
+                    help="0 vortex collision (main.cpp:27-80) | "
+                         "1 plume + moving sphere obstacle")
+    p3.add_argument("--resume", default=None,
+                    help="checkpoint NPZ to resume from (new capability; "
+                         "the reference has no save/load)")
     p3.add_argument("--dt", type=float, default=0.08)
     p3.add_argument("--frames", type=int, default=None)
     p3.add_argument("--out", default="Out")

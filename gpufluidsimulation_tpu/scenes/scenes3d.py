@@ -10,7 +10,12 @@ emission at BimocqGPUSolver.cpp:387-390).
 from __future__ import annotations
 
 from gpufluidsimulation_tpu.solvers.schemes import Scheme
-from gpufluidsimulation_tpu.solvers.smoke3d import Emitter3D, Smoke3D, Smoke3DConfig
+from gpufluidsimulation_tpu.solvers.smoke3d import (
+    Boundary3D,
+    Emitter3D,
+    Smoke3D,
+    Smoke3DConfig,
+)
 
 
 def vortex_collision_config(
@@ -41,6 +46,56 @@ def make_vortex_collision(scheme: Scheme = Scheme.MAC_REFLECTION, **overrides):
     cfg = vortex_collision_config(scheme=scheme, **overrides)
     solver = Smoke3D(cfg)
     return solver, solver.init_state()
+
+
+def moving_obstacle_config(
+    ni: int = 64,
+    nj: int = 128,
+    nk: int = 128,
+    scheme: Scheme = Scheme.BIMOCQ,
+    dt: float = 0.08,
+    **overrides,
+) -> Smoke3DConfig:
+    """A plume emitter + a rigid sphere sweeping through it — the moving
+    `Boundary` workflow of the reference (BimocqSolver.h:61-80,
+    updateBoundary/blendBoundary/clearBoundary) as a ready scene; the
+    obstacle oscillates across the plume with a closed-form trans(frame)."""
+    L = 0.2
+    h = L / ni
+    ly = nj * h
+    lz = nk * h
+
+    def sweep(frame):
+        import jax.numpy as jnp
+
+        # back and forth across the plume, period ~120 frames
+        return (0.0, 0.0, 0.125 * lz * jnp.sin(2.0 * jnp.pi * frame / 120.0))
+
+    base = dict(
+        ni=ni, nj=nj, nk=nk, L=L, dt=dt, scheme=scheme,
+        viscosity=1e-6, blend_coeff=1.0,
+        alpha=0.1, beta=0.02,    # buoyant plume
+        emitters=(
+            Emitter3D(center=(0.5 * L, 0.12 * ly, 0.5 * lz), radius=0.1 * L,
+                      density=1.0, temperature=50.0, sign=1.0,
+                      emit_frames=10**9),
+        ),
+        boundaries=(
+            Boundary3D(center=(0.5 * L, 0.5 * ly, 0.5 * lz), radius=0.12 * L,
+                       trans=sweep),
+        ),
+    )
+    base.update(overrides)
+    return Smoke3DConfig(**base)
+
+
+def make_moving_obstacle(scheme: Scheme = Scheme.BIMOCQ, **overrides):
+    cfg = moving_obstacle_config(scheme=scheme, **overrides)
+    solver = Smoke3D(cfg)
+    return solver, solver.init_state()
+
+
+SCENES_3D = {0: make_vortex_collision, 1: make_moving_obstacle}
 
 
 TOTAL_FRAMES = 300  # main.cpp:34

@@ -103,3 +103,15 @@ def test_masked_preconditioner_iteration_count(rng):
     assert np.abs(div[fluid]).max() < 1e-3
     # pinned: masked-MG preconditioning converges in few iterations
     assert int(iters) <= 30, int(iters)
+
+
+def test_moving_obstacle_scene_runs():
+    """The packaged plume + sweeping-sphere scene (scenes3d.SCENES_3D[1])."""
+    from gpufluidsimulation_tpu.scenes.scenes3d import make_moving_obstacle
+
+    solver, s = make_moving_obstacle(ni=16, nj=16, nk=16, dt=0.02,
+                                     viscosity=0.0, proj_max_iters=40)
+    for _ in range(2):
+        s = solver.step(s)
+    assert np.all(np.isfinite(np.asarray(s.rho)))
+    assert float(np.asarray(s.rho).max()) > 0.5  # plume emitting
