@@ -21,12 +21,19 @@ Per block:
      roll (32) absorbs the y alignment slack. After the rolls the needed
      (x, y, z) tap band sits at the window origin.
   4. Trilinear interpolation = hat-weighted sum over the relative integer
-     shifts ((2Rr+3)^3 static slices); hat(t) = max(0,1-|t|) is
-     simultaneously the trilinear weight AND the window mask, so the sum
-     is exact under the residual contract. Pure VPU fmas on VMEM data,
-     with all hat weights hoisted out of the triple loop.
+     shifts; hat(t) = max(0,1-|t|) is simultaneously the trilinear weight
+     AND the window mask, so the sum is exact under the residual contract.
+     Pure VPU fmas on VMEM data. Two forms: ADAPTIVE (default) loops only
+     each block's live y/z tap range via dynamic fori_loops + pow2 rolls
+     (x stays a static slice loop) — bit-identical to the static form,
+     typically ~5x fewer fmas and ~100x smaller Mosaic programs (2s vs
+     300s compiles at 256^3); STATIC (GFS_INTERP_ADAPTIVE=0) unrolls the
+     full (2Rr+3)^3 stencil with hoisted hat weights.
   5. Coverage (product of per-axis hat sums) renormalizes window-clipped
      edge cells (clamp-to-window instead of silent mass loss).
+  6. Window DMAs are double-buffered across grid steps (_pipeline_window):
+     block i+1's window streams in while block i computes — the fetch and
+     the arithmetic used to serialize, leaving the kernel latency-bound.
 
 Contract (checked by residual_overflow / tests): per-axis
 |(g - node) - round(block mean)| <= Rr + 0.5 over each (8,8,128) block
@@ -47,8 +54,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BX, BY = 16, 16
+BX = 16
 WY_WIN = 32   # y window rows (power of two: dynamic sublane rolls require it)
+
+
+def _by(Rr):
+    """Output-block y extent. The window is pinned at WY_WIN=32 rows (the
+    pow2 the dynamic sublane roll requires); 24-row blocks (band 30 at
+    Rr<=2) would cut window DMA waste 33% but compile+run stalled >9min on
+    this Mosaic (vs ~2 min at 16) — parked until that's understood."""
+    del Rr
+    return 16
 WZ_WIN = 384  # z window lanes DMA'd (3 tiles; rebased to a pow2 256 in-kernel)
 
 
@@ -65,26 +81,39 @@ def _hat(t):
 # ---------------------------------------------------------------------------
 
 
-def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb):
-    """Per-block scalars [ox, oy, sy_slack, ozw, g0] flattened.
+_NSC = 9  # per-block scalars in the prefetch vector (see _origins)
+
+
+def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
+             dspan=((0.0, 0.0), (0.0, 0.0), (0.0, 0.0))):
+    """Per-block scalars [ox, oy, sy_slack, ozw, g0, ylo, nyt, zlo, nzt].
 
     ox: x window origin (arbitrary); oy: y origin (floor-8, slack absorbed
     by a sublane roll); ozw: 128-aligned z window origin; g0: padded-coord
     start of the z tap band (g0 - ozw is the in-window lane roll).
+    ylo/nyt, zlo/nzt: the block's LIVE tap range per axis — the smallest
+    sub-range of [0, 2Rr+2] whose hat weights are nonzero for any element
+    (and any channel coordinate delta in `dspan`), so adaptive kernels loop
+    only over contributing taps. Base shifts use the block's residual
+    midpoint (min+max)/2 — minimizes the worst-case in-block residual.
     """
-    # per-block base shift from the block-CENTER displacement sample: a
-    # strided slice instead of a full-array mean+reshape reduction (for
-    # smooth displacement fields |center - mean| << the Rr budget; the
-    # runtime residual_overflow check uses the same convention)
-    cx = gx[BX // 2 :: BX, BY // 2 :: BY, 64::128]
-    cy = gy[BX // 2 :: BX, BY // 2 :: BY, 64::128]
-    cz = gz[BX // 2 :: BX, BY // 2 :: BY, 64::128]
-    nbx = jnp.arange(nb[0], dtype=jnp.float32)[:, None, None]
-    nby = jnp.arange(nb[1], dtype=jnp.float32)[None, :, None]
-    nbz = jnp.arange(nb[2], dtype=jnp.float32)[None, None, :]
-    s_x = jnp.round(cx - (nbx * BX + BX // 2 + P)).astype(jnp.int32)
-    s_y = jnp.round(cy - (nby * BY + BY // 2 + P)).astype(jnp.int32)
-    s_z = jnp.round(cz - (nbz * 128 + 64 + 128)).astype(jnp.int32)
+    W = 2 * Rr + 3
+    BY = _by(Rr)
+    dx = gx - (jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P)
+    dy = gy - (jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P)
+    dz = gz - (jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + 128)
+
+    def mm(d):
+        r = d.reshape(nb[0], BX, nb[1], BY, nb[2], 128)
+        return r.min(axis=(1, 3, 5)), r.max(axis=(1, 3, 5))
+
+    mnx, mxx = mm(dx)
+    mny, mxy = mm(dy)
+    mnz, mxz = mm(dz)
+    s_x = jnp.round(0.5 * (mnx + mxx)).astype(jnp.int32)
+    s_y = jnp.round(0.5 * (mny + mxy)).astype(jnp.int32)
+    s_z = jnp.clip(jnp.round(0.5 * (mnz + mxz)).astype(jnp.int32),
+                   -(127 - Rr), 127 - Rr)
 
     Wx = BX + 2 * Rr + 2
     bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
@@ -97,29 +126,96 @@ def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb):
     slack = oy_ideal - oy
     # z: padded band start G0 = 128 + 128*bk + s_z - (Rr+1); window origin is
     # its 128-aligned floor, the remainder is rolled away in-kernel
-    s_z = jnp.clip(s_z, -(127 - Rr), 127 - Rr)
     g0 = 128 + bo_z + s_z - (Rr + 1)
     ozw = (g0 // 128) * 128
+
+    # live tap ranges: element taps are {floor(l - node), +1}; block-wide
+    # [floor(min), floor(max)+1], clipped to the window's [0, W-1] (clipped
+    # taps renormalize via coverage — identical to the static form)
+    def taps(lo_val, hi_val):
+        lo = jnp.clip(jnp.floor(lo_val).astype(jnp.int32), 0, W - 1)
+        hi = jnp.clip(jnp.floor(hi_val).astype(jnp.int32) + 1, 0, W - 1)
+        return lo, hi - lo + 1
+
+    q_y = (bo_y + P - oy_ideal).astype(jnp.float32)
+    ylo, nyt = taps(mny + q_y + dspan[1][0], mxy + q_y + dspan[1][1])
+    r_z = (Rr + 1 - s_z).astype(jnp.float32)
+    zlo, nzt = taps(mnz + r_z + dspan[2][0], mxz + r_z + dspan[2][1])
+
     shape3 = (nb[0], nb[1], nb[2])
     return jnp.stack(
-        [jnp.broadcast_to(ox, shape3).reshape(-1),
-         jnp.broadcast_to(oy, shape3).reshape(-1),
-         jnp.broadcast_to(slack, shape3).reshape(-1),
-         jnp.broadcast_to(ozw, shape3).reshape(-1),
-         jnp.broadcast_to(g0, shape3).reshape(-1)],
+        [jnp.broadcast_to(v, shape3).reshape(-1)
+         for v in (ox, oy, slack, ozw, g0, ylo, nyt, zlo, nzt)],
         axis=-1,
     ).reshape(-1)
 
 
 def _block_scalars(origin_ref, blk):
-    # origins are a flat i32 vector (blk*5 + c) — 2D SMEM operands get
+    # origins are a flat i32 vector (blk*_NSC + c) — 2D SMEM operands get
     # row-padded to 128 lanes, which overflows the 1MB SMEM at large grids
-    ox = origin_ref[blk * 5]
-    oy = pl.multiple_of(origin_ref[blk * 5 + 1], 8)
-    sy = origin_ref[blk * 5 + 2]
-    ozw = pl.multiple_of(origin_ref[blk * 5 + 3], 128)
-    g0 = origin_ref[blk * 5 + 4]
+    ox = origin_ref[blk * _NSC]
+    oy = pl.multiple_of(origin_ref[blk * _NSC + 1], 8)
+    sy = origin_ref[blk * _NSC + 2]
+    ozw = pl.multiple_of(origin_ref[blk * _NSC + 3], 128)
+    g0 = origin_ref[blk * _NSC + 4]
     return ox, oy, sy, ozw, g0
+
+
+def _block_taps(origin_ref, blk):
+    ylo = origin_ref[blk * _NSC + 5]
+    nyt = origin_ref[blk * _NSC + 6]
+    zlo = origin_ref[blk * _NSC + 7]
+    nzt = origin_ref[blk * _NSC + 8]
+    return ylo, nyt, zlo, nzt
+
+
+def _window_copy(origin_ref, blk, field_hbm, win_ref, sem, slot, win_shape):
+    """The window DMA descriptor for block `blk` into double-buffer `slot`.
+
+    The same descriptor is constructed twice — once to .start() it one grid
+    step ahead, once to .wait() on it in the consuming step — the standard
+    Pallas multi-buffering idiom that overlaps each block's window fetch
+    with the previous block's arithmetic (the DMA and the hat loops used to
+    serialize, leaving the kernel latency-bound)."""
+    ox, oy, _, ozw, _ = _block_scalars(origin_ref, blk)
+    if field_hbm.ndim == 4:
+        src = field_hbm.at[
+            :, pl.ds(ox, win_shape[1]), pl.ds(oy, win_shape[2]),
+            pl.ds(ozw, win_shape[3]),
+        ]
+    else:
+        src = field_hbm.at[
+            pl.ds(ox, win_shape[0]), pl.ds(oy, win_shape[1]),
+            pl.ds(ozw, win_shape[2]),
+        ]
+    return pltpu.make_async_copy(src, win_ref.at[slot], sem.at[slot])
+
+
+def _pipeline_window(origin_ref, field_hbm, win_ref, sem, win_shape):
+    """Start block blk+1's window DMA, wait for block blk's; returns the
+    current block's window slot value."""
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    bk = pl.program_id(2)
+    nb1 = pl.num_programs(1)
+    nb2 = pl.num_programs(2)
+    blk = (bi * nb1 + bj) * nb2 + bk
+    nblk = pl.num_programs(0) * nb1 * nb2
+    slot = jax.lax.rem(blk, 2)
+
+    @pl.when(blk == 0)
+    def _():
+        _window_copy(origin_ref, 0, field_hbm, win_ref, sem, 0,
+                     win_shape).start()
+
+    @pl.when(blk + 1 < nblk)
+    def _():
+        _window_copy(origin_ref, blk + 1, field_hbm, win_ref, sem,
+                     jax.lax.rem(blk + 1, 2), win_shape).start()
+
+    _window_copy(origin_ref, blk, field_hbm, win_ref, sem, slot,
+                 win_shape).wait()
+    return blk, slot
 
 
 def _rebased_window(win_ref, sy, relz, y_axis):
@@ -190,44 +286,129 @@ def _trilerp_sum(win, hx, hy, hz, block, Rr):
 
 
 # ---------------------------------------------------------------------------
+# Adaptive-tap accumulation: dynamic fori_loops over each block's live tap
+# ranges (ylo/nyt, zlo/nzt from _origins) instead of the full static W^3
+# stencil. Bit-identical to the static form — skipped taps have exactly-zero
+# hat weight — but typically ~5x fewer VPU ops (live range = hat support 2
+# + in-block displacement variation, usually 3-4 taps vs W=2Rr+3) and a far
+# smaller Mosaic program (loops compile once instead of W^3 unrolled terms).
+# y/z re-basing per tap is a dynamic pow2 roll (sublane 32 / lane 256 — the
+# only dynamic-shift form this Mosaic compiles correctly); the x axis keeps
+# the static W-slice loop (major-axis slices must be static).
+# ---------------------------------------------------------------------------
+
+
+def _cov_loop(l, iota, lo, n):
+    def body(s, cv):
+        return cv + _hat(l - (iota + (lo + s).astype(jnp.float32)))
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros(l.shape, jnp.float32))
+
+
+def _trilerp_sum_adaptive(win, lx, ly, lz, taps, block, Rr):
+    W = 2 * Rr + 3
+    B1, B2, B3 = block
+    ylo, nyt, zlo, nzt = taps
+    a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
+    b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
+    hx = [_hat(lx - (a + dp)) for dp in range(W)]
+    covx = sum(hx)
+    covy = _cov_loop(ly, b, ylo, nyt)
+    covz = _cov_loop(lz, c, zlo, nzt)
+    y_axis = win.ndim - 2
+    z_axis = win.ndim - 1
+
+    def zbody(t, acc):
+        dr = zlo + t
+        hz = _hat(lz - (c + dr.astype(jnp.float32)))
+        wz = pltpu.roll(win, -dr, z_axis)[..., :B3]
+
+        def ybody(s, accy):
+            dq = ylo + s
+            hy = _hat(ly - (b + dq.astype(jnp.float32)))
+            wyz = pltpu.roll(wz, -dq, y_axis)[:, :B2, :]
+            accx = jnp.zeros(block, jnp.float32)
+            for dp in range(W):
+                accx = accx + hx[dp] * wyz[dp : dp + B1]
+            return accy + hy * accx
+
+        inner = jax.lax.fori_loop(
+            0, nyt, ybody, jnp.zeros(block, jnp.float32)
+        )
+        return acc + hz * inner
+
+    out = jax.lax.fori_loop(0, nzt, zbody, jnp.zeros(block, jnp.float32))
+    cov = covx * covy * covz
+    return jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
+
+
+def _minmax_adaptive(win, lx, ly, lz, taps, block, Rr):
+    W = 2 * Rr + 3
+    B1, B2, B3 = block
+    ylo, nyt, zlo, nzt = taps
+    a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
+    b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
+    hx = [_hat(lx - (a + dp)) for dp in range(W)]
+    y_axis = win.ndim - 2
+    z_axis = win.ndim - 1
+    big = jnp.float32(3.0e38)
+
+    def zbody(t, carry):
+        dr = zlo + t
+        mz = _hat(lz - (c + dr.astype(jnp.float32))) > 0.0
+        wz = pltpu.roll(win, -dr, z_axis)[..., :B3]
+
+        def ybody(s, carry2):
+            mn, mx = carry2
+            dq = ylo + s
+            myq = mz & (_hat(ly - (b + dq.astype(jnp.float32))) > 0.0)
+            wyz = pltpu.roll(wz, -dq, y_axis)[:, :B2, :]
+            for dp in range(W):
+                m = myq & (hx[dp] > 0.0)
+                vals = wyz[dp : dp + B1]
+                mn = jnp.where(m, jnp.minimum(mn, vals), mn)
+                mx = jnp.where(m, jnp.maximum(mx, vals), mx)
+            return mn, mx
+
+        return jax.lax.fori_loop(0, nyt, ybody, carry)
+
+    return jax.lax.fori_loop(
+        0, nzt, zbody, (jnp.full(block, big), jnp.full(block, -big))
+    )
+
+
+# ---------------------------------------------------------------------------
 # single-channel sampler
 # ---------------------------------------------------------------------------
 
 
 def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
-            sem, *, Rr, block, win_shape):
-    bi = pl.program_id(0)
-    bj = pl.program_id(1)
-    bk = pl.program_id(2)
-    blk = (bi * pl.num_programs(1) + bj) * pl.num_programs(2) + bk
+            sem, *, Rr, block, win_shape, adaptive):
+    blk, slot = _pipeline_window(origin_ref, field_hbm, win_ref, sem,
+                                 win_shape)
     ox, oy, sy, ozw, g0 = _block_scalars(origin_ref, blk)
-
-    copy = pltpu.make_async_copy(
-        field_hbm.at[
-            pl.ds(ox, win_shape[0]), pl.ds(oy, win_shape[1]),
-            pl.ds(ozw, win_shape[2]),
-        ],
-        win_ref,
-        sem,
-    )
-    copy.start()
-
     lx, ly, lz = _local_coords(gx_ref, gy_ref, gz_ref, ox, oy, sy, g0, Rr)
+    win = _rebased_window(win_ref.at[slot], sy, g0 - ozw, 1)
+    if adaptive:
+        taps = _block_taps(origin_ref, blk)
+        out_ref[...] = _trilerp_sum_adaptive(win, lx, ly, lz, taps, block, Rr)
+        return
     hx, hy, hz = _hats(lx, ly, lz, block, Rr)
-
-    copy.wait()
-    win = _rebased_window(win_ref, sy, g0 - ozw, 1)
     out_ref[...] = _trilerp_sum(win, hx, hy, hz, block, Rr)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Rr", "P", "interpret", "out_shape"),
+    static_argnames=("Rr", "P", "interpret", "out_shape", "adaptive"),
 )
-def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape):
+def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape,
+                    adaptive=False):
     """Positions g are lattice-shaped arrays in PADDED field coordinates
     (x/y: +P, z: +128), pre-padded to (mult8, mult8, mult128)."""
     nx, ny, Z = gx.shape
+    BY = _by(Rr)
     nb = (nx // BX, ny // BY, Z // 128)
     block = (BX, BY, 128)
     fs = field_padded.shape
@@ -250,17 +431,20 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape):
         out_specs=pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM(win_shape, jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2,) + win_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
-        _kernel, Rr=Rr, block=block, win_shape=win_shape
+        _kernel, Rr=Rr, block=block, win_shape=win_shape, adaptive=adaptive
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(gx.shape, jnp.float32),
         grid_spec=grid_spec,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(origins, gx, gy, gz, field_padded)
     return out[: out_shape[0], : out_shape[1], : out_shape[2]]
@@ -272,6 +456,7 @@ def pad_fields(field_like, out_shape, Rr):
     callers that sample the same fields repeatedly (the CFL-substepped
     trace loops) pad ONCE and reuse via the *_padded entry points."""
     P = Rr + 2
+    BY = _by(Rr)
     Z = _ceil(out_shape[2], 128)
     ZP = Z + 384  # 128 front pad + up to a 256-window reach past the end
     spatial = field_like.shape[-3:]
@@ -290,6 +475,7 @@ def _pad_field_positions(field_like, px, py, pz, h, off, Rr):
     to the window-safe extent and rebase positions into padded coords."""
     out_shape = px.shape
     P = Rr + 2
+    BY = _by(Rr)
     fpad = pad_fields(field_like, out_shape, Rr)
 
     gx = px / h - off[0] + P
@@ -318,7 +504,8 @@ def _pad_field_positions(field_like, px, py, pz, h, off, Rr):
     return fpad, gx, gy, gz, P
 
 
-def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False):
+def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False,
+                 adaptive=None):
     """Drop-in replacement for interp.sample3 (world positions, field offset
     in units of h) under the bounded-displacement contract above.
 
@@ -326,11 +513,16 @@ def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False):
     samples near lattice site (i,j,k) (true for every use in this engine).
     """
     del Rz  # the dynamic-tile z window covers shifts up to ~125 cells
+    from gpufluidsimulation_tpu import config
+
+    if adaptive is None:
+        adaptive = config.interp_adaptive()
     out_shape = px.shape
     fpad, gx, gy, gz, P = _pad_field_positions(field, px, py, pz, h, off, Rr)
     return _sample3_padded(
         fpad, gx, gy, gz,
         Rr=Rr, P=P, interpret=interpret, out_shape=out_shape,
+        adaptive=adaptive,
     )
 
 
@@ -340,6 +532,7 @@ def residual_overflow(px, py, pz, h, off, *, Rr=2, Rz=8):
     (8, 8, 128) blocking, or |z base shift| beyond the window budget.
     Keep at 0."""
     out_shape = px.shape
+    BY = _by(Rr)
     gx = px / h - off[0]
     gy = py / h - off[1]
     gz = pz / h - off[2]
@@ -355,7 +548,11 @@ def residual_overflow(px, py, pz, h, off, *, Rr=2, Rz=8):
         nbx, nby = d.shape[0] // BX, d.shape[1] // BY
         nbz = d.shape[2] // 128
         r = d.reshape(nbx, BX, nby, BY, nbz, 128)
-        s = jnp.round(r[:, BX // 2, :, BY // 2, :, 64])
+        # the kernel's own base-shift convention: round the block's residual
+        # midpoint (min+max)/2 — the shift that minimizes the max residual
+        mn = r.min(axis=(1, 3, 5))
+        mx = r.max(axis=(1, 3, 5))
+        s = jnp.round(0.5 * (mn + mx))
         if axis == 2:
             s = jnp.clip(s, -(127 - Rr), 127 - Rr)
         res = jnp.abs(r - s[:, None, :, None, :, None])
@@ -371,30 +568,22 @@ def residual_overflow(px, py, pz, h, off, *, Rr=2, Rz=8):
 
 
 def _kernel_minmax(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm,
-                   mn_ref, mx_ref, win_ref, sem, *, Rr, block, win_shape):
-    bi = pl.program_id(0)
-    bj = pl.program_id(1)
-    bk = pl.program_id(2)
-    blk = (bi * pl.num_programs(1) + bj) * pl.num_programs(2) + bk
+                   mn_ref, mx_ref, win_ref, sem, *, Rr, block, win_shape,
+                   adaptive):
+    blk, slot = _pipeline_window(origin_ref, field_hbm, win_ref, sem,
+                                 win_shape)
     ox, oy, sy, ozw, g0 = _block_scalars(origin_ref, blk)
-
-    copy = pltpu.make_async_copy(
-        field_hbm.at[
-            pl.ds(ox, win_shape[0]), pl.ds(oy, win_shape[1]),
-            pl.ds(ozw, win_shape[2]),
-        ],
-        win_ref,
-        sem,
-    )
-    copy.start()
-
     lx, ly, lz = _local_coords(gx_ref, gy_ref, gz_ref, ox, oy, sy, g0, Rr)
+    win = _rebased_window(win_ref.at[slot], sy, g0 - ozw, 1)
+    if adaptive:
+        taps = _block_taps(origin_ref, blk)
+        mn_ref[...], mx_ref[...] = _minmax_adaptive(
+            win, lx, ly, lz, taps, block, Rr
+        )
+        return
     hx, hy, hz = _hats(lx, ly, lz, block, Rr)
     W = 2 * Rr + 3
     B1, B2, B3 = block
-
-    copy.wait()
-    win = _rebased_window(win_ref, sy, g0 - ozw, 1)
 
     big = jnp.float32(3.0e38)
     mn = jnp.full(block, big)
@@ -413,24 +602,31 @@ def _kernel_minmax(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm,
     mx_ref[...] = mx
 
 
-def minmax3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False):
+def minmax3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False,
+                 adaptive=None):
     """Min/max over the trilinear corner cells at each position — the
     window-kernel counterpart of an 8-way corner gather. Same bounded-smooth
     displacement contract as sample3_fast."""
     del Rz
+    from gpufluidsimulation_tpu import config
+
+    if adaptive is None:
+        adaptive = config.interp_adaptive()
     out_shape = px.shape
     fpad, gx, gy, gz, P = _pad_field_positions(field, px, py, pz, h, off, Rr)
     return _minmax3_padded(
         fpad, gx, gy, gz, Rr=Rr, P=P, interpret=interpret,
-        out_shape=out_shape,
+        out_shape=out_shape, adaptive=adaptive,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("Rr", "P", "interpret", "out_shape")
+    jax.jit, static_argnames=("Rr", "P", "interpret", "out_shape", "adaptive")
 )
-def _minmax3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape):
+def _minmax3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape,
+                    adaptive=False):
     nx, ny, Z = gx.shape
+    BY = _by(Rr)
     nb = (nx // BX, ny // BY, Z // 128)
     block = (BX, BY, 128)
     fs = field_padded.shape
@@ -457,12 +653,13 @@ def _minmax3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape):
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM(win_shape, jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2,) + win_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
-        _kernel_minmax, Rr=Rr, block=block, win_shape=win_shape
+        _kernel_minmax, Rr=Rr, block=block, win_shape=win_shape,
+        adaptive=adaptive,
     )
     mn, mx = pl.pallas_call(
         kernel,
@@ -471,6 +668,9 @@ def _minmax3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape):
             jax.ShapeDtypeStruct(gx.shape, jnp.float32),
         ),
         grid_spec=grid_spec,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(origins, gx, gy, gz, field_padded)
     sl = np.s_[: out_shape[0], : out_shape[1], : out_shape[2]]
@@ -486,28 +686,23 @@ def _minmax3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape):
 
 
 def _kernel_multi(origin_ref, gx_ref, gy_ref, gz_ref, fields_hbm, out_ref,
-                  win_ref, sem, *, Rr, block, win_shape, deltas):
+                  win_ref, sem, *, Rr, block, win_shape, deltas, adaptive):
     C = len(deltas)
-    bi = pl.program_id(0)
-    bj = pl.program_id(1)
-    bk = pl.program_id(2)
-    blk = (bi * pl.num_programs(1) + bj) * pl.num_programs(2) + bk
+    blk, slot = _pipeline_window(origin_ref, fields_hbm, win_ref, sem,
+                                 win_shape)
     ox, oy, sy, ozw, g0 = _block_scalars(origin_ref, blk)
-
-    copy = pltpu.make_async_copy(
-        fields_hbm.at[
-            :, pl.ds(ox, win_shape[1]), pl.ds(oy, win_shape[2]),
-            pl.ds(ozw, win_shape[3]),
-        ],
-        win_ref,
-        sem,
-    )
-    copy.start()
-
     lx0, ly0, lz0 = _local_coords(gx_ref, gy_ref, gz_ref, ox, oy, sy, g0, Rr)
+    win_all = _rebased_window(win_ref.at[slot], sy, g0 - ozw, 2)
 
-    copy.wait()
-    win_all = _rebased_window(win_ref, sy, g0 - ozw, 2)
+    if adaptive:
+        # per-block tap bounds were widened over all channel deltas
+        taps = _block_taps(origin_ref, blk)
+        for ch in range(C):
+            dxo, dyo, dzo = deltas[ch]
+            out_ref[ch] = _trilerp_sum_adaptive(
+                win_all[ch], lx0 + dxo, ly0 + dyo, lz0 + dzo, taps, block, Rr
+            )
+        return
 
     # hats are shared between channels with identical offset deltas
     hat_cache = {}
@@ -525,20 +720,30 @@ def _kernel_multi(origin_ref, gx_ref, gy_ref, gz_ref, fields_hbm, out_ref,
         out_ref[ch] = _trilerp_sum(win_all[ch], hx, hy, hz, block, Rr)
 
 
+def _dspan(deltas):
+    return tuple(
+        (min(d[ax] for d in deltas), max(d[ax] for d in deltas))
+        for ax in range(3)
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("Rr", "P", "interpret", "out_shape", "deltas"),
+    static_argnames=("Rr", "P", "interpret", "out_shape", "deltas",
+                     "adaptive"),
 )
 def _sample3_padded_multi(fields_padded, gx, gy, gz, *, Rr, P, interpret,
-                          out_shape, deltas):
+                          out_shape, deltas, adaptive=False):
     C = fields_padded.shape[0]
     nx, ny, Z = gx.shape
+    BY = _by(Rr)
     nb = (nx // BX, ny // BY, Z // 128)
     block = (BX, BY, 128)
     fs = fields_padded.shape[1:]
     Wx = BX + 2 * Rr + 2
     win_shape = (C, Wx, WY_WIN, WZ_WIN)
-    origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb)
+    origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb,
+                       dspan=_dspan(deltas))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -557,26 +762,34 @@ def _sample3_padded_multi(fields_padded, gx, gy, gz, *, Rr, P, interpret,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM(win_shape, jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2,) + win_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
-        _kernel_multi, Rr=Rr, block=block, win_shape=win_shape, deltas=deltas
+        _kernel_multi, Rr=Rr, block=block, win_shape=win_shape,
+        deltas=deltas, adaptive=adaptive,
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((C,) + gx.shape, jnp.float32),
         grid_spec=grid_spec,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(origins, gx, gy, gz, fields_padded)
     return out[:, : out_shape[0], : out_shape[1], : out_shape[2]]
 
 
 def sample3_multi_padded(fields_padded, px, py, pz, h, offs, *, Rr=2,
-                         interpret=False):
+                         interpret=False, adaptive=None):
     """sample3_multi over fields already padded by pad_fields(out_shape=
     px.shape) — the reuse path for the substepped trace loops."""
+    from gpufluidsimulation_tpu import config
+
+    if adaptive is None:
+        adaptive = config.interp_adaptive()
     out_shape = px.shape
     off0 = offs[0]
     deltas = tuple(
@@ -584,6 +797,7 @@ def sample3_multi_padded(fields_padded, px, py, pz, h, offs, *, Rr=2,
         for o in offs
     )
     P = Rr + 2
+    BY = _by(Rr)
     gx = px / h - off0[0] + P
     gy = py / h - off0[1] + P
     gz = pz / h - off0[2] + 128
@@ -607,13 +821,19 @@ def sample3_multi_padded(fields_padded, px, py, pz, h, offs, *, Rr=2,
     return _sample3_padded_multi(
         fields_padded, gx, gy, gz,
         Rr=Rr, P=P, interpret=interpret, out_shape=out_shape, deltas=deltas,
+        adaptive=adaptive,
     )
 
 
-def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False):
+def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False,
+                  adaptive=None):
     """Sample C stacked same-shape fields (C, nx, ny, nz) at one position
     lattice with per-channel offsets `offs` (C tuples, units of h). Returns
     (C, *px.shape). One window DMA + one launch for all channels."""
+    from gpufluidsimulation_tpu import config
+
+    if adaptive is None:
+        adaptive = config.interp_adaptive()
     out_shape = px.shape
     # reference channel 0 defines the position lattice; other channels get
     # static per-channel coordinate deltas (offs in units of h)
@@ -628,4 +848,5 @@ def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False):
     return _sample3_padded_multi(
         fpad, gx, gy, gz,
         Rr=Rr, P=P, interpret=interpret, out_shape=out_shape, deltas=deltas,
+        adaptive=adaptive,
     )
