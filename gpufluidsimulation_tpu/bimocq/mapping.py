@@ -110,12 +110,16 @@ def update_mapping_2d(mapping: MappingState, grid, u, v, cfldt, dt) -> MappingSt
 
 
 def _band3(shape, a: Tuple[int, int, int], b: Tuple[int, int, int]):
-    """Mask for guard `a[d] < idx_d < n_d - b[d]` per axis."""
+    """Mask for guard `a[d] < idx_d < n_d - b[d]` per axis.
+
+    Built from broadcasted iotas (not a materialized constant array) so XLA
+    computes it inside the consuming fusion — a 256^3 pred constant costs a
+    real HBM load per use; iota compares are free ALU work."""
     nx, ny, nz = shape
-    ii = np.arange(nx)[:, None, None]
-    jj = np.arange(ny)[None, :, None]
-    kk = np.arange(nz)[None, None, :]
-    return jnp.asarray(
+    ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return (
         (ii > a[0]) & (ii < nx - b[0])
         & (jj > a[1]) & (jj < ny - b[1])
         & (kk > a[2]) & (kk < nz - b[2])
@@ -124,11 +128,9 @@ def _band3(shape, a: Tuple[int, int, int], b: Tuple[int, int, int]):
 
 def _band2(shape, a: Tuple[int, int], b: Tuple[int, int]):
     nx, ny = shape
-    ii = np.arange(nx)[:, None]
-    jj = np.arange(ny)[None, :]
-    return jnp.asarray(
-        (ii > a[0]) & (ii < nx - b[0]) & (jj > a[1]) & (jj < ny - b[1])
-    )
+    ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (ii > a[0]) & (ii < nx - b[0]) & (jj > a[1]) & (jj < ny - b[1])
 
 
 # ---------------------------------------------------------------------------

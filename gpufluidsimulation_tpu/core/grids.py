@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -107,15 +108,17 @@ class Grid3D:
             (hi + dim[0], hi + dim[1], hi + dim[2]) if hi_add_dim
             else (hi, hi, hi)
         )
-        ii = np.arange(nx)[:, None, None]
-        jj = np.arange(ny)[None, :, None]
-        kk = np.arange(nz)[None, None, :]
-        m = (
+        # iota compares (not a materialized pred constant): XLA computes the
+        # mask inside the consuming fusion — free ALU work vs an HBM load
+        shape = (nx, ny, nz)
+        ii = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        return (
             (ii >= lo) & (ii <= nx - hx) &
             (jj >= lo) & (jj <= ny - hy) &
             (kk >= lo) & (kk <= nz - hz)
         )
-        return jnp.asarray(m)
 
 
 @dataclasses.dataclass(frozen=True)
