@@ -93,8 +93,25 @@ def trace_3d(u, v, w, h, cfldt, dt, px, py, pz, packed=None):
     # pack the MAC triplet once for the whole substep loop (up to 9
     # window-sampler calls share it); callers tracing several fields in the
     # same velocity pass their own pack
+    from gpufluidsimulation_tpu import config as _cfg
+
     if packed is None and px.ndim == 3:
         packed = interp.mac_pack_3d(u, v, w, px.shape)
+    if (
+        px.ndim == 3
+        and packed is not None
+        and _cfg.use_fast_interp()
+        and _cfg.interp_rr() <= 2
+    ):
+        # fused path: one window kernel per substep evaluates all three RK3
+        # stages (vs 3 multi-channel launches + position round-trips)
+        from gpufluidsimulation_tpu.ops import interp_fast
+
+        ni, nj, nk = v.shape[0], u.shape[1], u.shape[2]
+        return interp_fast.trace_rk3_fused(
+            packed, px, py, pz, h, cfldt, dt, interp._MAC_OFFS, (ni, nj, nk),
+            Rr=_cfg.interp_rr(), interpret=_cfg.interp_interpret(),
+        )
 
     def step(sdt, p):
         return trace_rk3_3d(u, v, w, h, sdt, *p, packed=packed)
@@ -328,9 +345,20 @@ def dmc_backward_step_3d(grid, u, v, w, map_x, map_y, map_z, substep):
     ny_ = _dmc_newpos(py, vel_v, ay, substep)
     nz_ = _dmc_newpos(pz, vel_w, az, substep)
     off = (0.0, 0.0, 0.0)
-    out_x = interp.sample3_lattice(map_x, nx_, ny_, nz_, h, off)
-    out_y = interp.sample3_lattice(map_y, nx_, ny_, nz_, h, off)
-    out_z = interp.sample3_lattice(map_z, nx_, ny_, nz_, h, off)
+    if _cfg.use_fast_interp():
+        # the three map channels share positions: ONE 3-channel window
+        # launch instead of three single-channel ones
+        from gpufluidsimulation_tpu.ops import interp_fast
+
+        out = interp_fast.sample3_multi(
+            jnp.stack([map_x, map_y, map_z]), nx_, ny_, nz_, h, (off,) * 3,
+            Rr=_cfg.interp_rr(), interpret=_cfg.interp_interpret(),
+        )
+        out_x, out_y, out_z = out[0], out[1], out[2]
+    else:
+        out_x = interp.sample3_lattice(map_x, nx_, ny_, nz_, h, off)
+        out_y = interp.sample3_lattice(map_y, nx_, ny_, nz_, h, off)
+        out_z = interp.sample3_lattice(map_z, nx_, ny_, nz_, h, off)
     mask = grid.interior_mask("c", lo=2, hi=3)
     return (
         jnp.where(mask, out_x, map_x),

@@ -825,6 +825,212 @@ def sample3_multi_padded(fields_padded, px, py, pz, h, offs, *, Rr=2,
     )
 
 
+# ---------------------------------------------------------------------------
+# Fused RK3 substep: ONE window DMA + launch evaluates all three Ralston-RK3
+# velocity stages (trace kernel, GPU_kernel.cu:74-90) instead of three
+# separate multi-channel sampler launches with position round-trips through
+# HBM. The window reach grows by one cell (Rk = Rr + 1) to cover the stage
+# drift: each substep is bounded by cfldt = h/maxvel, so stage positions move
+# at most 0.75 cells from the block-statistics positions the window was
+# anchored on. Per-stage live tap ranges are re-derived IN-KERNEL from the
+# actual stage coordinates (block min/max — cheap VPU reductions), so the
+# wider window costs no extra hat-loop work.
+# ---------------------------------------------------------------------------
+
+
+def _live_taps(rel, W):
+    """Block-wide live tap range for element-relative coords `rel = l - iota`
+    (a tap dq is live iff hat(rel - dq) > 0 for some element, i.e.
+    dq in [floor(min rel), floor(max rel) + 1])."""
+    lo = jnp.clip(jnp.floor(jnp.min(rel)).astype(jnp.int32), 0, W - 1)
+    hi = jnp.clip(jnp.floor(jnp.max(rel)).astype(jnp.int32) + 1, 0, W - 1)
+    return lo, jnp.maximum(hi - lo + 1, 0)
+
+
+def _sample_mac_stage(win_all, lx, ly, lz, deltas, block, Rr):
+    """The 3 MAC channels at window-local coords (lx,ly,lz) + channel deltas."""
+    W = 2 * Rr + 3
+    b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
+    outs = []
+    for ch, (dxo, dyo, dzo) in enumerate(deltas):
+        lxc, lyc, lzc = lx + dxo, ly + dyo, lz + dzo
+        ylo, nyt = _live_taps(lyc - b, W)
+        zlo, nzt = _live_taps(lzc - c, W)
+        outs.append(
+            _trilerp_sum_adaptive(
+                win_all[ch], lxc, lyc, lzc, (ylo, nyt, zlo, nzt), block, Rr
+            )
+        )
+    return outs
+
+
+def _kernel_rk3(origin_ref, gx_ref, gy_ref, gz_ref, sh_ref, fields_hbm,
+                out_ref, win_ref, sem, *, Rr, block, win_shape, deltas,
+                clamp):
+    blk, slot = _pipeline_window(origin_ref, fields_hbm, win_ref, sem,
+                                 win_shape)
+    ox, oy, sy, ozw, g0 = _block_scalars(origin_ref, blk)
+    lx, ly, lz = _local_coords(gx_ref, gy_ref, gz_ref, ox, oy, sy, g0, Rr)
+    win_all = _rebased_window(win_ref.at[slot], sy, g0 - ozw, 2)
+    sh = sh_ref[0, 0]  # signed substep dt / h (world velocity -> grid disp)
+
+    u1, v1, w1 = _sample_mac_stage(win_all, lx, ly, lz, deltas, block, Rr)
+    a = 0.5 * sh
+    u2, v2, w2 = _sample_mac_stage(
+        win_all, lx + a * u1, ly + a * v1, lz + a * w1, deltas, block, Rr
+    )
+    b = 0.75 * sh
+    u3, v3, w3 = _sample_mac_stage(
+        win_all, lx + b * u2, ly + b * v2, lz + b * w2, deltas, block, Rr
+    )
+    c1 = (2.0 / 9.0) * sh
+    c2 = (3.0 / 9.0) * sh
+    c3 = (4.0 / 9.0) * sh
+    out_ref[0] = jnp.clip(
+        gx_ref[...] + c1 * u1 + c2 * u2 + c3 * u3, clamp[0], clamp[1]
+    )
+    out_ref[1] = jnp.clip(
+        gy_ref[...] + c1 * v1 + c2 * v2 + c3 * v3, clamp[2], clamp[3]
+    )
+    out_ref[2] = jnp.clip(
+        gz_ref[...] + c1 * w1 + c2 * w2 + c3 * w3, clamp[4], clamp[5]
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Rr", "P", "interpret", "deltas", "clamp"),
+)
+def _rk3_padded(fields_padded, gx, gy, gz, sh, *, Rr, P, interpret, deltas,
+                clamp):
+    """One fused RK3 substep over padded-coord position lattices; returns the
+    stacked (3, ...) new positions in the same padded channel-0 coords."""
+    C = fields_padded.shape[0]
+    nx, ny, Z = gx.shape
+    Rk = Rr + 1  # window reach: contract residual + <=0.75-cell stage drift
+    BY = _by(Rr)
+    nb = (nx // BX, ny // BY, Z // 128)
+    block = (BX, BY, 128)
+    fs = fields_padded.shape[1:]
+    Wx = BX + 2 * Rk + 2
+    win_shape = (C, Wx, WY_WIN, WZ_WIN)
+    origins = _origins(gx, gy, gz, fs, Rr=Rk, P=P, nb=nb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=nb,
+        in_specs=[
+            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (C,) + block, lambda i, j, k, o: (0, i, j, k),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + win_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_rk3, Rr=Rk, block=block, win_shape=win_shape, deltas=deltas,
+        clamp=clamp,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C,) + gx.shape, jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(origins, gx, gy, gz, sh.reshape(1, 1), fields_padded)
+
+
+def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
+                    lo=1.0, hi=1.0, Rr=2, interpret=False):
+    """CFL-substepped RK3 characteristic trace with each substep's three MAC
+    velocity stages fused into ONE window kernel (the trace loop of
+    GPU_kernel.cu:92-125). Positions stay in padded block-multiple grid
+    coords across the whole `lax.while_loop` — no per-substep repadding.
+
+    Contract: every substep is <= cfldt = h/max|vel| (so in-kernel stage
+    drift is <= 0.75 cells, covered by the Rk = Rr+1 window reach) and the
+    input positions obey the usual bounded-displacement contract. Requires
+    Rr <= 2 (the WY_WIN=32 y window fits BY + 2*Rk + 2 + 7 rows only up to
+    Rk = 3)."""
+    if Rr > 2:
+        raise ValueError("trace_rk3_fused requires Rr <= 2")
+    out_shape = px.shape
+    off0 = offs[0]
+    deltas = tuple(
+        (float(off0[0] - o[0]), float(off0[1] - o[1]), float(off0[2] - o[2]))
+        for o in offs
+    )
+    P = Rr + 2
+    gx = px / h - off0[0] + P
+    gy = py / h - off0[1] + P
+    gz = pz / h - off0[2] + 128
+    pad_to = (
+        _ceil(out_shape[0], BX) - out_shape[0],
+        _ceil(out_shape[1], _by(Rr)) - out_shape[1],
+        _ceil(out_shape[2], 128) - out_shape[2],
+    )
+    if any(pad_to):
+        pw = [(0, p) for p in pad_to]
+
+        def node_like(x, axis, p):
+            return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
+
+        dx = jnp.pad(gx - node_like(gx, 0, P), pw, mode="edge")
+        dy = jnp.pad(gy - node_like(gy, 1, P), pw, mode="edge")
+        dz = jnp.pad(gz - node_like(gz, 2, 128), pw, mode="edge")
+        gx = node_like(dx, 0, P) + dx
+        gy = node_like(dy, 1, P) + dy
+        gz = node_like(dz, 2, 128) + dz
+
+    # world clamp [lo*h, L-hi*h] per axis in padded channel-0 coords
+    ni, nj, nk = grid_n
+    clamp = (
+        float(lo - off0[0] + P), float(ni - hi - off0[0] + P),
+        float(lo - off0[1] + P), float(nj - hi - off0[1] + P),
+        float(lo - off0[2] + 128), float(nk - hi - off0[2] + 128),
+    )
+
+    total = jnp.abs(dt)
+    sign = jnp.where(dt >= 0, 1.0, -1.0).astype(jnp.float32)
+    cfldt = jnp.maximum(jnp.asarray(cfldt, jnp.float32), 1e-30)
+
+    def cond(carry):
+        return carry[0] < total
+
+    def body(carry):
+        t, g = carry
+        sub = jnp.minimum(cfldt, total - t)
+        g2 = _rk3_padded(
+            packed, g[0], g[1], g[2], (sign * sub / h).astype(jnp.float32),
+            Rr=Rr, P=P, interpret=interpret, deltas=deltas, clamp=clamp,
+        )
+        return (t + sub, g2)
+
+    _, g = jax.lax.while_loop(
+        cond, body, (jnp.float32(0.0), jnp.stack([gx, gy, gz]))
+    )
+    sl = np.s_[: out_shape[0], : out_shape[1], : out_shape[2]]
+    return (
+        (g[0][sl] - P + off0[0]) * h,
+        (g[1][sl] - P + off0[1]) * h,
+        (g[2][sl] - 128 + off0[2]) * h,
+    )
+
+
 def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False,
                   adaptive=None):
     """Sample C stacked same-shape fields (C, nx, ny, nz) at one position

@@ -143,6 +143,65 @@ def test_minmax3_fast_matches_gather(rng):
     np.testing.assert_allclose(np.asarray(mx)[inner], want_mx[inner], atol=1e-6)
 
 
+def test_trace_rk3_fused_matches_exact(rng):
+    """The fused 3-stage RK3 substep kernel == the exact-gather substepped
+    trace (trace_3d's two paths agree under the bounded-CFL contract)."""
+    from gpufluidsimulation_tpu.core import interp as ci
+    from gpufluidsimulation_tpu.ops import advect
+
+    n = 16
+    nz = 128
+    h = 0.1
+    shape_u = (n + 1, n, nz)
+    shape_v = (n, n + 1, nz)
+    shape_w = (n, n, nz + 1)
+    # smooth solenoidal-ish velocity, max |v| ~ 1
+    i = np.arange(n + 1)[:, None, None]
+    j = np.arange(n + 1)[None, :, None]
+    k = np.arange(nz + 1)[None, None, :]
+    u = np.broadcast_to(
+        np.sin(2 * np.pi * j[:, :n, :] / n) * np.cos(2 * np.pi * k[..., :nz] / nz),
+        shape_u).astype(np.float32)
+    v = np.broadcast_to(
+        np.cos(2 * np.pi * i[:n] / n) * np.sin(2 * np.pi * k[..., :nz] / nz),
+        shape_v).astype(np.float32)
+    w = np.broadcast_to(
+        np.sin(2 * np.pi * i[:n] / n) * np.cos(2 * np.pi * j[:, :n + 1 - 1, :] / n),
+        shape_w).astype(np.float32)
+    u, v, w = jnp.asarray(u), jnp.asarray(v), jnp.asarray(w)
+
+    # trace the cell-center lattice backwards by ~2.5 CFL substeps
+    px = jnp.broadcast_to(jnp.asarray((np.arange(n) + 0.5) * h)[:, None, None],
+                          (n, n, nz)).astype(jnp.float32)
+    py = jnp.broadcast_to(jnp.asarray((np.arange(n) + 0.5) * h)[None, :, None],
+                          (n, n, nz)).astype(jnp.float32)
+    pz = jnp.broadcast_to(jnp.asarray((np.arange(nz) + 0.5) * h)[None, None, :],
+                          (n, n, nz)).astype(jnp.float32)
+    maxvel = 1.0
+    cfldt = h / maxvel
+    dt = -2.5 * cfldt
+
+    # exact oracle: the gather-path substepped trace
+    def step(sdt, p):
+        return advect.trace_rk3_3d(u, v, w, h, sdt, *p, packed=None)
+
+    want = advect._substepped(step, cfldt, dt, (px, py, pz))
+
+    packed = jnp.stack([
+        jnp.pad(u, ((0, 0), (0, 1), (0, 1)), mode="edge"),
+        jnp.pad(v, ((0, 1), (0, 0), (0, 1)), mode="edge"),
+        jnp.pad(w, ((0, 1), (0, 1), (0, 0)), mode="edge"),
+    ])
+    packed = interp_fast.pad_fields(packed, px.shape, 2)
+    got = interp_fast.trace_rk3_fused(
+        packed, px, py, pz, h, cfldt, dt, ci._MAC_OFFS, (n, n, nz),
+        Rr=2, interpret=True,
+    )
+    for g, wnt in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wnt),
+                                   rtol=1e-4, atol=2e-4 * h)
+
+
 def test_sample3_multi_matches_per_channel(rng):
     shape = (16, 16, 128)
     h = 0.1
