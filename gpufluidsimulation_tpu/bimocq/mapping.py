@@ -231,7 +231,15 @@ def volume_prefilter_3d(f):
     separable form of trilinear sampling at +-0.25 per axis). One fused XLA
     stencil pass instead of 9 windowed-kernel launches per sample op.
     """
+    # NOTE: a windowed-DMA Pallas form exists (interp_fast.
+    # volume_prefilter_fast, parity-tested) but measured NEUTRAL-to-worse
+    # in-step at 256^3 — XLA fuses these separable passes into neighboring
+    # elementwise work, which a separate kernel launch forfeits.
 
+    # separable per-axis passes (3-tap each). NOTE: the "pad once + 27
+    # static slices" single-fusion form was tried and is ~60 ms/step SLOWER
+    # at 256^3 — 27 lane-misaligned operands in one fusion relayout worse
+    # than three separable passes on this TPU/XLA.
     def s(axis):
         def apply(x):
             pad = [(0, 0)] * 3

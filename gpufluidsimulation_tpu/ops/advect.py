@@ -315,17 +315,22 @@ def dmc_backward_step_3d(grid, u, v, w, map_x, map_y, map_z, substep):
         sz = vel_w > 0
 
         def upwind(f):
+            # pad ONCE + 8 corner slices of the one padded array (single
+            # fused select-sum pass; the previous nested pad-shifts
+            # materialized every intermediate)
+            nx_, ny_, nz_ = f.shape
+            fp = jnp.pad(f, 1, mode="edge")
             out = jnp.zeros_like(f)
-            for a in (-1, 1):
-                fa = _shift_edge(f, a, 0)
-                ma = sx if a == -1 else ~sx
-                for b_ in (-1, 1):
-                    fab = _shift_edge(fa, b_, 1)
-                    mb = ma & (sy if b_ == -1 else ~sy)
-                    for c_ in (-1, 1):
-                        fabc = _shift_edge(fab, c_, 2)
-                        mc = mb & (sz if c_ == -1 else ~sz)
-                        out = out + jnp.where(mc, fabc, 0.0)
+            for a in (0, 2):
+                ma = sx if a == 0 else ~sx
+                for b_ in (0, 2):
+                    mb = ma & (sy if b_ == 0 else ~sy)
+                    for c_ in (0, 2):
+                        mc = mb & (sz if c_ == 0 else ~sz)
+                        corner = jax.lax.slice(
+                            fp, (a, b_, c_), (a + nx_, b_ + ny_, c_ + nz_)
+                        )
+                        out = out + jnp.where(mc, corner, 0.0)
             return out
 
         tu, tv, tw = upwind(vel_u), upwind(vel_v), upwind(vel_w)

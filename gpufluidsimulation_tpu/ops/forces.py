@@ -52,13 +52,16 @@ def diffuse_3d(field, iters, coef):
                 & (kk > 0) & (kk < nz - 1))
 
     def body(_, x):
+        # pad ONCE + 6 static slices of the one padded array (a single fused
+        # stencil pass; per-axis pads materialize intermediates)
+        xp = jnp.pad(x, 1)
         nb = (
-            jnp.pad(x, ((1, 1), (0, 0), (0, 0)))[:-2, :, :]
-            + jnp.pad(x, ((1, 1), (0, 0), (0, 0)))[2:, :, :]
-            + jnp.pad(x, ((0, 0), (1, 1), (0, 0)))[:, :-2, :]
-            + jnp.pad(x, ((0, 0), (1, 1), (0, 0)))[:, 2:, :]
-            + jnp.pad(x, ((0, 0), (0, 0), (1, 1)))[:, :, :-2]
-            + jnp.pad(x, ((0, 0), (0, 0), (1, 1)))[:, :, 2:]
+            lax.slice(xp, (0, 1, 1), (nx, ny + 1, nz + 1))
+            + lax.slice(xp, (2, 1, 1), (nx + 2, ny + 1, nz + 1))
+            + lax.slice(xp, (1, 0, 1), (nx + 1, ny, nz + 1))
+            + lax.slice(xp, (1, 2, 1), (nx + 1, ny + 2, nz + 1))
+            + lax.slice(xp, (1, 1, 0), (nx + 1, ny + 1, nz))
+            + lax.slice(xp, (1, 1, 2), (nx + 1, ny + 1, nz + 2))
         )
         # boundary ring held (kernel guard i>0 && i<ni-1): one fused select
         # instead of six dynamic-update-slices per iteration

@@ -547,15 +547,20 @@ def residual_overflow(px, py, pz, h, off, *, Rr=2, Rz=8):
         d = jnp.pad(g - node, padw, mode="edge")
         nbx, nby = d.shape[0] // BX, d.shape[1] // BY
         nbz = d.shape[2] // 128
-        r = d.reshape(nbx, BX, nby, BY, nbz, 128)
+        # z-first staged block reduction (lane-dim split is layout
+        # preserving; the one-shot 6D reshape retiles the whole array)
+        z2 = d.reshape(d.shape[0], d.shape[1], nbz, 128)
+        mnz = z2.min(axis=-1).reshape(nbx, BX, nby, BY, nbz)
+        mxz = z2.max(axis=-1).reshape(nbx, BX, nby, BY, nbz)
         # the kernel's own base-shift convention: round the block's residual
         # midpoint (min+max)/2 — the shift that minimizes the max residual
-        mn = r.min(axis=(1, 3, 5))
-        mx = r.max(axis=(1, 3, 5))
+        mn = mnz.min(axis=(1, 3))
+        mx = mxz.max(axis=(1, 3))
         s = jnp.round(0.5 * (mn + mx))
         if axis == 2:
             s = jnp.clip(s, -(127 - Rr), 127 - Rr)
-        res = jnp.abs(r - s[:, None, :, None, :, None])
+        sfull = jnp.repeat(jnp.repeat(s, BX, axis=0), BY, axis=1)
+        res = jnp.abs(z2 - sfull[:, :, :, None])
         over = over + jnp.sum(res > (Rr + 0.5), dtype=jnp.int32)
     return over
 
@@ -823,6 +828,119 @@ def sample3_multi_padded(fields_padded, px, py, pz, h, offs, *, Rr=2,
         Rr=Rr, P=P, interpret=interpret, out_shape=out_shape, deltas=deltas,
         adaptive=adaptive,
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed volume prefilter: out = 0.5*f + 0.5*(S (x) S (x) S) * f with
+# S = [1/8, 3/4, 1/8] (the source-side form of the reference's 9-point
+# composition average, cf. mapping.volume_prefilter_3d). One windowed-DMA
+# pass with in-VMEM separable taps and STATIC per-block window origins.
+# NOT wired into the solver: measured neutral-to-worse in-step at 256^3 —
+# XLA fuses the separable XLA form into neighboring elementwise work, which
+# a separate kernel launch forfeits. Kept as a parity-tested reference for
+# future stencil fusion work.
+# ---------------------------------------------------------------------------
+
+
+def _prefilter_origin(i, j, k, fs, P):
+    """Static window origin for the 1-halo stencil around block (i,j,k)."""
+    BY = 16
+    ox = i * BX + P - 1
+    oy_ideal = j * BY + P - 1
+    oy = jnp.minimum((oy_ideal // 8) * 8, fs[1] - WY_WIN)
+    sy = oy_ideal - oy
+    g0 = 128 + k * 128 - 1
+    ozw = (g0 // 128) * 128
+    # relz as a traced scalar: pltpu.roll rejects static negatives
+    return (ox, pl.multiple_of(oy, 8), sy, pl.multiple_of(ozw, 128),
+            jnp.int32(g0 - ozw))
+
+
+def _kernel_prefilter(field_hbm, out_ref, win_ref, sem, *, block, win_shape,
+                      fs, P):
+    nb1 = pl.num_programs(1)
+    nb2 = pl.num_programs(2)
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    bk = pl.program_id(2)
+    blk = (bi * nb1 + bj) * nb2 + bk
+    nblk = pl.num_programs(0) * nb1 * nb2
+    slot = jax.lax.rem(blk, 2)
+
+    def copy(b, sl):
+        k = jax.lax.rem(b, nb2)
+        ij = b // nb2
+        j = jax.lax.rem(ij, nb1)
+        i = ij // nb1
+        ox, oy, _, ozw, _ = _prefilter_origin(i, j, k, fs, P)
+        src = field_hbm.at[
+            pl.ds(ox, win_shape[0]), pl.ds(oy, win_shape[1]),
+            pl.ds(ozw, win_shape[2]),
+        ]
+        return pltpu.make_async_copy(src, win_ref.at[sl], sem.at[sl])
+
+    @pl.when(blk == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(blk + 1 < nblk)
+    def _():
+        copy(blk + 1, jax.lax.rem(blk + 1, 2)).start()
+
+    copy(blk, slot).wait()
+
+    _, _, sy, _, relz = _prefilter_origin(bi, bj, bk, fs, P)
+    win = _rebased_window(win_ref.at[slot], sy, relz, 1)
+    # node (a,b,c) of the block sits at window (a+1, b+1, c+1)
+    B1, B2, B3 = block
+    tz = (0.125 * win[:, :, 0:B3] + 0.75 * win[:, :, 1:B3 + 1]
+          + 0.125 * win[:, :, 2:B3 + 2])
+    ty = (0.125 * tz[:, 0:B2, :] + 0.75 * tz[:, 1:B2 + 1, :]
+          + 0.125 * tz[:, 2:B2 + 2, :])
+    tx = (0.125 * ty[0:B1] + 0.75 * ty[1:B1 + 1] + 0.125 * ty[2:B1 + 2])
+    center = win[1:B1 + 1, 1:B2 + 1, 1:B3 + 1]
+    out_ref[...] = 0.5 * center + 0.5 * tx
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_shape"))
+def _prefilter_padded(fpad, *, interpret, out_shape):
+    P = 4
+    BY = 16
+    nx = _ceil(out_shape[0], BX)
+    ny = _ceil(out_shape[1], BY)
+    Z = _ceil(out_shape[2], 128)
+    nb = (nx // BX, ny // BY, Z // 128)
+    block = (BX, BY, 128)
+    fs = fpad.shape
+    win_shape = (BX + 2, WY_WIN, WZ_WIN)
+    kernel = functools.partial(
+        _kernel_prefilter, block=block, win_shape=win_shape, fs=fs, P=P,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nx, ny, Z), jnp.float32),
+        grid=nb,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(block, lambda i, j, k: (i, j, k),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + win_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(fpad)
+    return out[: out_shape[0], : out_shape[1], : out_shape[2]]
+
+
+def volume_prefilter_fast(f, *, interpret=False):
+    """Windowed-DMA volume prefilter; exact same math as the XLA separable
+    form (edge-clamped boundaries)."""
+    # Rr=2 pad geometry gives P=4 margins; the stencil only needs 1
+    fpad = pad_fields(f, f.shape, 2)
+    return _prefilter_padded(fpad, interpret=interpret, out_shape=f.shape)
 
 
 # ---------------------------------------------------------------------------

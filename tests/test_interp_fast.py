@@ -143,6 +143,17 @@ def test_minmax3_fast_matches_gather(rng):
     np.testing.assert_allclose(np.asarray(mx)[inner], want_mx[inner], atol=1e-6)
 
 
+def test_volume_prefilter_fast_matches_xla(rng):
+    """Pallas windowed prefilter == the XLA separable form, incl. edges."""
+    from gpufluidsimulation_tpu.bimocq import mapping as mp
+
+    for shape in ((16, 16, 128), (17, 19, 130)):
+        f = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        want = np.asarray(mp.volume_prefilter_3d(f))  # XLA path (fast off)
+        got = np.asarray(interp_fast.volume_prefilter_fast(f, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_trace_rk3_fused_matches_exact(rng):
     """The fused 3-stage RK3 substep kernel == the exact-gather substepped
     trace (trace_3d's two paths agree under the bounded-CFL contract)."""
