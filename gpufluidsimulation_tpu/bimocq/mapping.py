@@ -485,21 +485,26 @@ def accumulate_multi_3d(grid, kind, groups, fwd, identity=False):
     dim = grid.dim_of(kind)
     shape = groups[0][0].shape
     band = _band3(shape, (1 + dim[0], 1 + dim[1], 1 + dim[2]), (2, 2, 2))
-    flat = [volume_prefilter_3d(c) for _, pairs in groups for c, _ in pairs]
+    # prefilter and pull-back are linear: fold each group's coeff-weighted
+    # changes into ONE combined field before filtering/sampling
+    # (sum_i c_i*samp(K*f_i) == samp(K*(sum_i c_i f_i))) — one prefilter
+    # pass + one sampler channel per group instead of one per change
+    combined = []
+    for _, pairs in groups:
+        tot = pairs[0][1] * pairs[0][0]
+        for change, coeff in pairs[1:]:
+            tot = tot + coeff * change
+        combined.append(tot)
+    flat = [volume_prefilter_3d(c) for c in combined]
     if identity:
         deltas = flat
     else:
         p3 = map_at_lattice_3d(grid, fwd, kind, 0.0, 0.0)
         deltas = _sample_fields_at(grid, kind, flat, p3)
-    outs = []
-    i = 0
-    for base, pairs in groups:
-        total = base
-        for _, coeff in pairs:
-            total = total + coeff * deltas[i]
-            i += 1
-        outs.append(jnp.where(band, total, base))
-    return outs
+    return [
+        jnp.where(band, base + delta, base)
+        for (base, _), delta in zip(groups, deltas)
+    ]
 
 
 def estimate_distortion_3d(grid, mapping: MappingState, exclude_mask=None):

@@ -396,7 +396,36 @@ def dmc_backward_step_2d(grid, u, v, map_x, map_y, substep):
 
 
 def update_backward_map_3d(grid, u, v, w, map_xyz, cfldt, dt):
-    """CFL-substepped backward-map update (Mapping.cpp:7-24)."""
+    """CFL-substepped backward-map update (Mapping.cpp:7-24).
+
+    Fast path: each substep is ONE fused window kernel
+    (interp_fast.dmc_substep_fast) — static window origins, in-VMEM
+    center/upwind velocity stencils, exponential step and 3-channel map
+    gather, no per-substep prepass or intermediate HBM passes."""
+    from gpufluidsimulation_tpu import config as _cfg
+
+    if _cfg.use_fast_interp() and _cfg.interp_rr() <= 2:
+        from gpufluidsimulation_tpu.ops import interp_fast
+
+        grid_n = (grid.ni, grid.nj, grid.nk)
+        mac_packed = interp.mac_pack_3d(u, v, w, grid.shape_c)
+
+        def cond(carry):
+            return carry[0] < dt
+
+        def body(carry):
+            t, m = carry
+            sub = jnp.minimum(cfldt, dt - t)
+            m2 = interp_fast.dmc_substep_fast(
+                mac_packed, m, sub, grid.h, grid_n,
+                Rr=_cfg.interp_rr(), interpret=_cfg.interp_interpret(),
+            )
+            return (t + sub, m2)
+
+        _, out = lax.while_loop(
+            cond, body, (jnp.float32(0.0), jnp.stack(list(map_xyz)))
+        )
+        return out[0], out[1], out[2]
 
     def cond(carry):
         return carry[0] < dt

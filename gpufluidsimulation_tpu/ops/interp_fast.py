@@ -54,7 +54,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BX = 16
+BX = 16   # 32 tried: 527 -> 575 ms/step at 256^3 (bigger blocks lose more
+# to rim-block waste + per-launch tail effects than the x-window ratio wins)
 WY_WIN = 32   # y window rows (power of two: dynamic sublane rolls require it)
 
 
@@ -1146,6 +1147,211 @@ def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
         (g[0][sl] - P + off0[0]) * h,
         (g[1][sl] - P + off0[1]) * h,
         (g[2][sl] - 128 + off0[2]) * h,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused DMC backward-map substep: the ENTIRE per-substep pipeline of
+# DMC_backward_kernel (GPU_kernel.cu:169-204 / ops/advect.dmc_backward_step_3d
+# fast path) in one two-window launch: center-lattice MAC velocities and
+# their sign-selected diagonal upwind neighbors are STATIC window slices
+# (cell centers sit exactly between faces), the exponential-integrator new
+# position is VPU math, and the 3 map channels are gathered with the usual
+# adaptive hat loops. Window origins are static per block (the DMC sampling
+# position stays within ~1.3 cells of its node), so there is NO prepass, no
+# intermediate HBM traffic, and one launch instead of ~10 fused XLA passes
+# plus a sampler launch per substep.
+# ---------------------------------------------------------------------------
+
+
+def _dmc_origin(i, j, k, fs, P, Rr):
+    """Static (s=0) window origin for block (i,j,k) against an array with
+    per-copy spatial shape `fs`."""
+    BY = _by(Rr)
+    ox = i * BX + P - (Rr + 1)
+    oy_ideal = j * BY + P - (Rr + 1)
+    oy = jnp.minimum((oy_ideal // 8) * 8, fs[1] - WY_WIN)
+    sy = oy_ideal - oy
+    g0 = 128 + k * 128 - (Rr + 1)
+    ozw = (g0 // 128) * 128
+    return ox, pl.multiple_of(oy, 8), sy, pl.multiple_of(ozw, 128), g0 - ozw
+
+
+def _kernel_dmc(sh_ref, mac_hbm, maps_hbm, out_ref, win_v, win_m, sem,
+                *, Rr, block, win_shape, fs_v, fs_m, P, grid_n):
+    nb1 = pl.num_programs(1)
+    nb2 = pl.num_programs(2)
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    bk = pl.program_id(2)
+    blk = (bi * nb1 + bj) * nb2 + bk
+    nblk = pl.num_programs(0) * nb1 * nb2
+    slot = jax.lax.rem(blk, 2)
+
+    def copies(b, sl):
+        k = jax.lax.rem(b, nb2)
+        ij = b // nb2
+        j = jax.lax.rem(ij, nb1)
+        i = ij // nb1
+        out = []
+        for hbm, wref, fs, c in ((mac_hbm, win_v, fs_v, 0),
+                                 (maps_hbm, win_m, fs_m, 1)):
+            ox, oy, _, ozw, _ = _dmc_origin(i, j, k, fs, P, Rr)
+            src = hbm.at[:, pl.ds(ox, win_shape[1]), pl.ds(oy, win_shape[2]),
+                         pl.ds(ozw, win_shape[3])]
+            out.append(pltpu.make_async_copy(src, wref.at[sl],
+                                             sem.at[sl, c]))
+        return out
+
+    @pl.when(blk == 0)
+    def _():
+        for d in copies(0, 0):
+            d.start()
+
+    @pl.when(blk + 1 < nblk)
+    def _():
+        for d in copies(blk + 1, jax.lax.rem(blk + 1, 2)):
+            d.start()
+
+    for d in copies(blk, slot):
+        d.wait()
+
+    sh = sh_ref[0, 0]   # substep dt / h
+    h = sh_ref[0, 1]    # cell size (the reference's 1e-4 |a| threshold)
+    fs_y_min = min(fs_v[1], fs_m[1])
+    _, _, sy_v, _, relz = _dmc_origin(bi, bj, bk, fs_v, P, Rr)
+    _, _, sy_m, _, _ = _dmc_origin(bi, bj, bk, fs_m, P, Rr)
+    del fs_y_min
+    wv = _rebased_window(win_v.at[slot], sy_v, relz, 2)
+    wm = _rebased_window(win_m.at[slot], sy_m, relz, 2)
+
+    B1, B2, B3 = block
+    R1 = Rr + 1  # window index of node (a,b,c) is (a+R1, b+R1, c+R1)
+
+    def at(ch, dx, dy, dz):
+        # MAC channel value slice at node offsets (dx, dy, dz) from centers
+        return wv[ch, R1 + dx: R1 + dx + B1, R1 + dy: R1 + dy + B2,
+                  R1 + dz: R1 + dz + B3]
+
+    def vel_at(dx, dy, dz):
+        # staggered face averages: u straddles x, v straddles y, w z
+        vu = 0.5 * (at(0, dx, dy, dz) + at(0, dx + 1, dy, dz))
+        vv = 0.5 * (at(1, dx, dy, dz) + at(1, dx, dy + 1, dz))
+        vw = 0.5 * (at(2, dx, dy, dz) + at(2, dx, dy, dz + 1))
+        return vu, vv, vw
+
+    vel_u, vel_v, vel_w = vel_at(0, 0, 0)
+    sx = vel_u > 0
+    sy_ = vel_v > 0
+    sz = vel_w > 0
+
+    tu = jnp.zeros(block, jnp.float32)
+    tv = jnp.zeros(block, jnp.float32)
+    tw = jnp.zeros(block, jnp.float32)
+    for ex in (-1, 1):
+        mx_ = sx if ex == -1 else ~sx
+        for ey in (-1, 1):
+            my_ = mx_ & (sy_ if ey == -1 else ~sy_)
+            for ez in (-1, 1):
+                m = my_ & (sz if ez == -1 else ~sz)
+                cu, cv, cw = vel_at(ex, ey, ez)
+                tu = jnp.where(m, cu, tu)
+                tv = jnp.where(m, cv, tv)
+                tw = jnp.where(m, cw, tw)
+
+    def newdisp(vel, t, sgn_pos):
+        # displacement in grid cells of the exponential DMC step
+        sgn = jnp.where(sgn_pos, 1.0, -1.0)
+        du = vel - t
+        q = du * sgn * sh
+        safe = jnp.abs(du) > 1e-4 * h
+        denom = jnp.where(safe, du * sgn, 1.0)
+        exp_disp = (1.0 - jnp.exp(-q)) * vel / denom
+        return jnp.where(safe, exp_disp, vel * sh)
+
+    a_i = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
+    b_i = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
+    lx = a_i + (Rr + 1) - newdisp(vel_u, tu, sx)
+    ly = b_i + (Rr + 1) - newdisp(vel_v, tv, sy_)
+    lz = c_i + (Rr + 1) - newdisp(vel_w, tw, sz)
+
+    W = 2 * Rr + 3
+    ylo, nyt = _live_taps(ly - b_i, W)
+    zlo, nzt = _live_taps(lz - c_i, W)
+
+    # interior band (interior_mask('c', lo=2, hi=3)): else keep the old map
+    gi = bi * BX + a_i
+    gj = bj * _by(Rr) + b_i
+    gk = bk * 128 + c_i
+    ni, nj, nk = grid_n
+    band = ((gi >= 2) & (gi <= ni - 3) & (gj >= 2) & (gj <= nj - 3)
+            & (gk >= 2) & (gk <= nk - 3))
+
+    for ch in range(3):
+        sampled = _trilerp_sum_adaptive(
+            wm[ch], lx, ly, lz, (ylo, nyt, zlo, nzt), block, Rr
+        )
+        center = wm[ch, R1: R1 + B1, R1: R1 + B2, R1: R1 + B3]
+        out_ref[ch] = jnp.where(band, sampled, center)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Rr", "interpret", "out_shape", "grid_n")
+)
+def _dmc_padded(mac_packed, maps_packed, sh, h, *, Rr, interpret, out_shape,
+                grid_n):
+    P = Rr + 2
+    BY = _by(Rr)
+    nx = _ceil(out_shape[0], BX)
+    ny = _ceil(out_shape[1], BY)
+    Z = _ceil(out_shape[2], 128)
+    nb = (nx // BX, ny // BY, Z // 128)
+    block = (BX, BY, 128)
+    fs_v = mac_packed.shape[1:]
+    fs_m = maps_packed.shape[1:]
+    Wx = BX + 2 * Rr + 2
+    win_shape = (3, Wx, WY_WIN, WZ_WIN)
+    kernel = functools.partial(
+        _kernel_dmc, Rr=Rr, block=block, win_shape=win_shape,
+        fs_v=fs_v, fs_m=fs_m, P=P, grid_n=grid_n,
+    )
+    scalars = jnp.stack([sh, h]).astype(jnp.float32).reshape(1, 2)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, nx, ny, Z), jnp.float32),
+        grid=nb,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((3,) + block, lambda i, j, k: (0, i, j, k),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + win_shape, jnp.float32),
+            pltpu.VMEM((2,) + win_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(scalars, mac_packed, maps_packed)
+    return out[:, : out_shape[0], : out_shape[1], : out_shape[2]]
+
+
+def dmc_substep_fast(mac_packed, maps, sub, h, grid_n, *, Rr=2,
+                     interpret=False):
+    """One fused DMC backward-map substep. `mac_packed` is the frame's MAC
+    pack (pad_fields onto the cell lattice); `maps` is the stacked
+    (3, ni, nj, nk) backward map, padded here per substep (it changes)."""
+    out_shape = maps.shape[1:]
+    maps_packed = pad_fields(maps, out_shape, Rr)
+    sh = jnp.asarray(sub, jnp.float32) / h
+    return _dmc_padded(
+        mac_packed, maps_packed, sh, jnp.float32(h),
+        Rr=Rr, interpret=interpret, out_shape=out_shape, grid_n=grid_n,
     )
 
 

@@ -213,6 +213,52 @@ def test_trace_rk3_fused_matches_exact(rng):
                                    rtol=1e-4, atol=2e-4 * h)
 
 
+def test_dmc_substep_fused_matches_exact(rng):
+    """The fused DMC substep kernel == the exact-gather dmc_backward_step_3d
+    (upwind select, exponential step, map gather, interior band)."""
+    from gpufluidsimulation_tpu.core.grids import Grid3D
+    from gpufluidsimulation_tpu.ops import advect
+
+    n = 16
+    nz = 128
+    h = 0.1
+    g = Grid3D(n, n, nz, h)
+    i = np.arange(n + 1)[:, None, None]
+    j = np.arange(n + 1)[None, :, None]
+    k = np.arange(nz + 1)[None, None, :]
+    u = jnp.asarray(np.broadcast_to(
+        np.sin(2 * np.pi * j[:, :n, :] / n) * np.cos(2 * np.pi * k[..., :nz] / nz),
+        (n + 1, n, nz)).astype(np.float32))
+    v = jnp.asarray(np.broadcast_to(
+        np.cos(2 * np.pi * i[:n] / n) * np.sin(2 * np.pi * k[..., :nz] / nz),
+        (n, n + 1, nz)).astype(np.float32))
+    w = jnp.asarray(np.broadcast_to(
+        np.sin(2 * np.pi * i[:n] / n) * np.cos(2 * np.pi * j[:, :n, :] / n),
+        (n, n, nz + 1)).astype(np.float32))
+    # a gently-perturbed identity map
+    px, py, pz = g.node_coords("c")
+    mx = px + 0.3 * h * jnp.sin(px / (n * h) * 2 * np.pi)
+    my = py + 0.2 * h * jnp.cos(py / (n * h) * 2 * np.pi)
+    mz = pz + 0.25 * h * jnp.sin(pz / (nz * h) * 2 * np.pi)
+    sub = 0.08  # ~0.8 of a CFL substep at max|v|~1
+
+    want = advect.dmc_backward_step_3d(g, u, v, w, mx, my, mz, sub)
+
+    packed = jnp.stack([
+        jnp.pad(u, ((0, 0), (0, 1), (0, 1)), mode="edge"),
+        jnp.pad(v, ((0, 1), (0, 0), (0, 1)), mode="edge"),
+        jnp.pad(w, ((0, 1), (0, 1), (0, 0)), mode="edge"),
+    ])
+    packed = interp_fast.pad_fields(packed, g.shape_c, 2)
+    got = interp_fast.dmc_substep_fast(
+        packed, jnp.stack([mx, my, mz]), sub, h, (n, n, nz),
+        Rr=2, interpret=True,
+    )
+    for ch, wnt in enumerate(want):
+        np.testing.assert_allclose(np.asarray(got[ch]), np.asarray(wnt),
+                                   rtol=5e-5, atol=5e-5 * h)
+
+
 def test_sample3_multi_matches_per_channel(rng):
     shape = (16, 16, 128)
     h = 0.1
