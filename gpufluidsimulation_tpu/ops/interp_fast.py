@@ -344,6 +344,56 @@ def _trilerp_sum_adaptive(win, lx, ly, lz, taps, block, Rr):
     return jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
 
 
+def _trilerp_sum_adaptive3(win, lx, ly, lz, taps3, block, Rr):
+    """Fully-adaptive trilerp: like _trilerp_sum_adaptive but the x axis
+    also loops only its live taps, via lax.dynamic_slice on the window's
+    (untiled) major axis. PARKED: wiring this into the fused RK3 kernel
+    made the 256^3 Mosaic compile blow up (>9 min / crash) — the dynamic
+    major-axis slice inside the triple fori lowers pathologically. Kept for
+    reference; the static-x W-loop wastes ~2.2x fma but compiles in
+    seconds."""
+    B1, B2, B3 = block
+    xlo, nxt, ylo, nyt, zlo, nzt = taps3
+    a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
+    b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
+    covx = _cov_loop(lx, a, xlo, nxt)
+    covy = _cov_loop(ly, b, ylo, nyt)
+    covz = _cov_loop(lz, c, zlo, nzt)
+    y_axis = win.ndim - 2
+    z_axis = win.ndim - 1
+    x_axis = win.ndim - 3
+
+    def zbody(t, acc):
+        dr = zlo + t
+        hz = _hat(lz - (c + dr.astype(jnp.float32)))
+        wz = pltpu.roll(win, -dr, z_axis)[..., :B3]
+
+        def ybody(s, accy):
+            dq = ylo + s
+            hy = _hat(ly - (b + dq.astype(jnp.float32)))
+            wyz = pltpu.roll(wz, -dq, y_axis)[:, :B2, :]
+
+            def xbody(r, accx):
+                dp = xlo + r
+                hxr = _hat(lx - (a + dp.astype(jnp.float32)))
+                wxyz = jax.lax.dynamic_slice_in_dim(wyz, dp, B1, x_axis)
+                return accx + hxr * wxyz
+
+            inner = jax.lax.fori_loop(
+                0, nxt, xbody, jnp.zeros(block, jnp.float32)
+            )
+            return accy + hy * inner
+
+        return acc + hz * jax.lax.fori_loop(
+            0, nyt, ybody, jnp.zeros(block, jnp.float32)
+        )
+
+    out = jax.lax.fori_loop(0, nzt, zbody, jnp.zeros(block, jnp.float32))
+    cov = covx * covy * covz
+    return jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
+
+
 def _minmax_adaptive(win, lx, ly, lz, taps, block, Rr):
     W = 2 * Rr + 3
     B1, B2, B3 = block
