@@ -185,13 +185,64 @@ def prolong_linear(e, fine_shape):
     return jax.image.resize(e, fine_shape, method="linear")
 
 
+def _restrict_matrix(fn, cn):
+    """Per-axis mean-pool-2x restriction as a (cn, fn) matrix, edge-padded
+    for odd sizes — exactly restrict_full's action along one axis."""
+    m = np.zeros((cn, fn), np.float32)
+    for c in range(cn):
+        m[c, min(2 * c, fn - 1)] += 0.5
+        m[c, min(2 * c + 1, fn - 1)] += 0.5
+    return jnp.asarray(m)
+
+
+def _prolong_matrix(cn, fn):
+    """Per-axis linear-interp prolongation as a (fn, cn) matrix, built to
+    match jax.image.resize(method='linear') exactly (half-pixel centers)."""
+    m = np.zeros((fn, cn), np.float32)
+    for i in range(fn):
+        x = (i + 0.5) * cn / fn - 0.5
+        x0 = int(np.floor(x))
+        f = x - x0
+        a = min(max(x0, 0), cn - 1)
+        b_ = min(max(x0 + 1, 0), cn - 1)
+        m[i, a] += 1.0 - f
+        m[i, b_] += f
+    return jnp.asarray(m)
+
+
+def _apply_axis_mats(x, mats):
+    """Contract x's three axes with three (out_n, in_n) matrices — per-axis
+    MXU matmuls (a 2x strided lane slice or linear resize costs a relayout
+    ~10x slower than these dots at 256^3, measured)."""
+    # precision="highest": TPU dots round inputs to bf16 by default, which
+    # costs real preconditioner quality on the transfer operators
+    x = jnp.einsum("Xx,xyz->Xyz", mats[0], x, precision="highest",
+                   preferred_element_type=jnp.float32)
+    x = jnp.einsum("Yy,xyz->xYz", mats[1], x, precision="highest",
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("Zz,xyz->xyZ", mats[2], x, precision="highest",
+                      preferred_element_type=jnp.float32)
+
+
 class MGContext:
-    """Static per-resolution data: level shapes + Jacobi diagonals."""
+    """Static per-resolution data: level shapes + Jacobi diagonals +
+    per-axis restriction/prolongation matrices (3D)."""
 
     def __init__(self, shape, bc):
         self.bc = bc
         self.shapes = mg_shapes(shape)
         self.diags = [jnp.asarray(_diag(s, bc)) for s in self.shapes]
+        self.rmats = None
+        self.pmats = None
+        if len(shape) == 3:
+            self.rmats = [
+                tuple(_restrict_matrix(f, c) for f, c in zip(fs, cs))
+                for fs, cs in zip(self.shapes[:-1], self.shapes[1:])
+            ]
+            self.pmats = [
+                tuple(_prolong_matrix(c, f) for f, c in zip(fs, cs))
+                for fs, cs in zip(self.shapes[:-1], self.shapes[1:])
+            ]
 
     def _smooth(self, x, b, level, iters, omega):
         """Per-level smoother hook. On TPU (config.use_rbgs) the pre/post
@@ -229,9 +280,17 @@ class MGContext:
             return self._smooth(e, r, level, n_coarse, omega)
         e = self._smooth(jnp.zeros_like(r), r, level, n_pre, omega)
         rr = r - laplacian(e, bc)
-        rc = 4.0 * restrict_full(rr, self.shapes[level + 1])
+        rmats = getattr(self, "rmats", None)
+        pmats = getattr(self, "pmats", None)
+        if rmats is not None:
+            rc = 4.0 * _apply_axis_mats(rr, rmats[level])
+        else:
+            rc = 4.0 * restrict_full(rr, self.shapes[level + 1])
         ec = self.v_cycle(rc, level + 1, n_pre, n_post, n_coarse, omega)
-        e = e + prolong_linear(ec, self.shapes[level])
+        if pmats is not None:
+            e = e + _apply_axis_mats(ec, pmats[level])
+        else:
+            e = e + prolong_linear(ec, self.shapes[level])
         return self._smooth(e, r, level, n_post, omega)
 
 
