@@ -65,7 +65,8 @@ def measure(n, steps, scheme_name="bimocq"):
         state = solver.step(state)
     jax.block_until_ready(jax.tree.leaves(state)[0])
     ms_per_step = (time.time() - t0) / steps * 1e3
-    return ms_per_step, compile_s
+    overflow = int(getattr(state, "interp_overflow", 0))
+    return ms_per_step, compile_s, overflow
 
 
 def measure_poisson(n, tol=1e-4, reps=5):
@@ -139,7 +140,7 @@ def main():
         pass
 
     n = args.n
-    ms_per_step, compile_s = measure(n, args.steps, args.scheme)
+    ms_per_step, compile_s, overflow = measure(n, args.steps, args.scheme)
     cells = n**3
     mcells_per_s = cells / 1e6 / (ms_per_step / 1e3)
     ref_ms = cells * REF_CPU_NS_PER_CELL_STEP / 1e6
@@ -156,6 +157,9 @@ def main():
             f"measured NumPy-oracle {ORACLE_NS_PER_CELL_STEP:.0f} ns/cell "
             f"/ {CPP_TBB_SPEEDUP:.0f}x C++/TBB factor"
         ),
+        # fast-interp displacement-contract violations in the LAST step
+        # (counter carried in the state; 0 = every sample within reach)
+        "interp_overflow": overflow,
     }
     if not args.skip_poisson:
         pms, piters, pres = measure_poisson(n)
