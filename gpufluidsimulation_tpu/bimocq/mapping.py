@@ -468,6 +468,108 @@ def bimocq_advect_3d(grid, kind, fields_cur, fields_init, fields_prev,
     ]
 
 
+def _pullback_stage(grid, maps, fields, kinds, clamp_lo, clamp_hi):
+    """One fused pull-back launch: `maps` sampled at each kind's node
+    lattice IN-KERNEL (static staggered window slices), then each field
+    sampled there — no position arrays, no per-kind map stencil passes
+    (interp_fast.sample3_pullback)."""
+    from gpufluidsimulation_tpu import config
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    dims = tuple(grid.dim_of(k) for k in kinds)
+    out = interp_fast.sample3_pullback(
+        maps, fields, dims, grid.h, (grid.ni, grid.nj, grid.nk),
+        clamp_lo, clamp_hi, Rr=config.interp_rr(),
+        interpret=config.interp_interpret(),
+    )
+    # the kernel evaluates the cell-lattice block grid only; a staggered
+    # kind's last face plane (never inside any band guard) is zero-padded
+    outs = []
+    for i, f in enumerate(fields):
+        o = out[i, : min(f.shape[0], out.shape[1]),
+                : min(f.shape[1], out.shape[2]),
+                : min(f.shape[2], out.shape[3])]
+        pw = [(0, f.shape[k] - o.shape[k]) for k in range(3)]
+        outs.append(jnp.pad(o, pw) if any(p[1] for p in pw) else o)
+    return outs
+
+
+def bimocq_advect_multi_3d(grid, kinds, fields_cur, fields_init,
+                           fields_prev, bwd, bwd_prev, fwd, blend_coeff):
+    """Fused advect + compensate + double-advect over SEVERAL lattice kinds
+    at once (the whole velocity triplet, or rho+T): the advect/compensate
+    stages each run as ONE pull-back launch across all kinds
+    (_pullback_stage), vs one launch per kind per stage. Exact path
+    delegates to the per-kind ops.
+
+    NOT wired into the solver: measured 501 -> 568 ms/step at 256^3 — the
+    in-kernel map window (3ch, ~8x block bytes) costs more DMA than the
+    materialized position arrays it replaces (3 block-sized reads), and
+    the per-dim prepass position stats don't fuse as hoped. Kept
+    parity-tested (test_pullback_multi_matches_per_kind) as infrastructure
+    for a future window-sharing redesign."""
+    if not _use_prefilter():
+        outs = []
+        for kind, cur, init, prev in zip(kinds, fields_cur, fields_init,
+                                         fields_prev):
+            x = advect_with_map_3d(grid, kind, cur, init, bwd)
+            x = compensate_3d(grid, kind, x, init, fwd, bwd)
+            x = double_advect_3d(grid, kind, x, prev, bwd, bwd_prev,
+                                 blend_coeff)
+            outs.append(x)
+        return outs
+
+    dims = [grid.dim_of(k) for k in kinds]
+    bands_adv = [
+        _band3(f.shape, (2 + d[0], 2 + d[1], 2 + d[2]), (3, 3, 3))
+        for f, d in zip(fields_cur, dims)
+    ]
+    bands_c = [
+        _band3(f.shape, (1 + d[0], 1 + d[1], 1 + d[2]), (2, 2, 2))
+        for f, d in zip(fields_cur, dims)
+    ]
+
+    # --- advect: pull init back through the backward map ---
+    advs = _pullback_stage(
+        grid, bwd, [volume_prefilter_3d(f) for f in fields_init], kinds,
+        1.0, 1.0)
+    advs = [jnp.where(b, a, cur)
+            for b, a, cur in zip(bands_adv, advs, fields_cur)]
+
+    # --- compensate: BFECC error correction + 27-pt clamp ---
+    errs = _pullback_stage(
+        grid, fwd, [volume_prefilter_3d(a) for a in advs], kinds, 0.0, 0.0)
+    errs = [jnp.where(b, e - init, 0.0)
+            for b, e, init in zip(bands_c, errs, fields_init)]
+    corrs = _pullback_stage(
+        grid, bwd, [volume_prefilter_3d(e) for e in errs], kinds, 0.0, 0.0)
+    comps = [
+        advect.clamp_extrema_neighborhood(a, jnp.where(b, a - 0.5 * c, a))
+        for b, a, c in zip(bands_c, advs, corrs)
+    ]
+
+    # --- double advect: two-level pull-back blended with blend_coeff ---
+    # (positions compose through bwd_prev at data-dependent points, so this
+    # stage keeps the map-sample + field-sample launch pair per kind)
+    outs = []
+    from collections import defaultdict
+    by_kind = defaultdict(list)
+    for i, k in enumerate(kinds):
+        by_kind[k].append(i)
+    prevs = [None] * len(kinds)
+    for k, idxs in by_kind.items():
+        p1 = map_at_lattice_3d(grid, bwd, k, 1.0, 1.0)
+        p2 = _map_sample_3d(grid, bwd_prev, p1[0], p1[1], p1[2], 1.0, 1.0)
+        vals = _sample_fields_at(
+            grid, k, [volume_prefilter_3d(fields_prev[i]) for i in idxs], p2)
+        for i, v in zip(idxs, vals):
+            prevs[i] = v
+    for b, x, pv in zip(bands_adv, comps, prevs):
+        outs.append(
+            jnp.where(b, x * blend_coeff + (1.0 - blend_coeff) * pv, x))
+    return outs
+
+
 def accumulate_multi_3d(grid, kind, groups, fwd, identity=False):
     """Fused cumulate_kernel: `groups` is a list of
     (base_field, [(change, coeff), ...]) — all changes (across groups)

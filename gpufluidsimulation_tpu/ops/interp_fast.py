@@ -151,6 +151,55 @@ def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
     ).reshape(-1)
 
 
+def _origins_union(pos_sets, fs_xy, *, Rr, P, nb):
+    """_origins over the UNION of several (gx, gy, gz) position sets (the
+    fused pull-back kernel samples one field pack at per-kind staggered
+    positions): block residual stats are min/max across all sets, so one
+    window covers every channel; per-channel live taps are re-derived
+    in-kernel."""
+    W = 2 * Rr + 3
+    BY = _by(Rr)
+
+    def mm(d):
+        r = d.reshape(nb[0], BX, nb[1], BY, nb[2], 128)
+        return r.min(axis=(1, 3, 5)), r.max(axis=(1, 3, 5))
+
+    mns = [None] * 3
+    mxs = [None] * 3
+    for gx, gy, gz in pos_sets:
+        dx = gx - (jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P)
+        dy = gy - (jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P)
+        dz = gz - (jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + 128)
+        for i, d in enumerate((dx, dy, dz)):
+            mn, mx = mm(d)
+            mns[i] = mn if mns[i] is None else jnp.minimum(mns[i], mn)
+            mxs[i] = mx if mxs[i] is None else jnp.maximum(mxs[i], mx)
+
+    s_x = jnp.round(0.5 * (mns[0] + mxs[0])).astype(jnp.int32)
+    s_y = jnp.round(0.5 * (mns[1] + mxs[1])).astype(jnp.int32)
+    s_z = jnp.clip(jnp.round(0.5 * (mns[2] + mxs[2])).astype(jnp.int32),
+                   -(127 - Rr), 127 - Rr)
+
+    Wx = BX + 2 * Rr + 2
+    bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
+    bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * BY)[None, :, None]
+    bo_z = (jnp.arange(nb[2], dtype=jnp.int32) * 128)[None, None, :]
+    ox = jnp.clip(bo_x + P + s_x - (Rr + 1), 0, fs_xy[0] - Wx)
+    oy_ideal = jnp.clip(bo_y + P + s_y - (Rr + 1), 0,
+                        fs_xy[1] - (BY + 2 * Rr + 2))
+    oy = jnp.minimum((oy_ideal // 8) * 8, fs_xy[1] - WY_WIN)
+    slack = oy_ideal - oy
+    g0 = 128 + bo_z + s_z - (Rr + 1)
+    ozw = (g0 // 128) * 128
+    zero = jnp.zeros_like(ox)
+    shape3 = (nb[0], nb[1], nb[2])
+    return jnp.stack(
+        [jnp.broadcast_to(v, shape3).reshape(-1)
+         for v in (ox, oy, slack, ozw, g0, zero, zero, zero, zero)],
+        axis=-1,
+    ).reshape(-1)
+
+
 def _block_scalars(origin_ref, blk):
     # origins are a flat i32 vector (blk*_NSC + c) — 2D SMEM operands get
     # row-padded to 128 lanes, which overflows the 1MB SMEM at large grids
@@ -1197,6 +1246,252 @@ def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
         (g[0][sl] - P + off0[0]) * h,
         (g[1][sl] - P + off0[1]) * h,
         (g[2][sl] - 128 + off0[2]) * h,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused pull-back: map window -> in-VMEM staggered lattice positions ->
+# field sampling, one launch for several lattice kinds at once. This is the
+# advect/compensate stage primitive of the BiMocq pipeline: the positions
+# (backward/forward map sampled at each kind's node lattice) are STATIC
+# staggered averages of the map window (cf. mapping.map_at_lattice_3d), so
+# they are computed in VMEM and never round-trip HBM; the per-kind field
+# samples then ride the usual adaptive hat loops on a shared multi-channel
+# field window. Replaces, per stage: 3 XLA map-at-lattice stencil passes +
+# 3 position-array HBM round-trips + 3 origins prepasses + 3 launches with
+# ONE union prepass + ONE launch.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_pullback(origin_ref, maps_hbm, fields_hbm, out_ref, win_m,
+                     win_f, sem, *, Rr, block, win_shape_m, win_shape_f,
+                     fs_m, P, dims, clamp, grid_n):
+    nb1 = pl.num_programs(1)
+    nb2 = pl.num_programs(2)
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    bk = pl.program_id(2)
+    blk = (bi * nb1 + bj) * nb2 + bk
+    nblk = pl.num_programs(0) * nb1 * nb2
+    slot = jax.lax.rem(blk, 2)
+
+    def copies(b, sl):
+        # field window: prefetched union origins; map window: static (the
+        # map is read AT the lattice — 1-cell stagger reach only)
+        k = jax.lax.rem(b, nb2)
+        ij = b // nb2
+        j = jax.lax.rem(ij, nb1)
+        i = ij // nb1
+        oxm, oym, _, ozwm, _ = _dmc_origin(i, j, k, fs_m, P, Rr)
+        mcopy = pltpu.make_async_copy(
+            maps_hbm.at[:, pl.ds(oxm, win_shape_m[1]),
+                        pl.ds(oym, win_shape_m[2]),
+                        pl.ds(ozwm, win_shape_m[3])],
+            win_m.at[sl], sem.at[sl, 0],
+        )
+        ox, oy, _, ozw, _ = _block_scalars(origin_ref, b)
+        fcopy = pltpu.make_async_copy(
+            fields_hbm.at[:, pl.ds(ox, win_shape_f[1]),
+                          pl.ds(oy, win_shape_f[2]),
+                          pl.ds(ozw, win_shape_f[3])],
+            win_f.at[sl], sem.at[sl, 1],
+        )
+        return mcopy, fcopy
+
+    @pl.when(blk == 0)
+    def _():
+        for d in copies(0, 0):
+            d.start()
+
+    @pl.when(blk + 1 < nblk)
+    def _():
+        for d in copies(blk + 1, jax.lax.rem(blk + 1, 2)):
+            d.start()
+
+    for d in copies(blk, slot):
+        d.wait()
+
+    _, _, sym, _, relzm = _dmc_origin(bi, bj, bk, fs_m, P, Rr)
+    wm = _rebased_window(win_m.at[slot], sym, relzm, 2)
+    ox, oy, syf, ozw, g0 = _block_scalars(origin_ref, blk)
+    wf = _rebased_window(win_f.at[slot], syf, g0 - ozw, 2)
+
+    B1, B2, B3 = block
+    R1 = Rr + 1
+    W = 2 * Rr + 3
+    a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
+    b_ = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
+    c_ = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
+    ni, nj, nk = grid_n
+    clo, chi = clamp
+
+    def stag(ch, d):
+        """Map channel `ch` at the d-staggered node lattice of this block
+        (static window slices; grid units — the map pack is pre-divided
+        by h)."""
+        v = wm[ch]
+        if d[0]:
+            v = 0.5 * (v[R1 - 1: R1 - 1 + B1] + v[R1: R1 + B1])
+        else:
+            v = v[R1: R1 + B1]
+        if d[1]:
+            v = 0.5 * (v[:, R1 - 1: R1 - 1 + B2] + v[:, R1: R1 + B2])
+        else:
+            v = v[:, R1: R1 + B2]
+        if d[2]:
+            v = 0.5 * (v[:, :, R1 - 1: R1 - 1 + B3] + v[:, :, R1: R1 + B3])
+        else:
+            v = v[:, :, R1: R1 + B3]
+        return v
+
+    for c, d in enumerate(dims):
+        px = jnp.clip(stag(0, d), clo, ni - chi)
+        py = jnp.clip(stag(1, d), clo, nj - chi)
+        pz = jnp.clip(stag(2, d), clo, nk - chi)
+        # field coords: g = p - off + pad, off = -0.5*dim (3D convention)
+        lx = px + (0.5 * d[0] + P) - ox.astype(jnp.float32)
+        ly = py + (0.5 * d[1] + P) - (oy + syf).astype(jnp.float32)
+        lz = pz + (0.5 * d[2] + 128) - g0.astype(jnp.float32)
+        xlo_t, nxt = _live_taps(lx - a, W)
+        del xlo_t, nxt  # x stays the static W loop
+        ylo, nyt = _live_taps(ly - b_, W)
+        zlo, nzt = _live_taps(lz - c_, W)
+        out_ref[c] = _trilerp_sum_adaptive(
+            wf[c], lx, ly, lz, (ylo, nyt, zlo, nzt), block, Rr
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Rr", "interpret", "out_shape", "dims", "clamp",
+                     "grid_n"),
+)
+def _pullback_padded(maps_packed, fields_packed, origins, *, Rr, interpret,
+                     out_shape, dims, clamp, grid_n):
+    C = fields_packed.shape[0]
+    P = Rr + 2
+    BY = _by(Rr)
+    nx = _ceil(out_shape[0], BX)
+    ny = _ceil(out_shape[1], BY)
+    Z = _ceil(out_shape[2], 128)
+    nb = (nx // BX, ny // BY, Z // 128)
+    block = (BX, BY, 128)
+    fs_m = maps_packed.shape[1:]
+    Wx = BX + 2 * Rr + 2
+    win_shape_m = (3, Wx, WY_WIN, WZ_WIN)
+    win_shape_f = (C, Wx, WY_WIN, WZ_WIN)
+    kernel = functools.partial(
+        _kernel_pullback, Rr=Rr, block=block, win_shape_m=win_shape_m,
+        win_shape_f=win_shape_f, fs_m=fs_m, P=P, dims=dims, clamp=clamp,
+        grid_n=grid_n,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=nb,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((C,) + block, lambda i, j, k, o: (0, i, j, k),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + win_shape_m, jnp.float32),
+            pltpu.VMEM((2,) + win_shape_f, jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, nx, ny, Z), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(origins, maps_packed, fields_packed)
+    return out
+
+
+def _prepass_positions_grid(maps_grid, d, grid_n, clamp, P, out_shape):
+    """Field-window coords (gx, gy, gz) of kind `d`'s pull-back positions,
+    on the common block lattice — used ONLY for the union stats prepass
+    (XLA fuses the staggered average into the reduction; nothing
+    materializes). Mirrors the in-kernel stag() + clamp + coord math."""
+    ni, nj, nk = grid_n
+    clo, chi = clamp
+
+    def stag_axis(m, axis):
+        padw = [(0, 0)] * 3
+        padw[axis] = (1, 0)
+        q = jnp.pad(m, padw, mode="edge")
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[axis] = slice(0, -1)
+        hi[axis] = slice(1, None)
+        return 0.5 * (q[tuple(lo)] + q[tuple(hi)])
+
+    out = []
+    bounds = (ni, nj, nk)
+    for ch in range(3):
+        m = maps_grid[ch]
+        for axis in range(3):
+            if d[axis]:
+                m = stag_axis(m, axis)
+        m = jnp.clip(m, clo, bounds[ch] - chi)
+        base = (0.5 * d[ch] + (128 if ch == 2 else P))
+        g = m + base
+        # pad to the common block-multiple lattice in displacement space
+        pw = [(0, out_shape[i] - g.shape[i]) for i in range(3)]
+        if any(p[1] for p in pw):
+            node = jax.lax.broadcasted_iota(jnp.float32, g.shape, ch) + (
+                128 if ch == 2 else P)
+            dd = jnp.pad(g - node, pw, mode="edge")
+            node2 = jax.lax.broadcasted_iota(jnp.float32, dd.shape, ch) + (
+                128 if ch == 2 else P)
+            g = node2 + dd
+        out.append(g)
+    return tuple(out)
+
+
+def sample3_pullback(maps, fields, dims, h, grid_n, clamp_lo, clamp_hi, *,
+                     Rr=2, interpret=False):
+    """Pull C fields back through `maps` sampled at their kinds' node
+    lattices: out[c] = fields[c] sampled at clamp(maps(node_c)). `fields`
+    is a list of per-kind arrays (stacked/edge-padded to a common extent
+    here); `dims` the per-channel staggering. Returns the (C, ...) padded
+    block lattice — callers slice per kind."""
+    ni, nj, nk = grid_n
+    BY = _by(Rr)
+    common = (max(f.shape[0] for f in fields),
+              max(f.shape[1] for f in fields),
+              max(f.shape[2] for f in fields))
+    # evaluate on the CELL-lattice block grid: the callers' band guards
+    # never update a staggered kind's last face plane (i < n-3), so the
+    # extra +1 extents must NOT inflate the block lattice (a (257,257,257)
+    # common lattice pads to (272,272,384) blocks — 70% more work and a
+    # 3-tile z grid; measured 501 -> 631 ms/step before this fix)
+    out_shape = (_ceil(ni, BX), _ceil(nj, BY), _ceil(nk, 128))
+    fstack = jnp.stack([
+        jnp.pad(f, [(0, common[i] - f.shape[i]) for i in range(3)],
+                mode="edge")
+        for f in fields
+    ])
+    fields_packed = pad_fields(fstack, common, Rr)
+    maps_grid = maps / h
+    maps_packed = pad_fields(maps_grid, common, Rr)
+    clamp = (float(clamp_lo), float(clamp_hi))
+    P = Rr + 2
+    pos_sets = [
+        _prepass_positions_grid(maps_grid, d, grid_n, clamp, P, out_shape)
+        for d in set(dims)
+    ]
+    nb = (out_shape[0] // BX, out_shape[1] // BY, out_shape[2] // 128)
+    origins = _origins_union(
+        pos_sets, fields_packed.shape[1:], Rr=Rr, P=P, nb=nb
+    )
+    return _pullback_padded(
+        maps_packed, fields_packed, origins, Rr=Rr, interpret=interpret,
+        out_shape=out_shape, dims=tuple(dims), clamp=clamp, grid_n=grid_n,
     )
 
 

@@ -213,6 +213,55 @@ def test_trace_rk3_fused_matches_exact(rng):
                                    rtol=1e-4, atol=2e-4 * h)
 
 
+def test_pullback_multi_matches_per_kind(rng):
+    """bimocq_advect_multi_3d (fused pull-back kernel, positions computed
+    in-kernel) == the per-kind bimocq_advect_3d fast path."""
+    from gpufluidsimulation_tpu import config
+    from gpufluidsimulation_tpu.bimocq import mapping as mp
+    from gpufluidsimulation_tpu.core.grids import Grid3D
+
+    n = 16
+    nz = 128
+    h = 0.1
+    g = Grid3D(n, n, nz, h)
+
+    def fld(shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+    cur = [fld(g.shape_u), fld(g.shape_v), fld(g.shape_w)]
+    init = [fld(g.shape_u), fld(g.shape_v), fld(g.shape_w)]
+    prev = [fld(g.shape_u), fld(g.shape_v), fld(g.shape_w)]
+    ident = mp.identity_map_3d(g)
+    px, py, pz = g.node_coords("c")
+    wob = 0.4 * h
+    bwd = ident + wob * jnp.stack([
+        jnp.sin(px * 31.0), jnp.cos(py * 29.0), jnp.sin(pz * 7.0)])
+    fwd = ident - wob * jnp.stack([
+        jnp.cos(px * 17.0), jnp.sin(py * 23.0), jnp.cos(pz * 11.0)])
+    bwd_prev = ident + 0.5 * wob * jnp.stack([
+        jnp.cos(px * 13.0), jnp.cos(py * 19.0), jnp.sin(pz * 5.0)])
+    blend = jnp.float32(0.7)
+
+    prev_fast = config._FORCED
+    prev_int = config.interp_interpret()
+    config.set_fast_interp(True)
+    config.set_interp_interpret(True)
+    try:
+        want = []
+        for kind, c, i, p in zip(("u", "v", "w"), cur, init, prev):
+            (o,) = mp.bimocq_advect_3d(
+                g, kind, [c], [i], [p], bwd, bwd_prev, fwd, blend)
+            want.append(o)
+        got = mp.bimocq_advect_multi_3d(
+            g, ("u", "v", "w"), cur, init, prev, bwd, bwd_prev, fwd, blend)
+    finally:
+        config.set_fast_interp(prev_fast)
+        config.set_interp_interpret(prev_int)
+    for gk, wk in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(wk),
+                                   rtol=5e-5, atol=5e-5)
+
+
 def test_dmc_substep_fused_matches_exact(rng):
     """The fused DMC substep kernel == the exact-gather dmc_backward_step_3d
     (upwind select, exponential step, map gather, interior band)."""
