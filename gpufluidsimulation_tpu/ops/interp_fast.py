@@ -1503,7 +1503,11 @@ def sample3_pullback(maps, fields, dims, h, grid_n, clamp_lo, clamp_hi, *,
 # (cell centers sit exactly between faces), the exponential-integrator new
 # position is VPU math, and the 3 map channels are gathered with the usual
 # adaptive hat loops. Window origins are static per block (the DMC sampling
-# position stays within ~1.3 cells of its node), so there is NO prepass, no
+# position stays within ~1.3 cells of its node for |a*dt| <= 1; the
+# exponential integrator can reach ~3.2 cells at the |a*dt| ~ 2 extreme, in
+# which case taps clip to the window and renormalize — the same bounded
+# local-clamp behavior as the rest of the fast-interp contract, vs the old
+# path's per-block adaptive base shift), so there is NO prepass, no
 # intermediate HBM traffic, and one launch instead of ~10 fused XLA passes
 # plus a sampler launch per substep.
 # ---------------------------------------------------------------------------
