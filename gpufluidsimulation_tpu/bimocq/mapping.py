@@ -592,7 +592,10 @@ def accumulate_multi_3d(grid, kind, groups, fwd, identity=False):
     # (sum_i c_i*samp(K*f_i) == samp(K*(sum_i c_i f_i))) — one prefilter
     # pass + one sampler channel per group instead of one per change
     combined = []
-    for _, pairs in groups:
+    for base, pairs in groups:
+        if not pairs:
+            combined.append(jnp.zeros_like(base))
+            continue
         tot = pairs[0][1] * pairs[0][0]
         for change, coeff in pairs[1:]:
             tot = tot + coeff * change

@@ -291,6 +291,45 @@ def _shift_edge(f, d, axis):
     return jnp.pad(f, pad, mode="edge")[tuple(sl)]
 
 
+def dmc_displacements_3d(grid, u, v, w, substep):
+    """Signed DMC exponential-step displacements (grid cells) at the cell
+    lattice for one substep — the exact math of the fused DMC kernel
+    (interp_fast._kernel_dmc) and of dmc_backward_step_3d, exposed for the
+    runtime displacement-contract monitor (smoke3d._interp_overflow_check)."""
+    vel_u, vel_v, vel_w = interp.mac_velocity_at_c_3d(u, v, w)
+    sx = vel_u > 0
+    sy = vel_v > 0
+    sz = vel_w > 0
+
+    def upwind8(f):
+        nx_, ny_, nz_ = f.shape
+        fp = jnp.pad(f, 1, mode="edge")
+        out = jnp.zeros_like(f)
+        for a in (0, 2):
+            ma = sx if a == 0 else ~sx
+            for b_ in (0, 2):
+                mb = ma & (sy if b_ == 0 else ~sy)
+                for c_ in (0, 2):
+                    mc = mb & (sz if c_ == 0 else ~sz)
+                    corner = jax.lax.slice(
+                        fp, (a, b_, c_), (a + nx_, b_ + ny_, c_ + nz_))
+                    out = out + jnp.where(mc, corner, 0.0)
+        return out
+
+    sh = substep / grid.h
+    outs = []
+    for velc, s_ in ((vel_u, sx), (vel_v, sy), (vel_w, sz)):
+        t = upwind8(velc)
+        sgn = jnp.where(s_, 1.0, -1.0)
+        du = velc - t
+        q = du * sgn * sh
+        safe = jnp.abs(du) > 1e-4 * grid.h
+        denom = jnp.where(safe, du * sgn, 1.0)
+        outs.append(
+            jnp.where(safe, (1.0 - jnp.exp(-q)) * velc / denom, velc * sh))
+    return tuple(outs)
+
+
 def dmc_backward_step_3d(grid, u, v, w, map_x, map_y, map_z, substep):
     """One DMC substep of the 3D backward map (DMC_backward_kernel).
 

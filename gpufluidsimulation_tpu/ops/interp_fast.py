@@ -156,7 +156,8 @@ def _origins_union(pos_sets, fs_xy, *, Rr, P, nb):
     fused pull-back kernel samples one field pack at per-kind staggered
     positions): block residual stats are min/max across all sets, so one
     window covers every channel; per-channel live taps are re-derived
-    in-kernel."""
+    in-kernel. NOTE: the origin-selection block below mirrors _origins —
+    keep the two in sync if the window geometry ever changes."""
     W = 2 * Rr + 3
     BY = _by(Rr)
 
@@ -1567,10 +1568,8 @@ def _kernel_dmc(sh_ref, mac_hbm, maps_hbm, out_ref, win_v, win_m, sem,
 
     sh = sh_ref[0, 0]   # substep dt / h
     h = sh_ref[0, 1]    # cell size (the reference's 1e-4 |a| threshold)
-    fs_y_min = min(fs_v[1], fs_m[1])
     _, _, sy_v, _, relz = _dmc_origin(bi, bj, bk, fs_v, P, Rr)
     _, _, sy_m, _, _ = _dmc_origin(bi, bj, bk, fs_m, P, Rr)
-    del fs_y_min
     wv = _rebased_window(win_v.at[slot], sy_v, relz, 2)
     wm = _rebased_window(win_m.at[slot], sy_m, relz, 2)
 

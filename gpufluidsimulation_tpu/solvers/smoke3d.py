@@ -233,12 +233,17 @@ def init_state(cfg: Smoke3DConfig) -> Smoke3DState:
 # ---------------------------------------------------------------------------
 
 
-def _interp_overflow_check(g: Grid3D, vel_map) -> jnp.ndarray:
+def _interp_overflow_check(g: Grid3D, vel_map, u=None, v=None, w=None,
+                           cfldt=None) -> jnp.ndarray:
     """Runtime enforcement of the fast-interp bounded-displacement contract
     (ops/interp_fast.py): counts samples whose in-block residual exceeds the
-    kernel's reach for (a) the level-1 backward-map pull-back positions and
+    kernel's reach for (a) the level-1 backward-map pull-back positions,
     (b) the level-2 composed (bwd_prev o bwd) positions — the two largest
-    displacement chains in the step. 0 = windowed sampling was exact."""
+    displacement chains in the step — and (c) the fused DMC substep
+    kernel's map-gather displacements (its STATIC window has no per-block
+    base shift, so its reach condition is |disp| <= Rr + 0.5 outright;
+    the exponential integrator can exceed it under extreme shear,
+    |a*dt| ~ 2). 0 = windowed sampling was exact."""
     from gpufluidsimulation_tpu import config as _cfg
 
     if not _cfg.use_fast_interp():
@@ -253,7 +258,23 @@ def _interp_overflow_check(g: Grid3D, vel_map) -> jnp.ndarray:
     bx, by, bz = mp._map_sample_3d(g, b, px, py, pz, 1.0, 1.0)
     ox, oy, oz = mp._map_sample_3d(g, vel_map.bwd_prev, bx, by, bz, 1.0, 1.0)
     ov2 = interp_fast.residual_overflow(ox, oy, oz, h, (0, 0, 0), Rr=rr)
-    return ov + ov2
+    ov3 = jnp.int32(0)
+    if u is not None and rr <= 2:
+        ov3 = _dmc_displacement_overflow(g, u, v, w, cfldt, rr)
+    return ov + ov2 + ov3
+
+
+def _dmc_displacement_overflow(g: Grid3D, u, v, w, cfldt, rr) -> jnp.ndarray:
+    """Per-axis count of DMC exponential-step displacements beyond the fused
+    DMC kernel's static window reach (one representative substep at cfldt;
+    exact mirror of the kernel's math via advect.dmc_displacements_3d)."""
+    dx, dy, dz = advect.dmc_displacements_3d(g, u, v, w, cfldt)
+    thresh = rr + 0.5
+    return (
+        jnp.sum(jnp.abs(dx) > thresh, dtype=jnp.int32)
+        + jnp.sum(jnp.abs(dy) > thresh, dtype=jnp.int32)
+        + jnp.sum(jnp.abs(dz) > thresh, dtype=jnp.int32)
+    )
 
 
 def _max_velocity(u, v, w):
@@ -562,7 +583,7 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     else:
         scalar_map = mp.update_mapping_3d(s.scalar_map, g, s.u, s.v, s.w, cfldt, dt)
 
-    overflow = _interp_overflow_check(g, vel_map)
+    overflow = _interp_overflow_check(g, vel_map, s.u, s.v, s.w, cfldt)
 
     if cfg.boundaries:
         # semi-Lagrangian fallbacks for the boundary shell

@@ -98,8 +98,10 @@ def main(n=256):
     pref = jax.jit(lambda st: mp.volume_prefilter_3d(st.rho))
     timeit("volume_prefilter (1 field)", pref, s)
 
+    # non-donating wrapper: solver.step donates its argument, so repeated
+    # timeit calls with the same state would hit deleted buffers on TPU
     full = jax.jit(lambda st: solver.step(st))
-    timeit("FULL STEP", solver.step, s)
+    timeit("FULL STEP", full, s)
 
 
 if __name__ == "__main__":

@@ -124,4 +124,3 @@ def test_dmc_backward_map_uniform_velocity():
     np.testing.assert_allclose(got, -0.03, atol=2e-3)
     # y/z map unchanged
     np.testing.assert_allclose(np.asarray(maps[1]), np.asarray(y), atol=1e-5)
-
