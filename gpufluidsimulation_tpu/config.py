@@ -102,6 +102,28 @@ def set_rbgs(value: bool | None) -> None:
     _RBGS = value
 
 
+_DIFFUSE_ENV = os.environ.get("GFS_PALLAS_DIFFUSE")
+_PALLAS_DIFFUSE: bool | None = (
+    None if _DIFFUSE_ENV is None else _DIFFUSE_ENV not in ("0", "false")
+)
+
+
+def use_pallas_diffuse() -> bool:
+    """Use the blocked Pallas multi-sweep Jacobi kernel for the viscosity
+    diffusion loops (ops/pallas_kernels.jacobi_diffuse). Default: on for
+    TPU backends — in-step the XLA while-loop runs ~2x slower than the
+    same loop standalone (cost-model tiling regression); the Pallas kernel
+    holds ~0.37 ms/sweep either way."""
+    if _PALLAS_DIFFUSE is not None:
+        return _PALLAS_DIFFUSE
+    return use_fast_interp()
+
+
+def set_pallas_diffuse(value: bool | None) -> None:
+    global _PALLAS_DIFFUSE
+    _PALLAS_DIFFUSE = value
+
+
 _INTERPRET = os.environ.get("GFS_INTERP_INTERPRET", "0") not in ("0", "false")
 
 

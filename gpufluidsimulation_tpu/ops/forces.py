@@ -41,7 +41,20 @@ def diffuse_3d(field, iters, coef):
     field_out = (field + coef*sum(6 nbrs of x)) / (1 + 6 coef); ping-pong is
     expressed functionally (XLA double-buffers for us). Boundary ring holds
     the original values (kernel guard i>0 && i<ni-1, GPU_kernel.cu:840).
+
+    On TPU (config.use_pallas_diffuse) the loop runs as the blocked Pallas
+    kernel pallas_kernels.jacobi_diffuse — 4 sweeps per VMEM window
+    round-trip instead of one HBM pass per sweep, bitwise-identical
+    neighbor-sum ordering.
     """
+    from gpufluidsimulation_tpu import config as _cfg
+
+    if _cfg.use_pallas_diffuse() and field.ndim == 3:
+        from gpufluidsimulation_tpu.ops.pallas_kernels import jacobi_diffuse
+
+        return jacobi_diffuse(field, field, iters=int(iters),
+                              coef=float(coef),
+                              interpret=_cfg.interp_interpret())
     denom = 1.0 + 6.0 * coef
     b = field
     nx, ny, nz = field.shape

@@ -127,6 +127,97 @@ def _rbgs_launch(x, b, diag, *, sweeps, interpret):
     return out[:nx, :ny, :]
 
 
+def _jacobi_diffuse_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
+                           sweeps, coef, win, nx, ny, nz, tx, ty, hx, hy):
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    ox = bi * tx
+    oy = pl.multiple_of(bj * ty, 8)
+
+    cps = [
+        pltpu.make_async_copy(
+            src.at[pl.ds(ox, win[0]), pl.ds(oy, win[1]), :], dst, sems.at[i])
+        for i, (src, dst) in enumerate(((x_hbm, xw), (b_hbm, bw)))
+    ]
+    for cp in cps:
+        cp.start()
+
+    li = jax.lax.broadcasted_iota(jnp.int32, win, 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, win, 1)
+    lk = jax.lax.broadcasted_iota(jnp.int32, win, 2)
+    gi = ox + li - hx
+    gj = oy + lj - hy
+    # diffuse_3d's interior band: the boundary ring holds source values
+    interior = ((gi > 0) & (gi < nx - 1) & (gj > 0) & (gj < ny - 1)
+                & (lk > 0) & (lk < nz - 1))
+
+    for cp in cps:
+        cp.wait()
+    x = xw[...]
+    b = bw[...]
+    denom = 1.0 + 6.0 * coef
+
+    for _ in range(sweeps):
+        # neighbor-sum order matches forces.diffuse_3d (x-,x+,y-,y+,z-,z+)
+        nb = (_shift_zero(x, -1, 0) + _shift_zero(x, 1, 0)
+              + _shift_zero(x, -1, 1) + _shift_zero(x, 1, 1)
+              + _shift_zero(x, -1, 2) + _shift_zero(x, 1, 2))
+        x = jnp.where(interior, (b + coef * nb) / denom, x)
+
+    out_ref[...] = x[hx : hx + tx, hy : hy + ty, :]
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "coef", "interpret"))
+def jacobi_diffuse(x, b, *, iters, coef, interpret: bool = False):
+    """Damped-Jacobi viscosity solve (I + coef*L)x = b — the Pallas blocked
+    form of forces.diffuse_3d (gpu_diffuse_field, GPU_kernel.cu:834-876).
+
+    Runs `sweeps<=4` Jacobi iterations per launch entirely in VMEM
+    ((tx+8, ty+16, nz) windows, halo validity shrinking one ring per
+    sweep), so 20 reference-parity iterations need 5 window round-trips
+    instead of 20 HBM passes. Bitwise-ordered like diffuse_3d's neighbor
+    sum. `b` is the held right-hand side (the pre-diffusion field)."""
+    tx, ty, hx, hy = 32, 32, 4, 8
+    nx, ny, nz = x.shape
+    # window DMA slices must be 128-aligned on the lane (z) axis: round nz
+    # up once; pad cells are non-interior (lk bound uses the real nz) so
+    # they stay zero through every sweep and are sliced off at the end
+    nzp = -(-nz // 128) * 128
+    gx_ = -(-nx // tx)
+    gy_ = -(-ny // ty)
+    padw = [(hx, hx + gx_ * tx - nx), (hy, hy + gy_ * ty - ny), (0, nzp - nz)]
+    bp = jnp.pad(b, padw)
+    win = (tx + 2 * hx, ty + 2 * hy, nzp)
+
+    remaining = int(iters)
+    first = True
+    while remaining > 0:
+        s = min(4, remaining)
+        xp = jnp.pad(x, padw if first else padw[:2] + [(0, 0)])
+        first = False
+        kernel = functools.partial(
+            _jacobi_diffuse_kernel, sweeps=s, coef=coef, win=win,
+            nx=nx, ny=ny, nz=nz, tx=tx, ty=ty, hx=hx, hy=hy)
+        out = pl.pallas_call(
+            kernel,
+            grid=(gx_, gy_),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=pl.BlockSpec((tx, ty, nzp), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((gx_ * tx, gy_ * ty, nzp),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM(win, jnp.float32),
+                pltpu.VMEM(win, jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(xp, bp)
+        x = out[:nx, :ny, :]
+        remaining -= s
+    return x[..., :nz]
+
+
 def rbgs_smooth(x, b, diag, *, bc: str, iters: int, interpret: bool = False):
     """Red-black Gauss-Seidel: `iters` full red+black sweeps of
     L x = b with L as in ops.poisson.laplacian (x_new = (nbr_sum + b)/diag

@@ -106,3 +106,35 @@ def test_mgpcg_with_rbgs_smoother(rng):
         config.set_interp_interpret(False)
     assert float(res) <= 1e-5
     assert int(it_r) <= int(it_j), (int(it_r), int(it_j))
+
+
+def test_jacobi_diffuse_matches_xla_form(rng):
+    """pallas_kernels.jacobi_diffuse == forces.diffuse_3d exactly (same
+    neighbor-sum order), on every staggered lattice shape incl. a
+    non-128-multiple lane dim."""
+    from gpufluidsimulation_tpu.ops import forces
+    from gpufluidsimulation_tpu.ops.pallas_kernels import jacobi_diffuse
+
+    coef = 0.0512
+    for shape in [(17, 16, 16), (16, 17, 16), (16, 16, 17)]:
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        ref = forces.diffuse_3d(x, 7, coef)
+        got = jacobi_diffuse(x, x, iters=7, coef=coef, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_diffuse_3d_dispatches_to_pallas(rng):
+    """The config knob routes forces.diffuse_3d through the Pallas kernel."""
+    from gpufluidsimulation_tpu import config
+    from gpufluidsimulation_tpu.ops import forces
+
+    x = jnp.asarray(rng.standard_normal((16, 16, 16)).astype(np.float32))
+    ref = forces.diffuse_3d(x, 5, 0.1)
+    config.set_pallas_diffuse(True)
+    config.set_interp_interpret(True)
+    try:
+        got = forces.diffuse_3d(x, 5, 0.1)
+    finally:
+        config.set_pallas_diffuse(None)
+        config.set_interp_interpret(False)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
