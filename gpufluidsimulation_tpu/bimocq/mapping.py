@@ -313,7 +313,8 @@ def advect_with_map_3d(grid, kind, field_cur, field_init, bwd, is_point=False):
 
     def ev(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, bwd, px, py, pz, 1.0, 1.0)
-        return interp.sample3_lattice(src, mx, my, mz, grid.h, off)
+        return interp.sample3_lattice(src, mx, my, mz, grid.h, off,
+                                      values=True)
 
     out = _volume_eval_3d(grid, kind, ev, is_point)
     dim = grid.dim_of(kind)
@@ -331,7 +332,8 @@ def double_advect_3d(grid, kind, field, field_prev, bwd, bwd_prev, blend_coeff,
     def ev(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, bwd, px, py, pz, 1.0, 1.0)
         ox, oy, oz = _map_sample_3d(grid, bwd_prev, mx, my, mz, 1.0, 1.0)
-        return interp.sample3_lattice(src, ox, oy, oz, grid.h, off)
+        return interp.sample3_lattice(src, ox, oy, oz, grid.h, off,
+                                      values=True)
 
     prev_value = _volume_eval_3d(grid, kind, ev, is_point)
     out = field * blend_coeff + (1.0 - blend_coeff) * prev_value
@@ -349,7 +351,8 @@ def accumulate_3d(grid, kind, dfield_init, field_change, fwd, coeff=1.0,
 
     def ev(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, fwd, px, py, pz, 0.0, 0.0)
-        return coeff * interp.sample3_lattice(src, mx, my, mz, grid.h, off)
+        return coeff * interp.sample3_lattice(src, mx, my, mz, grid.h,
+                                              off, values=True)
 
     delta = _volume_eval_3d(grid, kind, ev, is_point)
     dim = grid.dim_of(kind)
@@ -371,7 +374,8 @@ def compensate_3d(grid, kind, field_adv, field_init, fwd, bwd, is_point=False):
 
     def ev_fwd(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, fwd, px, py, pz, 0.0, 0.0)
-        return interp.sample3_lattice(src_adv, mx, my, mz, grid.h, off)
+        return interp.sample3_lattice(src_adv, mx, my, mz, grid.h, off,
+                                      values=True)
 
     err = _volume_eval_3d(grid, kind, ev_fwd, is_point) - field_init
     band = _band3(field_adv.shape, (1 + dim[0], 1 + dim[1], 1 + dim[2]), (2, 2, 2))
@@ -381,7 +385,8 @@ def compensate_3d(grid, kind, field_adv, field_init, fwd, bwd, is_point=False):
 
     def ev_bwd(px, py, pz):
         mx, my, mz = _map_sample_3d(grid, bwd, px, py, pz, 0.0, 0.0)
-        return interp.sample3_lattice(err_src, mx, my, mz, grid.h, off)
+        return interp.sample3_lattice(err_src, mx, my, mz, grid.h, off,
+                                      values=True)
 
     correction = _volume_eval_3d(grid, kind, ev_bwd, is_point)
     out = jnp.where(band, field_adv - 0.5 * correction, field_adv)
@@ -398,12 +403,14 @@ def _sample_fields_at(grid, kind, fields, positions):
     off = grid.off_of(kind)
     if config.use_fast_interp() and mx.ndim == 3:
         if len(fields) == 1:
-            return [interp.sample3_lattice(fields[0], mx, my, mz, grid.h, off)]
+            return [interp.sample3_lattice(fields[0], mx, my, mz, grid.h,
+                                           off, values=True)]
         from gpufluidsimulation_tpu.ops import interp_fast
 
         out = interp_fast.sample3_multi(
             jnp.stack(fields), mx, my, mz, grid.h, (off,) * len(fields),
             Rr=config.interp_rr(), interpret=config.interp_interpret(),
+            dtype=config.interp_window_dtype(),
         )
         return [out[i] for i in range(len(fields))]
     return [interp.sample3(f, mx, my, mz, grid.h, off) for f in fields]

@@ -102,6 +102,27 @@ def set_rbgs(value: bool | None) -> None:
     _RBGS = value
 
 
+_BF16_ENV = os.environ.get("GFS_INTERP_BF16")
+_INTERP_BF16: bool = _BF16_ENV is not None and _BF16_ENV not in ("0", "false")
+
+
+def interp_window_dtype():
+    """Storage dtype for FIELD-VALUE windows in the Pallas samplers
+    (GFS_INTERP_BF16=1 -> bfloat16: halves the window-DMA bytes that bound
+    the pull-back sampler tier, at ~2^-9 relative quantization of sampled
+    values). Map/position windows always stay f32 — their absolute-coord
+    ulp in bf16 would be ~1 cell. Off by default; see PERF.md for the
+    measured speed/drift trade."""
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if _INTERP_BF16 else jnp.float32
+
+
+def set_interp_bf16(value: bool) -> None:
+    global _INTERP_BF16
+    _INTERP_BF16 = bool(value)
+
+
 _DIFFUSE_ENV = os.environ.get("GFS_PALLAS_DIFFUSE")
 _PALLAS_DIFFUSE: bool | None = (
     None if _DIFFUSE_ENV is None else _DIFFUSE_ENV not in ("0", "false")

@@ -128,11 +128,16 @@ def sample3(field, px, py, pz, h, off):
     return (1 - fz) * c0 + fz * c1
 
 
-def sample3_lattice(field, px, py, pz, h, off):
+def sample3_lattice(field, px, py, pz, h, off, values=False):
     """Trilinear sampling for full-lattice position arrays: routes to the
     gather-free windowed kernel (ops/interp_fast.py) on TPU, the exact
     gather form elsewhere. Callers guarantee element (i,j,k) samples near
-    lattice site (i,j,k) with smooth bounded displacement."""
+    lattice site (i,j,k) with smooth bounded displacement.
+
+    `values=True` marks the sampled array as FIELD VALUES (density, T,
+    velocity) rather than map coordinates — only those may ride the bf16
+    window knob (config.interp_window_dtype); map windows always stay f32
+    (their absolute-coordinate bf16 ulp would be ~1 cell)."""
     from gpufluidsimulation_tpu import config
 
     if px.ndim == 3 and config.use_fast_interp():
@@ -142,6 +147,7 @@ def sample3_lattice(field, px, py, pz, h, off):
             field, px, py, pz, h, off,
             Rr=config.interp_rr(), Rz=config.interp_rz(),
             interpret=config.interp_interpret(),
+            dtype=config.interp_window_dtype() if values else None,
         )
     return sample3(field, px, py, pz, h, off)
 
@@ -209,7 +215,8 @@ def mac_pack_3d(u, v, w, out_shape):
         jnp.pad(v, ((0, 1), (0, 0), (0, 1)), mode="edge"),
         jnp.pad(w, ((0, 1), (0, 1), (0, 0)), mode="edge"),
     ])
-    return interp_fast.pad_fields(packed, out_shape, config.interp_rr())
+    return interp_fast.pad_fields(packed, out_shape, config.interp_rr(),
+                                  dtype=config.interp_window_dtype())
 
 
 def mac_velocity_3d(u, v, w, px, py, pz, h, packed=None):
@@ -238,11 +245,12 @@ def mac_velocity_3d(u, v, w, px, py, pz, h, packed=None):
         out = interp_fast.sample3_multi(
             packed, px, py, pz, h, _MAC_OFFS,
             Rr=config.interp_rr(), interpret=config.interp_interpret(),
+            dtype=config.interp_window_dtype(),
         )
         return out[0], out[1], out[2]
-    us = sample3_lattice(u, px, py, pz, h, (-0.5, 0.0, 0.0))
-    vs = sample3_lattice(v, px, py, pz, h, (0.0, -0.5, 0.0))
-    ws = sample3_lattice(w, px, py, pz, h, (0.0, 0.0, -0.5))
+    us = sample3_lattice(u, px, py, pz, h, (-0.5, 0.0, 0.0), values=True)
+    vs = sample3_lattice(v, px, py, pz, h, (0.0, -0.5, 0.0), values=True)
+    ws = sample3_lattice(w, px, py, pz, h, (0.0, 0.0, -0.5), values=True)
     return us, vs, ws
 
 

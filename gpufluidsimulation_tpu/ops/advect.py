@@ -139,7 +139,8 @@ def semilag_3d(grid, kind, field_src, u, v, w, cfldt, dt, packed=None):
     px, py, pz = grid.node_coords(kind)
     bx, by, bz = trace_3d(u, v, w, grid.h, cfldt, dt, px, py, pz, packed)
     off = grid.off_of(kind)
-    out = interp.sample3_lattice(field_src, bx, by, bz, grid.h, off)
+    out = interp.sample3_lattice(field_src, bx, by, bz, grid.h, off,
+                                 values=True)
     # semilag_kernel guard: i>1 && i<buffer-2-dim per axis (GPU_kernel.cu:222)
     mask = grid.interior_mask(kind, lo=2, hi=3, hi_add_dim=True)
     return jnp.where(mask, out, field_src)
@@ -262,7 +263,7 @@ def maccormack_3d(grid, kind, src, u, v, w, cfldt, dt, packed=None):
         corners = interp._gather8_3d(src, i0, j0, k0)
         mn = jnp.min(corners, axis=0)
         mx = jnp.max(corners, axis=0)
-    fallback = interp.sample3_lattice(src, bx, by, bz, h, off)
+    fallback = interp.sample3_lattice(src, bx, by, bz, h, off, values=True)
     return jnp.where((dst < mn) | (dst > mx), fallback, dst)
 
 

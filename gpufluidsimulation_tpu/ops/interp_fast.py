@@ -278,8 +278,13 @@ def _rebased_window(win_ref, sy, relz, y_axis):
       want V[l] = win[l + relz], l in [0, 256), relz in [0, 127]
       A = roll(win[0:256], -relz)          covers l + relz < 256
       D = roll(concat(win[256:], win[256:]), -relz)   covers the tail
-    then one sublane roll (32 rows) absorbs the y alignment slack."""
+    then one sublane roll (32 rows) absorbs the y alignment slack.
+
+    bf16 windows (config.interp_window_dtype) are widened to f32 here, at
+    the VMEM->vreg load — all tap math stays f32."""
     win = win_ref[...]
+    if win.dtype != jnp.float32:
+        win = win.astype(jnp.float32)
     z_axis = y_axis + 1
     ndim = win.ndim
 
@@ -532,7 +537,7 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape,
         out_specs=pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2,) + win_shape, jnp.float32),
+            pltpu.VMEM((2,) + win_shape, field_padded.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -551,12 +556,18 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape,
     return out[: out_shape[0], : out_shape[1], : out_shape[2]]
 
 
-def pad_fields(field_like, out_shape, Rr):
+def pad_fields(field_like, out_shape, Rr, dtype=None):
     """Edge-pad a field (leading C axis optional) to the window-safe extent
     for sampling onto `out_shape` lattices. Expensive at large volumes —
     callers that sample the same fields repeatedly (the CFL-substepped
-    trace loops) pad ONCE and reuse via the *_padded entry points."""
+    trace loops) pad ONCE and reuse via the *_padded entry points.
+
+    `dtype` (value windows only — NEVER maps/positions): storage dtype of
+    the padded copy; the window kernels DMA it as-is and widen to f32 at
+    the vreg load (_rebased_window)."""
     P = Rr + 2
+    if dtype is not None and field_like.dtype != dtype:
+        field_like = field_like.astype(dtype)
     BY = _by(Rr)
     Z = _ceil(out_shape[2], 128)
     ZP = Z + 384  # 128 front pad + up to a 256-window reach past the end
@@ -571,13 +582,13 @@ def pad_fields(field_like, out_shape, Rr):
     return jnp.pad(field_like, padw, mode="edge")
 
 
-def _pad_field_positions(field_like, px, py, pz, h, off, Rr):
+def _pad_field_positions(field_like, px, py, pz, h, off, Rr, dtype=None):
     """Shared host-side prep: edge-pad the field (leading C axis optional)
     to the window-safe extent and rebase positions into padded coords."""
     out_shape = px.shape
     P = Rr + 2
     BY = _by(Rr)
-    fpad = pad_fields(field_like, out_shape, Rr)
+    fpad = pad_fields(field_like, out_shape, Rr, dtype=dtype)
 
     gx = px / h - off[0] + P
     gy = py / h - off[1] + P
@@ -606,7 +617,7 @@ def _pad_field_positions(field_like, px, py, pz, h, off, Rr):
 
 
 def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False,
-                 adaptive=None):
+                 adaptive=None, dtype=None):
     """Drop-in replacement for interp.sample3 (world positions, field offset
     in units of h) under the bounded-displacement contract above.
 
@@ -619,7 +630,8 @@ def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False,
     if adaptive is None:
         adaptive = config.interp_adaptive()
     out_shape = px.shape
-    fpad, gx, gy, gz, P = _pad_field_positions(field, px, py, pz, h, off, Rr)
+    fpad, gx, gy, gz, P = _pad_field_positions(field, px, py, pz, h, off, Rr,
+                                               dtype=dtype)
     return _sample3_padded(
         fpad, gx, gy, gz,
         Rr=Rr, P=P, interpret=interpret, out_shape=out_shape,
@@ -719,7 +731,10 @@ def minmax3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False,
     if adaptive is None:
         adaptive = config.interp_adaptive()
     out_shape = px.shape
-    fpad, gx, gy, gz, P = _pad_field_positions(field, px, py, pz, h, off, Rr)
+    # clamp bounds are field VALUES -> the bf16 window knob applies
+    fpad, gx, gy, gz, P = _pad_field_positions(
+        field, px, py, pz, h, off, Rr, dtype=config.interp_window_dtype()
+    )
     return _minmax3_padded(
         fpad, gx, gy, gz, Rr=Rr, P=P, interpret=interpret,
         out_shape=out_shape, adaptive=adaptive,
@@ -759,7 +774,7 @@ def _minmax3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2,) + win_shape, jnp.float32),
+            pltpu.VMEM((2,) + win_shape, field_padded.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -868,7 +883,7 @@ def _sample3_padded_multi(fields_padded, gx, gy, gz, *, Rr, P, interpret,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2,) + win_shape, jnp.float32),
+            pltpu.VMEM((2,) + win_shape, fields_padded.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -1154,7 +1169,7 @@ def _rk3_padded(fields_padded, gx, gy, gz, sh, *, Rr, P, interpret, deltas,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2,) + win_shape, jnp.float32),
+            pltpu.VMEM((2,) + win_shape, fields_padded.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -1397,7 +1412,7 @@ def _pullback_padded(maps_packed, fields_packed, origins, *, Rr, interpret,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2,) + win_shape_m, jnp.float32),
-            pltpu.VMEM((2,) + win_shape_f, jnp.float32),
+            pltpu.VMEM((2,) + win_shape_f, fields_packed.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -1677,8 +1692,8 @@ def _dmc_padded(mac_packed, maps_packed, sh, h, *, Rr, interpret, out_shape,
         out_specs=pl.BlockSpec((3,) + block, lambda i, j, k: (0, i, j, k),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2,) + win_shape, jnp.float32),
-            pltpu.VMEM((2,) + win_shape, jnp.float32),
+            pltpu.VMEM((2,) + win_shape, mac_packed.dtype),  # win_v (MAC)
+            pltpu.VMEM((2,) + win_shape, jnp.float32),       # win_m (maps)
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -1704,7 +1719,7 @@ def dmc_substep_fast(mac_packed, maps, sub, h, grid_n, *, Rr=2,
 
 
 def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False,
-                  adaptive=None):
+                  adaptive=None, dtype=None):
     """Sample C stacked same-shape fields (C, nx, ny, nz) at one position
     lattice with per-channel offsets `offs` (C tuples, units of h). Returns
     (C, *px.shape). One window DMA + one launch for all channels."""
@@ -1721,7 +1736,7 @@ def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False,
         for o in offs
     )
     fpad, gx, gy, gz, P = _pad_field_positions(
-        fields, px, py, pz, h, off0, Rr
+        fields, px, py, pz, h, off0, Rr, dtype=dtype
     )
     return _sample3_padded_multi(
         fpad, gx, gy, gz,
