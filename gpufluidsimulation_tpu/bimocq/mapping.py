@@ -425,13 +425,22 @@ def bimocq_advect_3d(grid, kind, fields_cur, fields_init, fields_prev,
     Fast path: every map-at-lattice sample is a static stencil
     (map_at_lattice_3d) and all N fields share one windowed-DMA launch per
     stage — 4 launches per kind instead of ~7 per field. Exact path:
-    delegates to the single-field ops (oracle-parity semantics)."""
+    delegates to the single-field ops (oracle-parity semantics).
+
+    `blend_coeff=None` marks the two-level blend as STATICALLY 1.0 (the
+    reference's default mapping_blend_coeff, bimocq3D/main.cpp:47): the
+    level-2 pull-back contributes with weight 0, so the bwd_prev
+    composition and the whole `prevs` sampling stage are skipped — the
+    reference's gpu_advect_vel_double runs this dead work unconditionally
+    (Mapping.cpp:169-206)."""
     if not _use_prefilter():
         outs = []
         for cur, init, prev in zip(fields_cur, fields_init, fields_prev):
             x = advect_with_map_3d(grid, kind, cur, init, bwd)
             x = compensate_3d(grid, kind, x, init, fwd, bwd)
-            x = double_advect_3d(grid, kind, x, prev, bwd, bwd_prev, blend_coeff)
+            if blend_coeff is not None:
+                x = double_advect_3d(grid, kind, x, prev, bwd, bwd_prev,
+                                     blend_coeff)
             outs.append(x)
         return outs
 
@@ -465,6 +474,8 @@ def bimocq_advect_3d(grid, kind, fields_cur, fields_init, fields_prev,
     ]
 
     # --- double advect: two-level pull-back blended with blend_coeff ---
+    if blend_coeff is None:  # statically 1.0: zero-weight level-2, skip
+        return comps
     p2 = _map_sample_3d(grid, bwd_prev, p1[0], p1[1], p1[2], 1.0, 1.0)
     prevs = _sample_fields_at(
         grid, kind, [volume_prefilter_3d(p) for p in fields_prev], p2

@@ -47,6 +47,7 @@ CPU fallback / correctness oracle: interp.sample3 (exact gather form).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -361,40 +362,68 @@ def _cov_loop(l, iota, lo, n):
     return jax.lax.fori_loop(0, n, body, jnp.zeros(l.shape, jnp.float32))
 
 
-def _trilerp_sum_adaptive(win, lx, ly, lz, taps, block, Rr):
+_XNX_ENV = os.environ.get("GFS_INTERP_XNX")
+X_NX = None if _XNX_ENV in (None, "", "0") else int(_XNX_ENV)
+
+
+def _trilerp_sum_adaptive(win, lx, ly, lz, taps, block, Rr, x_nx=None):
+    """Adaptive trilerp. The x axis cannot use dynamic slices (major-axis
+    slices must be static under Mosaic) nor dynamic rolls (non-pow2 dim),
+    so per-block live x-tap subranges are dispatched with lax.switch over
+    STATIC start offsets: branch k sums taps [k, k+NX), the last branch is
+    the full-W fallback for blocks whose live range exceeds NX. Skipped
+    taps have exactly-zero hat weight, so every branch is bit-identical to
+    the static form."""
     W = 2 * Rr + 3
     B1, B2, B3 = block
     ylo, nyt, zlo, nzt = taps
     a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
     b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
     c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
-    hx = [_hat(lx - (a + dp)) for dp in range(W)]
-    covx = sum(hx)
     covy = _cov_loop(ly, b, ylo, nyt)
     covz = _cov_loop(lz, c, zlo, nzt)
     y_axis = win.ndim - 2
     z_axis = win.ndim - 1
 
-    def zbody(t, acc):
-        dr = zlo + t
-        hz = _hat(lz - (c + dr.astype(jnp.float32)))
-        wz = pltpu.roll(win, -dr, z_axis)[..., :B3]
+    def core(x0, xn):
+        hx = [_hat(lx - (a + dp)) for dp in range(x0, x0 + xn)]
+        covx = sum(hx)
 
-        def ybody(s, accy):
-            dq = ylo + s
-            hy = _hat(ly - (b + dq.astype(jnp.float32)))
-            wyz = pltpu.roll(wz, -dq, y_axis)[:, :B2, :]
-            accx = jnp.zeros(block, jnp.float32)
-            for dp in range(W):
-                accx = accx + hx[dp] * wyz[dp : dp + B1]
-            return accy + hy * accx
+        def zbody(t, acc):
+            dr = zlo + t
+            hz = _hat(lz - (c + dr.astype(jnp.float32)))
+            wz = pltpu.roll(win, -dr, z_axis)[..., :B3]
 
-        inner = jax.lax.fori_loop(
-            0, nyt, ybody, jnp.zeros(block, jnp.float32)
-        )
-        return acc + hz * inner
+            def ybody(s, accy):
+                dq = ylo + s
+                hy = _hat(ly - (b + dq.astype(jnp.float32)))
+                wyz = pltpu.roll(wz, -dq, y_axis)[:, :B2, :]
+                accx = jnp.zeros(block, jnp.float32)
+                for i, dp in enumerate(range(x0, x0 + xn)):
+                    accx = accx + hx[i] * wyz[dp : dp + B1]
+                return accy + hy * accx
 
-    out = jax.lax.fori_loop(0, nzt, zbody, jnp.zeros(block, jnp.float32))
+            inner = jax.lax.fori_loop(
+                0, nyt, ybody, jnp.zeros(block, jnp.float32)
+            )
+            return acc + hz * inner
+
+        out = jax.lax.fori_loop(0, nzt, zbody, jnp.zeros(block, jnp.float32))
+        return out, covx
+
+    nx_cap = X_NX if x_nx is None else x_nx
+    if nx_cap is None or nx_cap >= W:
+        out, covx = core(0, W)
+    else:
+        xlo_, nxt_ = _live_taps(lx - a, W)
+        sel = jnp.where(nxt_ <= nx_cap,
+                        jnp.minimum(xlo_, W - nx_cap),
+                        jnp.int32(W - nx_cap + 1))
+        branches = [
+            (lambda k: (lambda: core(k, nx_cap)))(k)
+            for k in range(W - nx_cap + 1)
+        ] + [lambda: core(0, W)]
+        out, covx = jax.lax.switch(sel, branches)
     cov = covx * covy * covz
     return jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
 

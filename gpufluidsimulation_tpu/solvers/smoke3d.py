@@ -239,7 +239,7 @@ def init_state(cfg: Smoke3DConfig) -> Smoke3DState:
 
 
 def _interp_overflow_check(g: Grid3D, vel_map, u=None, v=None, w=None,
-                           cfldt=None) -> jnp.ndarray:
+                           cfldt=None, check_level2=True) -> jnp.ndarray:
     """Runtime enforcement of the fast-interp bounded-displacement contract
     (ops/interp_fast.py): counts samples whose in-block residual exceeds the
     kernel's reach for (a) the level-1 backward-map pull-back positions,
@@ -259,10 +259,15 @@ def _interp_overflow_check(g: Grid3D, vel_map, u=None, v=None, w=None,
     rr = _cfg.interp_rr()
     b = vel_map.bwd
     ov = interp_fast.residual_overflow(b[0], b[1], b[2], h, (0, 0, 0), Rr=rr)
-    px, py, pz = g.node_coords("c")
-    bx, by, bz = mp._map_sample_3d(g, b, px, py, pz, 1.0, 1.0)
-    ox, oy, oz = mp._map_sample_3d(g, vel_map.bwd_prev, bx, by, bz, 1.0, 1.0)
-    ov2 = interp_fast.residual_overflow(ox, oy, oz, h, (0, 0, 0), Rr=rr)
+    ov2 = jnp.int32(0)
+    if check_level2:
+        # level-2 chain is only sampled when blend_coeff < 1 (the prevs
+        # stage is statically skipped otherwise, mapping.bimocq_advect_3d)
+        px, py, pz = g.node_coords("c")
+        bx, by, bz = mp._map_sample_3d(g, b, px, py, pz, 1.0, 1.0)
+        ox, oy, oz = mp._map_sample_3d(g, vel_map.bwd_prev, bx, by, bz,
+                                       1.0, 1.0)
+        ov2 = interp_fast.residual_overflow(ox, oy, oz, h, (0, 0, 0), Rr=rr)
     ov3 = jnp.int32(0)
     if u is not None and rr <= 2:
         ov3 = _dmc_displacement_overflow(g, u, v, w, cfldt, rr)
@@ -588,13 +593,15 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     else:
         scalar_map = mp.update_mapping_3d(s.scalar_map, g, s.u, s.v, s.w, cfldt, dt)
 
+    lvl2 = cfg.blend_coeff != 1.0
     if cfg.overflow_check_every <= 1:
-        overflow = _interp_overflow_check(g, vel_map, s.u, s.v, s.w, cfldt)
+        overflow = _interp_overflow_check(g, vel_map, s.u, s.v, s.w, cfldt,
+                                          check_level2=lvl2)
     else:
         overflow = jax.lax.cond(
             s.frame % cfg.overflow_check_every == 0,
             lambda _: _interp_overflow_check(g, vel_map, s.u, s.v, s.w,
-                                             cfldt),
+                                             cfldt, check_level2=lvl2),
             lambda _: s.interp_overflow,
             None,
         )
@@ -611,7 +618,10 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     # --- velocity pull-back + compensation + two-level blend ---
     # (fused per lattice kind: shared static map positions + one window
     # launch per stage, mp.bimocq_advect_3d)
-    blend_v = jnp.where(vel_map.reinit_count != 0, cfg.blend_coeff, 1.0)
+    # blend_coeff == 1.0 (the reference default, main.cpp:47) makes the
+    # level-2 pull-back a zero-weight term: None marks it statically dead
+    blend_v = (None if cfg.blend_coeff == 1.0 else
+               jnp.where(vel_map.reinit_count != 0, cfg.blend_coeff, 1.0))
     (u,) = mp.bimocq_advect_3d(
         g, "u", [s.u], [s.u_init], [s.u_prev],
         vel_map.bwd, vel_map.bwd_prev, vel_map.fwd, blend_v)
@@ -623,7 +633,8 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
         vel_map.bwd, vel_map.bwd_prev, vel_map.fwd, blend_v)
 
     # --- scalar pull-back (rho and T share every map sample) ---
-    blend_s = jnp.where(scalar_map.reinit_count != 0, cfg.blend_coeff, 1.0)
+    blend_s = (None if cfg.blend_coeff == 1.0 else
+               jnp.where(scalar_map.reinit_count != 0, cfg.blend_coeff, 1.0))
     rho, T = mp.bimocq_advect_3d(
         g, "c", [s.rho, s.T], [s.rho_init, s.T_init], [s.rho_prev, s.T_prev],
         scalar_map.bwd, scalar_map.bwd_prev, scalar_map.fwd, blend_s)
@@ -669,15 +680,29 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
 
     # --- accumulate deltas into init buffers through the forward map ---
     # (ext + proj deltas of one kind share one launch, mp.accumulate_multi_3d)
-    (u_init,) = mp.accumulate_multi_3d(
-        g, "u", [(s.u_init, [(du_ext, 1.0), (du_p, proj_coeff)])], vel_map.fwd)
-    (v_init,) = mp.accumulate_multi_3d(
-        g, "v", [(s.v_init, [(dv_ext, 1.0), (dv_p, proj_coeff)])], vel_map.fwd)
-    (w_init,) = mp.accumulate_multi_3d(
-        g, "w", [(s.w_init, [(dw_ext, 1.0), (dw_p, proj_coeff)])], vel_map.fwd)
-    rho_init, T_init = mp.accumulate_multi_3d(
-        g, "c", [(s.rho_init, [(drho_ext, 1.0)]), (s.T_init, [(dT_ext, 1.0)])],
-        scalar_map.fwd)
+    # Under reinit_mode='always' + blend_coeff==1.0 (the reference GPU
+    # solver's exact configuration) these accumulated inits only ever
+    # become the zero-weighted *_prev buffers — statically dead; the
+    # reference runs its gpu_accumulate_* launches anyway
+    # (BimocqGPUSolver.cpp:213-216).
+    accum_dead = cfg.reinit_mode == "always" and cfg.blend_coeff == 1.0
+    if accum_dead:
+        u_init, v_init, w_init = s.u_init, s.v_init, s.w_init
+        rho_init, T_init = s.rho_init, s.T_init
+    else:
+        (u_init,) = mp.accumulate_multi_3d(
+            g, "u", [(s.u_init, [(du_ext, 1.0), (du_p, proj_coeff)])],
+            vel_map.fwd)
+        (v_init,) = mp.accumulate_multi_3d(
+            g, "v", [(s.v_init, [(dv_ext, 1.0), (dv_p, proj_coeff)])],
+            vel_map.fwd)
+        (w_init,) = mp.accumulate_multi_3d(
+            g, "w", [(s.w_init, [(dw_ext, 1.0), (dw_p, proj_coeff)])],
+            vel_map.fwd)
+        rho_init, T_init = mp.accumulate_multi_3d(
+            g, "c",
+            [(s.rho_init, [(drho_ext, 1.0)]), (s.T_init, [(dT_ext, 1.0)])],
+            scalar_map.fwd)
 
     # --- reinitialization ---
     def do_vel_reinit(args):

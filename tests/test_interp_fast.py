@@ -349,3 +349,33 @@ def test_sample3_fast_large_z_base_shift(rng):
                                    interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_x_adaptive_taps_bit_identical():
+    """GFS_INTERP_XNX (per-block static x-tap subranges via lax.switch) is
+    bit-identical to the static-W form — skipped taps have zero hat
+    weight."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    rng = np.random.default_rng(5)
+    n = 24
+    h = 1.0 / n
+    f = jnp.asarray(rng.standard_normal((n, n, n)).astype(np.float32))
+    ii, jj, kk = np.meshgrid(*(np.arange(n),) * 3, indexing="ij")
+    px = jnp.asarray((ii + 1.2 * np.sin(jj / 5)) * h, jnp.float32)
+    py = jnp.asarray((jj + 0.9 * np.cos(kk / 7)) * h, jnp.float32)
+    pz = jnp.asarray((kk + 0.7 * np.sin(ii / 9)) * h, jnp.float32)
+    old = interp_fast.X_NX
+    try:
+        interp_fast.X_NX = None
+        ref = interp_fast.sample3_fast(f, px, py, pz, h, (0, 0, 0),
+                                       interpret=True, adaptive=True)
+        interp_fast.X_NX = 3
+        got = interp_fast.sample3_fast(f, px, py, pz, h, (0, 0, 0),
+                                       interpret=True, adaptive=True)
+    finally:
+        interp_fast.X_NX = old
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
