@@ -365,6 +365,85 @@ def _cov_loop(l, iota, lo, n):
 _XNX_ENV = os.environ.get("GFS_INTERP_XNX")
 X_NX = None if _XNX_ENV in (None, "", "0") else int(_XNX_ENV)
 
+# rebase-once + static-tap-tile trilerp (see _trilerp_when): NT y/z taps
+# per block; 0 disables (falls back to the roll-per-tap adaptive form)
+_REBASED_ENV = os.environ.get("GFS_INTERP_REBASED", "3")
+REBASED_NT = 0 if _REBASED_ENV in ("", "0", "false") else int(_REBASED_ENV)
+
+
+def _trilerp_when(win_c, lx, ly, lz, block, Rr, store, nt=None):
+    """Trilerp one channel window with the rebase-once/static-tile scheme,
+    delivering the result via `store(value)` inside predicated regions.
+
+    Measured on v5e: the roll-per-tap adaptive form spends as much in its
+    dynamic rolls + fori machinery as it saves in hat-weighted FMAs; static
+    small-tap tiles after a SINGLE per-channel (y, z) rebase roll run ~2x
+    faster (6.8 vs 13.8 ms for the 3-channel 256^3 sampler microbench) and
+    compile fast — but only with exactly TWO predicated variants (a 7-way
+    lax.switch evaluates every branch; a 7-way pl.when chain compiles for
+    >28 min on this Mosaic).
+
+    Used by the pull-back samplers (_kernel/_kernel_multi: one store per
+    launch), where it wins ~15% at the step level. NOT used by the fused
+    RK3/DMC kernels: there the many predicated regions per launch (3
+    channels x 3 stages x 2 branches) defeat Mosaic pipelining — measured
+    +69/+33 ms at 256^3 (see _sample_mac_stage).
+
+    `win_c` must be the _rebased_window output (alignment already folded),
+    (WX, WY_WIN, 256) for one channel. The fast branch covers blocks whose
+    live y/z tap ranges fit in `nt` taps; others take the full static-W
+    branch. Both branches are bit-identical to the static form: skipped
+    taps carry exactly-zero hat weight, rolls are exact permutations, and
+    wrapped rows/lanes only ever multiply zero hats (field values are
+    finite, so 0*x == 0).
+    """
+    W = 2 * Rr + 3
+    B1, B2, B3 = block
+    nt = REBASED_NT if nt is None else nt
+    a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
+    b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
+    y_axis = win_c.ndim - 2
+    z_axis = win_c.ndim - 1
+
+    ylo, nyt = _live_taps(ly - b, W)
+    zlo, nzt = _live_taps(lz - c, W)
+    fits = (nyt <= nt) & (nzt <= nt)
+
+    @pl.when(fits)
+    def _():
+        wy = pltpu.roll(win_c, -ylo, y_axis)
+        wz = pltpu.roll(wy, -zlo, z_axis)
+        lyr = ly - ylo.astype(jnp.float32)
+        lzr = lz - zlo.astype(jnp.float32)
+        hx = [_hat(lx - (a + dp)) for dp in range(W)]
+        covx = sum(hx)
+        out = jnp.zeros(block, jnp.float32)
+        covy = jnp.zeros(block, jnp.float32)
+        covz = jnp.zeros(block, jnp.float32)
+        for dr in range(nt):
+            hz = _hat(lzr - (c + dr))
+            covz = covz + hz
+            wzr = wz[..., dr : dr + B3]
+            accy = jnp.zeros(block, jnp.float32)
+            for dq in range(nt):
+                hy = _hat(lyr - (b + dq))
+                if dr == 0:
+                    covy = covy + hy
+                wyz = wzr[:, dq : dq + B2, :]
+                accx = jnp.zeros(block, jnp.float32)
+                for dp in range(W):
+                    accx = accx + hx[dp] * wyz[dp : dp + B1]
+                accy = accy + hy * accx
+            out = out + hz * accy
+        cov = covx * covy * covz
+        store(jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0))
+
+    @pl.when(~fits)
+    def _():
+        hx, hy, hz = _hats(lx, ly, lz, block, Rr)
+        store(_trilerp_sum(win_c, hx, hy, hz, block, Rr))
+
 
 def _trilerp_sum_adaptive(win, lx, ly, lz, taps, block, Rr, x_nx=None):
     """Adaptive trilerp. The x axis cannot use dynamic slices (major-axis
@@ -527,6 +606,12 @@ def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
     lx, ly, lz = _local_coords(gx_ref, gy_ref, gz_ref, ox, oy, sy, g0, Rr)
     win = _rebased_window(win_ref.at[slot], sy, g0 - ozw, 1)
     if adaptive:
+        if REBASED_NT:
+            def store(v):
+                out_ref[...] = v
+
+            _trilerp_when(win, lx, ly, lz, block, Rr, store)
+            return
         taps = _block_taps(origin_ref, blk)
         out_ref[...] = _trilerp_sum_adaptive(win, lx, ly, lz, taps, block, Rr)
         return
@@ -845,6 +930,16 @@ def _kernel_multi(origin_ref, gx_ref, gy_ref, gz_ref, fields_hbm, out_ref,
     win_all = _rebased_window(win_ref.at[slot], sy, g0 - ozw, 2)
 
     if adaptive:
+        if REBASED_NT:
+            for ch in range(C):
+                dxo, dyo, dzo = deltas[ch]
+
+                def store(v, ch=ch):
+                    out_ref[ch] = v
+
+                _trilerp_when(win_all[ch], lx0 + dxo, ly0 + dyo, lz0 + dzo,
+                              block, Rr, store)
+            return
         # per-block tap bounds were widened over all channel deltas
         taps = _block_taps(origin_ref, blk)
         for ch in range(C):
@@ -1111,7 +1206,14 @@ def _live_taps(rel, W):
 
 
 def _sample_mac_stage(win_all, lx, ly, lz, deltas, block, Rr):
-    """The 3 MAC channels at window-local coords (lx,ly,lz) + channel deltas."""
+    """The 3 MAC channels at window-local coords (lx,ly,lz) + channel deltas.
+
+    Stays on the roll-per-tap adaptive form: routing these stages through
+    _trilerp_when (writing each channel via a VMEM stage scratch so the
+    predicated branches have a ref destination) measured +69 ms on the
+    fused RK3 trace and +33 ms on the DMC kernel at 256^3 — the 18
+    predicated regions per launch defeat Mosaic's pipelining, the opposite
+    of the pull-back samplers where the same scheme wins ~15%."""
     W = 2 * Rr + 3
     b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
     c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
@@ -1129,8 +1231,8 @@ def _sample_mac_stage(win_all, lx, ly, lz, deltas, block, Rr):
 
 
 def _kernel_rk3(origin_ref, gx_ref, gy_ref, gz_ref, sh_ref, fields_hbm,
-                out_ref, win_ref, sem, *, Rr, block, win_shape, deltas,
-                clamp):
+                out_ref, win_ref, sem, *, Rr, block, win_shape,
+                deltas, clamp):
     blk, slot = _pipeline_window(origin_ref, fields_hbm, win_ref, sem,
                                  win_shape)
     ox, oy, sy, ozw, g0 = _block_scalars(origin_ref, blk)
@@ -1681,6 +1783,8 @@ def _kernel_dmc(sh_ref, mac_hbm, maps_hbm, out_ref, win_v, win_m, sem,
             & (gk >= 2) & (gk <= nk - 3))
 
     for ch in range(3):
+        # adaptive (not _trilerp_when): the predicated-region form measured
+        # +33 ms on this kernel at 256^3 — see _sample_mac_stage.
         sampled = _trilerp_sum_adaptive(
             wm[ch], lx, ly, lz, (ylo, nyt, zlo, nzt), block, Rr
         )

@@ -24,6 +24,8 @@ Three layers (BASELINE.md: density L-inf <= 1e-3 after 100 steps):
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -88,7 +90,36 @@ def test_bimocq_matches_oracle_strict():
             assert _linf(state.rho, ostate["rho"]) < rho_tol[step], step
             assert _linf(state.u, ostate["u"]) < rho_tol[step], step
             assert _linf(state.rho_init, ostate["rho_init"]) < rho_tol[step]
-            assert _linf(state.u_prev, ostate["u_prev"]) < rho_tol[step]
+            # u_prev is intentionally NOT asserted here: with the scene's
+            # blend_coeff == 1.0 the prev buffers are zero-weighted forever
+            # and the solver statically skips the accumulates that would
+            # refresh them (smoke3d accum_dead); live-prev semantics are
+            # covered by test_bimocq_prev_buffers_live_when_blended below.
+    finally:
+        config.set_fast_interp(None)
+
+
+def test_bimocq_prev_buffers_live_when_blended():
+    """With blend_coeff < 1 the two-level machinery is live: prev buffers
+    and the blended fields must still track the oracle (guards the static
+    dead-stage elimination against over-pruning)."""
+    config.set_fast_interp(False)
+    try:
+        n = 16
+        solver, ocfg, og = _build(n)
+        cfg = dataclasses.replace(solver.cfg, blend_coeff=0.5)
+        solver = Smoke3D(cfg)
+        ocfg["blend_coeff"] = 0.5
+        state = solver.init_state()
+        ostate = oc.make_state(og)
+        tol = [1e-6, 5e-4, 1e-3, 2e-3]
+        for step in range(4):
+            state = solver.step(state)
+            ostate = oc.step_bimocq(ocfg, og, ostate)
+            assert _linf(state.rho, ostate["rho"]) < tol[step], step
+            assert _linf(state.u, ostate["u"]) < tol[step], step
+            assert _linf(state.u_prev, ostate["u_prev"]) < tol[step], step
+            assert _linf(state.rho_prev, ostate["rho_prev"]) < tol[step], step
     finally:
         config.set_fast_interp(None)
 
