@@ -69,6 +69,31 @@ def _by(Rr):
     return 16
 WZ_WIN = 384  # z window lanes DMA'd (3 tiles; rebased to a pow2 256 in-kernel)
 
+# z-block extent: 256-lane blocks halve the window-DMA amplification on the
+# z axis (512-lane window / 256 block = 2x vs 384/128 = 3x) and rebase with
+# ONE pow2 roll (512 is a power of two; 384 needs two rolls + a select).
+# Measured per-phase at 256^3: WINS only in the DMA-bound static-origin DMC
+# kernel (63.2 -> 57.8 ms); LOSES in the compute-bound fused RK3 (79.5 ->
+# 99.9) and the rebased pull-back samplers (47/47/60 -> 51/51/68) — so each
+# wrapper passes its measured preference and 'auto' honors it. 128/256
+# force the extent everywhere. Per-block contract residuals span twice the
+# z extent at 256; the overflow counter (residual_overflow, same blocking
+# rule) is the honest accuracy monitor either way.
+_BZ_ENV = os.environ.get("GFS_INTERP_BZ", "auto")
+
+
+def _bz(Z, prefer=128):
+    """Sampler z-block extent for a padded (128-multiple) z extent Z."""
+    if _BZ_ENV not in ("auto", "", None):
+        prefer = int(_BZ_ENV)
+    return prefer if Z % prefer == 0 and Z >= prefer else 128
+
+
+def _wz_win(bz):
+    """z window lanes DMA'd for a bz-lane block: bz + tap reach (2Rr+2 <=
+    6) + alignment remainder (<= 127), rounded up to a 128-multiple."""
+    return 384 if bz == 128 else 512
+
 
 def _ceil(a, b):
     return -(-a // b) * b
@@ -101,12 +126,13 @@ def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
     """
     W = 2 * Rr + 3
     BY = _by(Rr)
+    bz = gx.shape[2] // nb[2]
     dx = gx - (jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P)
     dy = gy - (jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P)
     dz = gz - (jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + 128)
 
     def mm(d):
-        r = d.reshape(nb[0], BX, nb[1], BY, nb[2], 128)
+        r = d.reshape(nb[0], BX, nb[1], BY, nb[2], bz)
         return r.min(axis=(1, 3, 5)), r.max(axis=(1, 3, 5))
 
     mnx, mxx = mm(dx)
@@ -120,13 +146,13 @@ def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
     Wx = BX + 2 * Rr + 2
     bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
     bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * BY)[None, :, None]
-    bo_z = (jnp.arange(nb[2], dtype=jnp.int32) * 128)[None, None, :]
+    bo_z = (jnp.arange(nb[2], dtype=jnp.int32) * bz)[None, None, :]
     ox = jnp.clip(bo_x + P + s_x - (Rr + 1), 0, fs_xy[0] - Wx)
     oy_ideal = jnp.clip(bo_y + P + s_y - (Rr + 1), 0,
                         fs_xy[1] - (BY + 2 * Rr + 2))
     oy = jnp.minimum((oy_ideal // 8) * 8, fs_xy[1] - WY_WIN)
     slack = oy_ideal - oy
-    # z: padded band start G0 = 128 + 128*bk + s_z - (Rr+1); window origin is
+    # z: padded band start G0 = 128 + bz*bk + s_z - (Rr+1); window origin is
     # its 128-aligned floor, the remainder is rolled away in-kernel
     g0 = 128 + bo_z + s_z - (Rr + 1)
     ozw = (g0 // 128) * 128
@@ -161,9 +187,10 @@ def _origins_union(pos_sets, fs_xy, *, Rr, P, nb):
     keep the two in sync if the window geometry ever changes."""
     W = 2 * Rr + 3
     BY = _by(Rr)
+    bz = pos_sets[0][0].shape[2] // nb[2]
 
     def mm(d):
-        r = d.reshape(nb[0], BX, nb[1], BY, nb[2], 128)
+        r = d.reshape(nb[0], BX, nb[1], BY, nb[2], bz)
         return r.min(axis=(1, 3, 5)), r.max(axis=(1, 3, 5))
 
     mns = [None] * 3
@@ -185,7 +212,7 @@ def _origins_union(pos_sets, fs_xy, *, Rr, P, nb):
     Wx = BX + 2 * Rr + 2
     bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
     bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * BY)[None, :, None]
-    bo_z = (jnp.arange(nb[2], dtype=jnp.int32) * 128)[None, None, :]
+    bo_z = (jnp.arange(nb[2], dtype=jnp.int32) * bz)[None, None, :]
     ox = jnp.clip(bo_x + P + s_x - (Rr + 1), 0, fs_xy[0] - Wx)
     oy_ideal = jnp.clip(bo_y + P + s_y - (Rr + 1), 0,
                         fs_xy[1] - (BY + 2 * Rr + 2))
@@ -271,11 +298,14 @@ def _pipeline_window(origin_ref, field_hbm, win_ref, sem, win_shape):
 
 
 def _rebased_window(win_ref, sy, relz, y_axis):
-    """Rebase the (.., WY_WIN, 384) window so the tap band starts at row
-    (y=0, z=0) of a (.., WY_WIN, 256) buffer.
+    """Rebase the (.., WY_WIN, WZ) window so the tap band starts at row
+    (y=0, z=0) of a (.., WY_WIN, pow2) buffer.
 
-    Dynamic `pltpu.roll` only compiles correctly on power-of-two dims, so
-    the 3-tile z window is rebased with two 256-lane rolls + a lane select:
+    Dynamic `pltpu.roll` only compiles correctly on power-of-two dims.
+    WZ=512 (256-lane blocks) is already a power of two: one z roll does it
+    (taps only read lanes [0, 262) and l + relz <= 261 + 127 < 512, so no
+    wraparound ever reaches a live tap). The 3-tile WZ=384 window (128-lane
+    blocks) is rebased with two 256-lane rolls + a lane select:
       want V[l] = win[l + relz], l in [0, 256), relz in [0, 127]
       A = roll(win[0:256], -relz)          covers l + relz < 256
       D = roll(concat(win[256:], win[256:]), -relz)   covers the tail
@@ -288,6 +318,10 @@ def _rebased_window(win_ref, sy, relz, y_axis):
         win = win.astype(jnp.float32)
     z_axis = y_axis + 1
     ndim = win.ndim
+
+    if win.shape[z_axis] != 384:
+        v = pltpu.roll(win, -relz, z_axis)
+        return pltpu.roll(v, -sy, y_axis)
 
     def zslice(lo, hi):
         idx = [slice(None)] * ndim
@@ -629,11 +663,12 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape,
     (x/y: +P, z: +128), pre-padded to (mult8, mult8, mult128)."""
     nx, ny, Z = gx.shape
     BY = _by(Rr)
-    nb = (nx // BX, ny // BY, Z // 128)
-    block = (BX, BY, 128)
+    bz = _bz(Z)
+    nb = (nx // BX, ny // BY, Z // bz)
+    block = (BX, BY, bz)
     fs = field_padded.shape
     Wx = BX + 2 * Rr + 2
-    win_shape = (Wx, WY_WIN, WZ_WIN)
+    win_shape = (Wx, WY_WIN, _wz_win(bz))
     origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -756,10 +791,11 @@ def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False,
 def residual_overflow(px, py, pz, h, off, *, Rr=2, Rz=8):
     """Diagnostic: count of samples violating the kernel's reach — per-axis
     in-block residual > Rr+0.5 after mean-centering with the kernel's own
-    (8, 8, 128) blocking, or |z base shift| beyond the window budget.
+    (BX, BY, bz) blocking, or |z base shift| beyond the window budget.
     Keep at 0."""
     out_shape = px.shape
     BY = _by(Rr)
+    bz = _bz(_ceil(out_shape[2], 128))
     gx = px / h - off[0]
     gy = py / h - off[1]
     gz = pz / h - off[2]
@@ -773,10 +809,10 @@ def residual_overflow(px, py, pz, h, off, *, Rr=2, Rz=8):
         node = jax.lax.broadcasted_iota(jnp.float32, g.shape, axis)
         d = jnp.pad(g - node, padw, mode="edge")
         nbx, nby = d.shape[0] // BX, d.shape[1] // BY
-        nbz = d.shape[2] // 128
+        nbz = d.shape[2] // bz
         # z-first staged block reduction (lane-dim split is layout
         # preserving; the one-shot 6D reshape retiles the whole array)
-        z2 = d.reshape(d.shape[0], d.shape[1], nbz, 128)
+        z2 = d.reshape(d.shape[0], d.shape[1], nbz, bz)
         mnz = z2.min(axis=-1).reshape(nbx, BX, nby, BY, nbz)
         mxz = z2.max(axis=-1).reshape(nbx, BX, nby, BY, nbz)
         # the kernel's own base-shift convention: round the block's residual
@@ -862,11 +898,12 @@ def _minmax3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape,
                     adaptive=False):
     nx, ny, Z = gx.shape
     BY = _by(Rr)
-    nb = (nx // BX, ny // BY, Z // 128)
-    block = (BX, BY, 128)
+    bz = _bz(Z)
+    nb = (nx // BX, ny // BY, Z // bz)
+    block = (BX, BY, bz)
     fs = field_padded.shape
     Wx = BX + 2 * Rr + 2
-    win_shape = (Wx, WY_WIN, WZ_WIN)
+    win_shape = (Wx, WY_WIN, _wz_win(bz))
     origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -982,11 +1019,12 @@ def _sample3_padded_multi(fields_padded, gx, gy, gz, *, Rr, P, interpret,
     C = fields_padded.shape[0]
     nx, ny, Z = gx.shape
     BY = _by(Rr)
-    nb = (nx // BX, ny // BY, Z // 128)
-    block = (BX, BY, 128)
+    bz = _bz(Z)
+    nb = (nx // BX, ny // BY, Z // bz)
+    block = (BX, BY, bz)
     fs = fields_padded.shape[1:]
     Wx = BX + 2 * Rr + 2
-    win_shape = (C, Wx, WY_WIN, WZ_WIN)
+    win_shape = (C, Wx, WY_WIN, _wz_win(bz))
     origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb,
                        dspan=_dspan(deltas))
 
@@ -1275,11 +1313,12 @@ def _rk3_padded(fields_padded, gx, gy, gz, sh, *, Rr, P, interpret, deltas,
     nx, ny, Z = gx.shape
     Rk = Rr + 1  # window reach: contract residual + <=0.75-cell stage drift
     BY = _by(Rr)
-    nb = (nx // BX, ny // BY, Z // 128)
-    block = (BX, BY, 128)
+    bz = _bz(Z)
+    nb = (nx // BX, ny // BY, Z // bz)
+    block = (BX, BY, bz)
     fs = fields_padded.shape[1:]
     Wx = BX + 2 * Rk + 2
-    win_shape = (C, Wx, WY_WIN, WZ_WIN)
+    win_shape = (C, Wx, WY_WIN, _wz_win(bz))
     origins = _origins(gx, gy, gz, fs, Rr=Rk, P=P, nb=nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1660,7 +1699,7 @@ def sample3_pullback(maps, fields, dims, h, grid_n, clamp_lo, clamp_hi, *,
 # ---------------------------------------------------------------------------
 
 
-def _dmc_origin(i, j, k, fs, P, Rr):
+def _dmc_origin(i, j, k, fs, P, Rr, bz=128):
     """Static (s=0) window origin for block (i,j,k) against an array with
     per-copy spatial shape `fs`."""
     BY = _by(Rr)
@@ -1668,7 +1707,7 @@ def _dmc_origin(i, j, k, fs, P, Rr):
     oy_ideal = j * BY + P - (Rr + 1)
     oy = jnp.minimum((oy_ideal // 8) * 8, fs[1] - WY_WIN)
     sy = oy_ideal - oy
-    g0 = 128 + k * 128 - (Rr + 1)
+    g0 = 128 + k * bz - (Rr + 1)
     ozw = (g0 // 128) * 128
     return ox, pl.multiple_of(oy, 8), sy, pl.multiple_of(ozw, 128), g0 - ozw
 
@@ -1692,7 +1731,7 @@ def _kernel_dmc(sh_ref, mac_hbm, maps_hbm, out_ref, win_v, win_m, sem,
         out = []
         for hbm, wref, fs, c in ((mac_hbm, win_v, fs_v, 0),
                                  (maps_hbm, win_m, fs_m, 1)):
-            ox, oy, _, ozw, _ = _dmc_origin(i, j, k, fs, P, Rr)
+            ox, oy, _, ozw, _ = _dmc_origin(i, j, k, fs, P, Rr, block[2])
             src = hbm.at[:, pl.ds(ox, win_shape[1]), pl.ds(oy, win_shape[2]),
                          pl.ds(ozw, win_shape[3])]
             out.append(pltpu.make_async_copy(src, wref.at[sl],
@@ -1714,8 +1753,8 @@ def _kernel_dmc(sh_ref, mac_hbm, maps_hbm, out_ref, win_v, win_m, sem,
 
     sh = sh_ref[0, 0]   # substep dt / h
     h = sh_ref[0, 1]    # cell size (the reference's 1e-4 |a| threshold)
-    _, _, sy_v, _, relz = _dmc_origin(bi, bj, bk, fs_v, P, Rr)
-    _, _, sy_m, _, _ = _dmc_origin(bi, bj, bk, fs_m, P, Rr)
+    _, _, sy_v, _, relz = _dmc_origin(bi, bj, bk, fs_v, P, Rr, block[2])
+    _, _, sy_m, _, _ = _dmc_origin(bi, bj, bk, fs_m, P, Rr, block[2])
     wv = _rebased_window(win_v.at[slot], sy_v, relz, 2)
     wm = _rebased_window(win_m.at[slot], sy_m, relz, 2)
 
@@ -1777,7 +1816,7 @@ def _kernel_dmc(sh_ref, mac_hbm, maps_hbm, out_ref, win_v, win_m, sem,
     # interior band (interior_mask('c', lo=2, hi=3)): else keep the old map
     gi = bi * BX + a_i
     gj = bj * _by(Rr) + b_i
-    gk = bk * 128 + c_i
+    gk = bk * B3 + c_i
     ni, nj, nk = grid_n
     band = ((gi >= 2) & (gi <= ni - 3) & (gj >= 2) & (gj <= nj - 3)
             & (gk >= 2) & (gk <= nk - 3))
@@ -1802,12 +1841,13 @@ def _dmc_padded(mac_packed, maps_packed, sh, h, *, Rr, interpret, out_shape,
     nx = _ceil(out_shape[0], BX)
     ny = _ceil(out_shape[1], BY)
     Z = _ceil(out_shape[2], 128)
-    nb = (nx // BX, ny // BY, Z // 128)
-    block = (BX, BY, 128)
+    bz = _bz(Z, prefer=256)  # static-origin DMA-bound kernel: 256 wins
+    nb = (nx // BX, ny // BY, Z // bz)
+    block = (BX, BY, bz)
     fs_v = mac_packed.shape[1:]
     fs_m = maps_packed.shape[1:]
     Wx = BX + 2 * Rr + 2
-    win_shape = (3, Wx, WY_WIN, WZ_WIN)
+    win_shape = (3, Wx, WY_WIN, _wz_win(bz))
     kernel = functools.partial(
         _kernel_dmc, Rr=Rr, block=block, win_shape=win_shape,
         fs_v=fs_v, fs_m=fs_m, P=P, grid_n=grid_n,

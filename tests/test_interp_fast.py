@@ -154,14 +154,16 @@ def test_volume_prefilter_fast_matches_xla(rng):
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
-def test_trace_rk3_fused_matches_exact(rng):
+@pytest.mark.parametrize("nz", [128, 256])
+def test_trace_rk3_fused_matches_exact(rng, nz):
     """The fused 3-stage RK3 substep kernel == the exact-gather substepped
-    trace (trace_3d's two paths agree under the bounded-CFL contract)."""
+    trace (trace_3d's two paths agree under the bounded-CFL contract).
+    nz=256 exercises the 256-lane z-block geometry (one pow2 rebase roll,
+    512-lane windows); nz=128 the 3-tile 384 form."""
     from gpufluidsimulation_tpu.core import interp as ci
     from gpufluidsimulation_tpu.ops import advect
 
     n = 16
-    nz = 128
     h = 0.1
     shape_u = (n + 1, n, nz)
     shape_v = (n, n + 1, nz)
@@ -262,14 +264,15 @@ def test_pullback_multi_matches_per_kind(rng):
                                    rtol=5e-5, atol=5e-5)
 
 
-def test_dmc_substep_fused_matches_exact(rng):
+@pytest.mark.parametrize("nz", [128, 256])
+def test_dmc_substep_fused_matches_exact(rng, nz):
     """The fused DMC substep kernel == the exact-gather dmc_backward_step_3d
-    (upwind select, exponential step, map gather, interior band)."""
+    (upwind select, exponential step, map gather, interior band); nz covers
+    both z-block geometries (384/128 and 512/256)."""
     from gpufluidsimulation_tpu.core.grids import Grid3D
     from gpufluidsimulation_tpu.ops import advect
 
     n = 16
-    nz = 128
     h = 0.1
     g = Grid3D(n, n, nz, h)
     i = np.arange(n + 1)[:, None, None]
