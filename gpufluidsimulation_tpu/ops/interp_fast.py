@@ -140,8 +140,13 @@ def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
     mnz, mxz = mm(dz)
     s_x = jnp.round(0.5 * (mnx + mxx)).astype(jnp.int32)
     s_y = jnp.round(0.5 * (mny + mxy)).astype(jnp.int32)
+    # +-(112 - Rr): keeps the top-clamped rebase roll (relz, below) within
+    # the wrap-safe range of _rebased_window for both window extents
+    # (live lane + relz < WZ); covers block-mean z drifts to ~110 cells,
+    # far beyond any CFL-bounded flow (larger drifts clamp + renormalize,
+    # flagged by residual_overflow exactly as before)
     s_z = jnp.clip(jnp.round(0.5 * (mnz + mxz)).astype(jnp.int32),
-                   -(127 - Rr), 127 - Rr)
+                   -(112 - Rr), 112 - Rr)
 
     Wx = BX + 2 * Rr + 2
     bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
@@ -153,9 +158,11 @@ def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
     oy = jnp.minimum((oy_ideal // 8) * 8, fs_xy[1] - WY_WIN)
     slack = oy_ideal - oy
     # z: padded band start G0 = 128 + bz*bk + s_z - (Rr+1); window origin is
-    # its 128-aligned floor, the remainder is rolled away in-kernel
+    # its 128-aligned floor, top-clamped so the fixed-extent window DMA
+    # stays inside the (Z + 256)-padded field; the clamp remainder joins
+    # the in-kernel rebase roll (relz = g0 - ozw <= ~234, wrap-safe)
     g0 = 128 + bo_z + s_z - (Rr + 1)
-    ozw = (g0 // 128) * 128
+    ozw = jnp.clip((g0 // 128) * 128, 0, fs_xy[2] - _wz_win(bz))
 
     # live tap ranges: element taps are {floor(l - node), +1}; block-wide
     # [floor(min), floor(max)+1], clipped to the window's [0, W-1] (clipped
@@ -207,7 +214,7 @@ def _origins_union(pos_sets, fs_xy, *, Rr, P, nb):
     s_x = jnp.round(0.5 * (mns[0] + mxs[0])).astype(jnp.int32)
     s_y = jnp.round(0.5 * (mns[1] + mxs[1])).astype(jnp.int32)
     s_z = jnp.clip(jnp.round(0.5 * (mns[2] + mxs[2])).astype(jnp.int32),
-                   -(127 - Rr), 127 - Rr)
+                   -(112 - Rr), 112 - Rr)
 
     Wx = BX + 2 * Rr + 2
     bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
@@ -219,7 +226,7 @@ def _origins_union(pos_sets, fs_xy, *, Rr, P, nb):
     oy = jnp.minimum((oy_ideal // 8) * 8, fs_xy[1] - WY_WIN)
     slack = oy_ideal - oy
     g0 = 128 + bo_z + s_z - (Rr + 1)
-    ozw = (g0 // 128) * 128
+    ozw = jnp.clip((g0 // 128) * 128, 0, fs_xy[2] - _wz_win(bz))
     zero = jnp.zeros_like(ox)
     shape3 = (nb[0], nb[1], nb[2])
     return jnp.stack(
@@ -719,7 +726,13 @@ def pad_fields(field_like, out_shape, Rr, dtype=None):
         field_like = field_like.astype(dtype)
     BY = _by(Rr)
     Z = _ceil(out_shape[2], 128)
-    ZP = Z + 384  # 128 front pad + up to a 256-window reach past the end
+    # 128 front pad + 128 back: window origins are top-clamped to
+    # fs_z - WZ in _origins/_origins_union (the extra distance moves into
+    # the in-kernel rebase roll, legal up to relz ~370/512 minus the live
+    # band; see _rebased_window); static origins (_dmc_origin) end at
+    # exactly Z + 256 by construction. Was Z + 384 — shrinking the pad
+    # cut ~20% of every padded-field materialization at 256^3.
+    ZP = Z + 256
     spatial = field_like.shape[-3:]
 
     xpad = P + max(0, _ceil(out_shape[0], BX) - spatial[0])
@@ -821,7 +834,7 @@ def residual_overflow(px, py, pz, h, off, *, Rr=2, Rz=8):
         mx = mxz.max(axis=(1, 3))
         s = jnp.round(0.5 * (mn + mx))
         if axis == 2:
-            s = jnp.clip(s, -(127 - Rr), 127 - Rr)
+            s = jnp.clip(s, -(112 - Rr), 112 - Rr)
         sfull = jnp.repeat(jnp.repeat(s, BX, axis=0), BY, axis=1)
         res = jnp.abs(z2 - sfull[:, :, :, None])
         over = over + jnp.sum(res > (Rr + 0.5), dtype=jnp.int32)
