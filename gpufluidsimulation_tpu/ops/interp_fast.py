@@ -89,10 +89,24 @@ def _bz(Z, prefer=128):
     return prefer if Z % prefer == 0 and Z >= prefer else 128
 
 
-def _wz_win(bz):
+# z front pad of every padded field. 124 (not 128) so STATIC-origin
+# kernels (s=0, _dmc_origin) land their band start 124-(Rr+1) lanes past a
+# tile boundary: the in-window offset is 121 (Rr=2) and the full live tap
+# band (bz + 2Rr+2 lanes) ends at 121 + 262 = 383 < 384 for bz=256 —
+# letting the static 256-lane-block kernels use a 3-tile (384) window
+# instead of 4 (512): -25% window DMA in the DMA-bound fused DMC kernel.
+FRONT_Z = 124
+
+
+def _wz_win(bz, static=False):
     """z window lanes DMA'd for a bz-lane block: bz + tap reach (2Rr+2 <=
-    6) + alignment remainder (<= 127), rounded up to a 128-multiple."""
-    return 384 if bz == 128 else 512
+    6) + alignment remainder, rounded up to a 128-multiple. Static-origin
+    kernels have a fixed in-window offset of FRONT_Z-(Rr+1) <= 121, so
+    their 256-lane blocks fit a 384 window; dynamic origins carry up to a
+    ~231-lane rebase roll (top-clamped origins) and need 512."""
+    if bz == 128 or static:
+        return 384
+    return 512
 
 
 def _ceil(a, b):
@@ -129,7 +143,7 @@ def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
     bz = gx.shape[2] // nb[2]
     dx = gx - (jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P)
     dy = gy - (jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P)
-    dz = gz - (jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + 128)
+    dz = gz - (jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + FRONT_Z)
 
     def mm(d):
         r = d.reshape(nb[0], BX, nb[1], BY, nb[2], bz)
@@ -161,7 +175,7 @@ def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
     # its 128-aligned floor, top-clamped so the fixed-extent window DMA
     # stays inside the (Z + 256)-padded field; the clamp remainder joins
     # the in-kernel rebase roll (relz = g0 - ozw <= ~234, wrap-safe)
-    g0 = 128 + bo_z + s_z - (Rr + 1)
+    g0 = FRONT_Z + bo_z + s_z - (Rr + 1)
     ozw = jnp.clip((g0 // 128) * 128, 0, fs_xy[2] - _wz_win(bz))
 
     # live tap ranges: element taps are {floor(l - node), +1}; block-wide
@@ -205,7 +219,7 @@ def _origins_union(pos_sets, fs_xy, *, Rr, P, nb):
     for gx, gy, gz in pos_sets:
         dx = gx - (jax.lax.broadcasted_iota(jnp.float32, gx.shape, 0) + P)
         dy = gy - (jax.lax.broadcasted_iota(jnp.float32, gy.shape, 1) + P)
-        dz = gz - (jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + 128)
+        dz = gz - (jax.lax.broadcasted_iota(jnp.float32, gz.shape, 2) + FRONT_Z)
         for i, d in enumerate((dx, dy, dz)):
             mn, mx = mm(d)
             mns[i] = mn if mns[i] is None else jnp.minimum(mns[i], mn)
@@ -225,7 +239,7 @@ def _origins_union(pos_sets, fs_xy, *, Rr, P, nb):
                         fs_xy[1] - (BY + 2 * Rr + 2))
     oy = jnp.minimum((oy_ideal // 8) * 8, fs_xy[1] - WY_WIN)
     slack = oy_ideal - oy
-    g0 = 128 + bo_z + s_z - (Rr + 1)
+    g0 = FRONT_Z + bo_z + s_z - (Rr + 1)
     ozw = jnp.clip((g0 // 128) * 128, 0, fs_xy[2] - _wz_win(bz))
     zero = jnp.zeros_like(ox)
     shape3 = (nb[0], nb[1], nb[2])
@@ -304,7 +318,7 @@ def _pipeline_window(origin_ref, field_hbm, win_ref, sem, win_shape):
     return blk, slot
 
 
-def _rebased_window(win_ref, sy, relz, y_axis):
+def _rebased_window(win_ref, sy, relz, y_axis, out_z=None):
     """Rebase the (.., WY_WIN, WZ) window so the tap band starts at row
     (y=0, z=0) of a (.., WY_WIN, pow2) buffer.
 
@@ -328,6 +342,20 @@ def _rebased_window(win_ref, sy, relz, y_axis):
 
     if win.shape[z_axis] != 384:
         v = pltpu.roll(win, -relz, z_axis)
+        return pltpu.roll(v, -sy, y_axis)
+
+    if out_z == 512:
+        # 384-lane window feeding a 256-lane-block kernel (live tap band up
+        # to 262 lanes > the 256-lane A/D result): zero-extend to the pow2
+        # 512 in VMEM and single-roll. The zeros land past every live tap
+        # (relz + live <= 383 < 384 by the FRONT_Z static-origin layout);
+        # HBM DMA stays at the 3-tile 384 extent.
+        zshape = list(win.shape)
+        zshape[z_axis] = 128
+        v = jnp.concatenate(
+            [win, jnp.zeros(zshape, win.dtype)], axis=z_axis
+        )
+        v = pltpu.roll(v, -relz, z_axis)
         return pltpu.roll(v, -sy, y_axis)
 
     def zslice(lo, hi):
@@ -738,7 +766,7 @@ def pad_fields(field_like, out_shape, Rr, dtype=None):
     xpad = P + max(0, _ceil(out_shape[0], BX) - spatial[0])
     ypad = max(P + max(0, _ceil(out_shape[1], BY) - spatial[1]),
                WY_WIN - spatial[1] + 1)
-    padw = [(P, xpad), (P, ypad), (128, ZP - 128 - spatial[2])]
+    padw = [(P, xpad), (P, ypad), (FRONT_Z, ZP - FRONT_Z - spatial[2])]
     if field_like.ndim == 4:
         padw = [(0, 0)] + padw
     return jnp.pad(field_like, padw, mode="edge")
@@ -754,7 +782,7 @@ def _pad_field_positions(field_like, px, py, pz, h, off, Rr, dtype=None):
 
     gx = px / h - off[0] + P
     gy = py / h - off[1] + P
-    gz = pz / h - off[2] + 128
+    gz = pz / h - off[2] + FRONT_Z
 
     pad_to = (
         _ceil(out_shape[0], BX) - out_shape[0],
@@ -1096,7 +1124,7 @@ def sample3_multi_padded(fields_padded, px, py, pz, h, offs, *, Rr=2,
     BY = _by(Rr)
     gx = px / h - off0[0] + P
     gy = py / h - off0[1] + P
-    gz = pz / h - off0[2] + 128
+    gz = pz / h - off0[2] + FRONT_Z
     pad_to = (
         _ceil(out_shape[0], BX) - out_shape[0],
         _ceil(out_shape[1], BY) - out_shape[1],
@@ -1140,7 +1168,7 @@ def _prefilter_origin(i, j, k, fs, P):
     oy_ideal = j * BY + P - 1
     oy = jnp.minimum((oy_ideal // 8) * 8, fs[1] - WY_WIN)
     sy = oy_ideal - oy
-    g0 = 128 + k * 128 - 1
+    g0 = FRONT_Z + k * 128 - 1
     ozw = (g0 // 128) * 128
     # relz as a traced scalar: pltpu.roll rejects static negatives
     return (ox, pl.multiple_of(oy, 8), sy, pl.multiple_of(ozw, 128),
@@ -1394,7 +1422,7 @@ def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
     P = Rr + 2
     gx = px / h - off0[0] + P
     gy = py / h - off0[1] + P
-    gz = pz / h - off0[2] + 128
+    gz = pz / h - off0[2] + FRONT_Z
     pad_to = (
         _ceil(out_shape[0], BX) - out_shape[0],
         _ceil(out_shape[1], _by(Rr)) - out_shape[1],
@@ -1418,7 +1446,7 @@ def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
     clamp = (
         float(lo - off0[0] + P), float(ni - hi - off0[0] + P),
         float(lo - off0[1] + P), float(nj - hi - off0[1] + P),
-        float(lo - off0[2] + 128), float(nk - hi - off0[2] + 128),
+        float(lo - off0[2] + FRONT_Z), float(nk - hi - off0[2] + FRONT_Z),
     )
 
     total = jnp.abs(dt)
@@ -1444,7 +1472,7 @@ def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
     return (
         (g[0][sl] - P + off0[0]) * h,
         (g[1][sl] - P + off0[1]) * h,
-        (g[2][sl] - 128 + off0[2]) * h,
+        (g[2][sl] - FRONT_Z + off0[2]) * h,
     )
 
 
@@ -1550,7 +1578,7 @@ def _kernel_pullback(origin_ref, maps_hbm, fields_hbm, out_ref, win_m,
         # field coords: g = p - off + pad, off = -0.5*dim (3D convention)
         lx = px + (0.5 * d[0] + P) - ox.astype(jnp.float32)
         ly = py + (0.5 * d[1] + P) - (oy + syf).astype(jnp.float32)
-        lz = pz + (0.5 * d[2] + 128) - g0.astype(jnp.float32)
+        lz = pz + (0.5 * d[2] + FRONT_Z) - g0.astype(jnp.float32)
         xlo_t, nxt = _live_taps(lx - a, W)
         del xlo_t, nxt  # x stays the static W loop
         ylo, nyt = _live_taps(ly - b_, W)
@@ -1637,7 +1665,7 @@ def _prepass_positions_grid(maps_grid, d, grid_n, clamp, P, out_shape):
             if d[axis]:
                 m = stag_axis(m, axis)
         m = jnp.clip(m, clo, bounds[ch] - chi)
-        base = (0.5 * d[ch] + (128 if ch == 2 else P))
+        base = (0.5 * d[ch] + (FRONT_Z if ch == 2 else P))
         g = m + base
         # pad to the common block-multiple lattice in displacement space
         pw = [(0, out_shape[i] - g.shape[i]) for i in range(3)]
@@ -1720,7 +1748,7 @@ def _dmc_origin(i, j, k, fs, P, Rr, bz=128):
     oy_ideal = j * BY + P - (Rr + 1)
     oy = jnp.minimum((oy_ideal // 8) * 8, fs[1] - WY_WIN)
     sy = oy_ideal - oy
-    g0 = 128 + k * bz - (Rr + 1)
+    g0 = FRONT_Z + k * bz - (Rr + 1)
     ozw = (g0 // 128) * 128
     return ox, pl.multiple_of(oy, 8), sy, pl.multiple_of(ozw, 128), g0 - ozw
 
@@ -1768,8 +1796,11 @@ def _kernel_dmc(sh_ref, mac_hbm, maps_hbm, out_ref, win_v, win_m, sem,
     h = sh_ref[0, 1]    # cell size (the reference's 1e-4 |a| threshold)
     _, _, sy_v, _, relz = _dmc_origin(bi, bj, bk, fs_v, P, Rr, block[2])
     _, _, sy_m, _, _ = _dmc_origin(bi, bj, bk, fs_m, P, Rr, block[2])
-    wv = _rebased_window(win_v.at[slot], sy_v, relz, 2)
-    wm = _rebased_window(win_m.at[slot], sy_m, relz, 2)
+    # 256-lane blocks need >= 262 rebased lanes: zero-extend the 3-tile
+    # window to the pow2 512 in VMEM (out_z) — HBM DMA stays at 384
+    oz = 512 if block[2] == 256 else None
+    wv = _rebased_window(win_v.at[slot], sy_v, relz, 2, out_z=oz)
+    wm = _rebased_window(win_m.at[slot], sy_m, relz, 2, out_z=oz)
 
     B1, B2, B3 = block
     R1 = Rr + 1  # window index of node (a,b,c) is (a+R1, b+R1, c+R1)
@@ -1860,7 +1891,10 @@ def _dmc_padded(mac_packed, maps_packed, sh, h, *, Rr, interpret, out_shape,
     fs_v = mac_packed.shape[1:]
     fs_m = maps_packed.shape[1:]
     Wx = BX + 2 * Rr + 2
-    win_shape = (3, Wx, WY_WIN, _wz_win(bz))
+    # static origins: the in-window z offset is fixed at FRONT_Z-(Rr+1),
+    # so 256-lane blocks fit a 3-tile (384) window — 25% less window DMA
+    # in this DMA-bound kernel than the dynamic-origin 512 extent
+    win_shape = (3, Wx, WY_WIN, _wz_win(bz, static=True))
     kernel = functools.partial(
         _kernel_dmc, Rr=Rr, block=block, win_shape=win_shape,
         fs_v=fs_v, fs_m=fs_m, P=P, grid_n=grid_n,
