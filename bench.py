@@ -131,6 +131,36 @@ def main():
               f"{per*1e9/n**3:.0f} ns/cell/step", file=sys.stderr)
         return
 
+    # The axon TPU tunnel can hang device init FOREVER when its loopback
+    # relay dies (observed mid-round): probe backend init in a subprocess
+    # with a hard timeout, and fall back to a small, honestly-labeled CPU
+    # run rather than eating the driver's whole bench budget on a hang.
+    fallback = os.environ.get("GFS_BENCH_FALLBACK")
+    if fallback is None and os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        import subprocess
+
+        probe_ok = False
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, timeout=300, text=True)
+            probe_ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            pass
+        if not probe_ok:
+            env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
+                       GFS_BENCH_FALLBACK="accelerator-unreachable",
+                       BENCH_N=str(min(args.n, 32)), BENCH_STEPS="2")
+            print("bench: accelerator init hung/failed; CPU fallback",
+                  file=sys.stderr)
+            os.execve(sys.executable,
+                      [sys.executable, os.path.abspath(__file__)], env)
+
+    if fallback:
+        args.n = min(args.n, 32)
+        args.steps = min(args.steps, 2)
+
     # enable the persistent compilation cache so repeat runs skip the
     # multi-minute first compile
     import jax
@@ -164,6 +194,8 @@ def main():
         # (counter carried in the state; 0 = every sample within reach)
         "interp_overflow": overflow,
     }
+    if fallback:
+        result["fallback"] = fallback  # NOT a TPU number; tunnel was down
     if not args.skip_poisson:
         pms, piters, pres = measure_poisson(n)
         result["poisson_ms_to_1e-4"] = round(pms, 2)
