@@ -155,7 +155,8 @@ def main():
             print("bench: accelerator init hung/failed; CPU fallback",
                   file=sys.stderr)
             os.execve(sys.executable,
-                      [sys.executable, os.path.abspath(__file__)], env)
+                      [sys.executable, os.path.abspath(__file__)]
+                      + sys.argv[1:], env)
 
     if fallback:
         args.n = min(args.n, 32)

@@ -169,19 +169,6 @@ def _map_sample_3d(grid, maps, px, py, pz, clamp_lo, clamp_hi):
     )
 
 
-def _shift_clamped(f, d, axis):
-    """f shifted so result[i] = f[clamp(i+d)] along axis (boundedAt)."""
-    pad = [(0, 0)] * f.ndim
-    sl = [slice(None)] * f.ndim
-    if d > 0:
-        pad[axis] = (0, d)
-        sl[axis] = slice(d, None)
-    else:
-        pad[axis] = (-d, 0)
-        sl[axis] = slice(0, d)
-    return jnp.pad(f, pad, mode="edge")[tuple(sl)]
-
-
 def map_at_lattice_3d(grid, maps, kind, clamp_lo, clamp_hi):
     """Map values at `kind`'s node lattice — NO window kernel needed.
 

@@ -128,6 +128,38 @@ def sample3(field, px, py, pz, h, off):
     return (1 - fz) * c0 + fz * c1
 
 
+def sample3_separable(field, dx, dy, dz, h):
+    """Trilinear lookup of a voxel grid at a uniformly shifted lattice:
+    the world offsets dx/dy/dz each vary only along their own axis (SDF
+    boundary/emitter lookups, where every node of a regular lattice is
+    shifted by one -pos). Exact clamped (boundedAt) semantics of sample3
+    via axis-separable clipped `take`s — O(axis) index work instead of a
+    3D gather (seconds at 256^3 on TPU), and none of the windowed
+    kernel's bounded-displacement contract, which a whole-domain-offset
+    lookup violates by construction (the fast path would return 0 for
+    nodes far outside the voxel grid, misclassifying them as inside)."""
+    xs = dx[:, 0, 0] / h
+    ys = dy[0, :, 0] / h
+    zs = dz[0, 0, :] / h
+    out = field
+
+    def lerp_axis(arr, g, axis, n):
+        i0 = jnp.floor(g)
+        f = (g - i0).astype(arr.dtype)
+        i0 = i0.astype(jnp.int32)
+        a0 = jnp.take(arr, jnp.clip(i0, 0, n - 1), axis=axis)
+        a1 = jnp.take(arr, jnp.clip(i0 + 1, 0, n - 1), axis=axis)
+        shape = [1, 1, 1]
+        shape[axis] = f.shape[0]
+        f = f.reshape(shape)
+        return a0 * (1 - f) + a1 * f
+
+    out = lerp_axis(out, xs, 0, field.shape[0])
+    out = lerp_axis(out, ys, 1, field.shape[1])
+    out = lerp_axis(out, zs, 2, field.shape[2])
+    return out
+
+
 def sample3_lattice(field, px, py, pz, h, off, values=False):
     """Trilinear sampling for full-lattice position arrays: routes to the
     gather-free windowed kernel (ops/interp_fast.py) on TPU, the exact

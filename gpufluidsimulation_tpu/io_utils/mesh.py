@@ -135,6 +135,7 @@ def mesh_to_sdf(verts, faces, shape, h, origin=(0.0, 0.0, 0.0),
 
     # sign by +z ray parity per (x, y) column
     inside = np.zeros((nx, ny, nz), bool)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
     for m in range(tri.shape[0]):
         a, b, c = tri[m]
         # 2D (x, y) point-in-triangle test for every column node
@@ -144,7 +145,6 @@ def mesh_to_sdf(verts, faces, shape, h, origin=(0.0, 0.0, 0.0),
         det = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
         if abs(det) < 1e-30:
             continue
-        X, Y = np.meshgrid(xs, ys, indexing="ij")
         l0 = ((y1 - y2) * (X - x2) + (x2 - x1) * (Y - y2)) / det
         l1 = ((y2 - y0) * (X - x2) + (x0 - x2) * (Y - y2)) / det
         l2 = 1.0 - l0 - l1

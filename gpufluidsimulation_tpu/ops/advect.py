@@ -279,19 +279,6 @@ def _dmc_newpos(pos, vel, a, substep):
     return jnp.where(jnp.abs(a) > 1e-4, exp_step, euler_step)
 
 
-def _shift_edge(f, d, axis):
-    """f shifted so result[i] = f[clamp(i+d)] along axis."""
-    pad = [(0, 0)] * f.ndim
-    sl = [slice(None)] * f.ndim
-    if d > 0:
-        pad[axis] = (0, d)
-        sl[axis] = slice(d, None)
-    else:
-        pad[axis] = (-d, 0)
-        sl[axis] = slice(0, d)
-    return jnp.pad(f, pad, mode="edge")[tuple(sl)]
-
-
 def dmc_displacements_3d(grid, u, v, w, substep):
     """Signed DMC exponential-step displacements (grid cells) at the cell
     lattice for one substep — the exact math of the fused DMC kernel

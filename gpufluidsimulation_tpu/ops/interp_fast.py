@@ -772,6 +772,32 @@ def pad_fields(field_like, out_shape, Rr, dtype=None):
     return jnp.pad(field_like, padw, mode="edge")
 
 
+def _pad_positions_rim(gx, gy, gz, P, BY):
+    """Pad padded-coord positions out to the (BX, BY, 128) block lattice in
+    DISPLACEMENT space: rim elements replicate the edge displacement, so
+    rim-block statistics stay representative of the real cells. (The node
+    base constant subtracted/re-added cancels algebraically, so any
+    consistent base is correct.)"""
+    out_shape = gx.shape
+    pad_to = (
+        _ceil(out_shape[0], BX) - out_shape[0],
+        _ceil(out_shape[1], BY) - out_shape[1],
+        _ceil(out_shape[2], 128) - out_shape[2],
+    )
+    if not any(pad_to):
+        return gx, gy, gz
+    pw = [(0, p) for p in pad_to]
+
+    def node_like(x, axis, p):
+        return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
+
+    dx = jnp.pad(gx - node_like(gx, 0, P), pw, mode="edge")
+    dy = jnp.pad(gy - node_like(gy, 1, P), pw, mode="edge")
+    dz = jnp.pad(gz - node_like(gz, 2, FRONT_Z), pw, mode="edge")
+    return (node_like(dx, 0, P) + dx, node_like(dy, 1, P) + dy,
+            node_like(dz, 2, FRONT_Z) + dz)
+
+
 def _pad_field_positions(field_like, px, py, pz, h, off, Rr, dtype=None):
     """Shared host-side prep: edge-pad the field (leading C axis optional)
     to the window-safe extent and rebase positions into padded coords."""
@@ -783,26 +809,7 @@ def _pad_field_positions(field_like, px, py, pz, h, off, Rr, dtype=None):
     gx = px / h - off[0] + P
     gy = py / h - off[1] + P
     gz = pz / h - off[2] + FRONT_Z
-
-    pad_to = (
-        _ceil(out_shape[0], BX) - out_shape[0],
-        _ceil(out_shape[1], BY) - out_shape[1],
-        _ceil(out_shape[2], 128) - out_shape[2],
-    )
-    if any(pad_to):
-        pw = [(0, p) for p in pad_to]
-
-        def node_like(x, axis, p):
-            return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
-
-        # pad to block multiples in DISPLACEMENT space so rim-block
-        # statistics stay representative of the real cells
-        dx = jnp.pad(gx - node_like(gx, 0, P), pw, mode="edge")
-        dy = jnp.pad(gy - node_like(gy, 1, P), pw, mode="edge")
-        dz = jnp.pad(gz - node_like(gz, 2, 128), pw, mode="edge")
-        gx = node_like(dx, 0, P) + dx
-        gy = node_like(dy, 1, P) + dy
-        gz = node_like(dz, 2, 128) + dz
+    gx, gy, gz = _pad_positions_rim(gx, gy, gz, P, BY)
     return fpad, gx, gy, gz, P
 
 
@@ -1125,23 +1132,7 @@ def sample3_multi_padded(fields_padded, px, py, pz, h, offs, *, Rr=2,
     gx = px / h - off0[0] + P
     gy = py / h - off0[1] + P
     gz = pz / h - off0[2] + FRONT_Z
-    pad_to = (
-        _ceil(out_shape[0], BX) - out_shape[0],
-        _ceil(out_shape[1], BY) - out_shape[1],
-        _ceil(out_shape[2], 128) - out_shape[2],
-    )
-    if any(pad_to):
-        pw = [(0, p) for p in pad_to]
-
-        def node_like(x, axis, p):
-            return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
-
-        dx = jnp.pad(gx - node_like(gx, 0, P), pw, mode="edge")
-        dy = jnp.pad(gy - node_like(gy, 1, P), pw, mode="edge")
-        dz = jnp.pad(gz - node_like(gz, 2, 128), pw, mode="edge")
-        gx = node_like(dx, 0, P) + dx
-        gy = node_like(dy, 1, P) + dy
-        gz = node_like(dz, 2, 128) + dz
+    gx, gy, gz = _pad_positions_rim(gx, gy, gz, P, BY)
     return _sample3_padded_multi(
         fields_padded, gx, gy, gz,
         Rr=Rr, P=P, interpret=interpret, out_shape=out_shape, deltas=deltas,
@@ -1423,23 +1414,7 @@ def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
     gx = px / h - off0[0] + P
     gy = py / h - off0[1] + P
     gz = pz / h - off0[2] + FRONT_Z
-    pad_to = (
-        _ceil(out_shape[0], BX) - out_shape[0],
-        _ceil(out_shape[1], _by(Rr)) - out_shape[1],
-        _ceil(out_shape[2], 128) - out_shape[2],
-    )
-    if any(pad_to):
-        pw = [(0, p) for p in pad_to]
-
-        def node_like(x, axis, p):
-            return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
-
-        dx = jnp.pad(gx - node_like(gx, 0, P), pw, mode="edge")
-        dy = jnp.pad(gy - node_like(gy, 1, P), pw, mode="edge")
-        dz = jnp.pad(gz - node_like(gz, 2, 128), pw, mode="edge")
-        gx = node_like(dx, 0, P) + dx
-        gy = node_like(dy, 1, P) + dy
-        gz = node_like(dz, 2, 128) + dz
+    gx, gy, gz = _pad_positions_rim(gx, gy, gz, P, _by(Rr))
 
     # world clamp [lo*h, L-hi*h] per axis in padded channel-0 coords
     ni, nj, nk = grid_n

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpufluidsimulation_tpu.bimocq import mapping as mp
+from gpufluidsimulation_tpu.core import interp
 from gpufluidsimulation_tpu.core.grids import Grid3D
 from gpufluidsimulation_tpu.ops import advect, forces, poisson
 from gpufluidsimulation_tpu.solvers.schemes import Scheme
@@ -105,8 +106,9 @@ class Boundary3D:
             from gpufluidsimulation_tpu.core import interp
 
             grid_vals = jnp.asarray(self.sdf_grid, jnp.float32)
-            return interp.sample3_lattice(grid_vals, dx, dy, dz, h,
-                                          (0.0, 0.0, 0.0))
+            # uniformly shifted lattice: separable exact lookup (the
+            # windowed fast path would misclassify far-outside nodes)
+            return interp.sample3_separable(grid_vals, dx, dy, dz, h)
         if self.kind == "sphere":
             return jnp.sqrt(dx * dx + dy * dy + dz * dz) - self.radius
         ax = jnp.abs(dx) - self.half_extents[0]
@@ -359,8 +361,8 @@ def _emit_voxel(em: Emitter3D, g: Grid3D, u, v, w, rho, T, frame, dt):
 
     def inside_at(kind):
         x, y, z = g.node_coords(kind)
-        sd = _interp.sample3_lattice(
-            grid_vals, x - pos[0], y - pos[1], z - pos[2], g.h, (0, 0, 0))
+        sd = _interp.sample3_separable(
+            grid_vals, x - pos[0], y - pos[1], z - pos[2], g.h)
         return (sd <= 0.0), (x, y, z)
 
     def evel(coords):
@@ -464,23 +466,30 @@ def _forces_and_project(cfg, g, ctx, u, v, w, rho, T, frame, dt):
     return u, v, w, rho, T
 
 
-def _semilag_vel(g, u, v, w, au, av, aw, cfldt, dt):
-    """Advect the (au,av,aw) staggered triplet by tracing in (u,v,w).
+def _vel_pack(g, u, v, w):
+    """One padded MAC pack keyed to the (ni+1, nj+1, nk+1) union lattice —
+    covers every kind's trace (block geometry comes from the position
+    arrays, the pack only needs covering extent), so the semilag family
+    materializes ONE padded triplet per step instead of one per kind."""
+    return interp.mac_pack_3d(u, v, w, (g.ni + 1, g.nj + 1, g.nk + 1))
 
-    The trace velocity is packed once and shared by all three components'
-    substepped traces (each kind's lattice shape differs, but the pack is
-    keyed to the largest out-lattice, which covers all)."""
-    nu = advect.semilag_3d(g, "u", au, u, v, w, cfldt, dt)
-    nv = advect.semilag_3d(g, "v", av, u, v, w, cfldt, dt)
-    nw = advect.semilag_3d(g, "w", aw, u, v, w, cfldt, dt)
+
+def _semilag_vel(g, u, v, w, au, av, aw, cfldt, dt, packed=None):
+    """Advect the (au,av,aw) staggered triplet by tracing in (u,v,w)."""
+    if packed is None:
+        packed = _vel_pack(g, u, v, w)
+    nu = advect.semilag_3d(g, "u", au, u, v, w, cfldt, dt, packed)
+    nv = advect.semilag_3d(g, "v", av, u, v, w, cfldt, dt, packed)
+    nw = advect.semilag_3d(g, "w", aw, u, v, w, cfldt, dt, packed)
     return nu, nv, nw
 
 
 def _maccormack_vel(g, u, v, w, au, av, aw, cfldt, dt):
     """MacCormack of the staggered triplet (fields == tracing velocity is the
     common case; reflection's second half advects the reflected field)."""
-    fu, fv, fw = _semilag_vel(g, u, v, w, au, av, aw, cfldt, -dt)
-    bu, bv, bw = _semilag_vel(g, u, v, w, fu, fv, fw, cfldt, dt)
+    packed = _vel_pack(g, u, v, w)
+    fu, fv, fw = _semilag_vel(g, u, v, w, au, av, aw, cfldt, -dt, packed)
+    bu, bv, bw = _semilag_vel(g, u, v, w, fu, fv, fw, cfldt, dt, packed)
     cu = fu + 0.5 * (au - bu)
     cv = fv + 0.5 * (av - bv)
     cw = fw + 0.5 * (aw - bw)
@@ -498,9 +507,10 @@ def _maccormack_vel(g, u, v, w, au, av, aw, cfldt, dt):
 def _step_semilag(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     dt = cfg.dt
     cfldt = g.h / _max_velocity(s.u, s.v, s.w)
-    rho = advect.semilag_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, -dt)
-    T = advect.semilag_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, -dt)
-    u, v, w = _semilag_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, -dt)
+    packed = _vel_pack(g, s.u, s.v, s.w)
+    rho = advect.semilag_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, -dt, packed)
+    T = advect.semilag_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, -dt, packed)
+    u, v, w = _semilag_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, -dt, packed)
     u, v, w, rho, T = _forces_and_project(cfg, g, ctx, u, v, w, rho, T, s.frame, dt)
     bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
     rho = _clear_boundary(bnd, rho)
@@ -609,11 +619,14 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     if cfg.boundaries:
         # semi-Lagrangian fallbacks for the boundary shell
         # (semilagAdvect + blendBoundary, BimocqSolver.cpp:106,122-126)
+        packed = _vel_pack(g, s.u, s.v, s.w)
         sl_u, sl_v, sl_w = _semilag_vel(
-            g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, -dt
+            g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, -dt, packed
         )
-        sl_rho = advect.semilag_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, -dt)
-        sl_T = advect.semilag_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, -dt)
+        sl_rho = advect.semilag_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, -dt,
+                                   packed)
+        sl_T = advect.semilag_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, -dt,
+                                 packed)
 
     # --- velocity pull-back + compensation + two-level blend ---
     # (fused per lattice kind: shared static map positions + one window

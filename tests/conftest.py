@@ -32,6 +32,15 @@ if _xb.backends_are_initialized():
     _xb._clear_backends()
 assert jax.devices()[0].platform == "cpu"
 
+# persistent compile cache: the suite's long pole is re-compiling the full
+# jitted steps every run; repeat runs hit the on-disk cache instead
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

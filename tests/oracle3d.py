@@ -596,3 +596,78 @@ def step_bimocq(cfg, grid, s):
             s["frame"] if scalar_gap else s["scalar_last_reinit"]),
         "p_prev": p_sol,
     }
+
+
+# ---------------------------------------------------------------------------
+# Disk-memoized reference trajectories. The oracle is a pure function of
+# (this file's source, cfg, grid, initial state), so its trajectories are
+# legitimate golden data: the cache key hashes all of them, and any change
+# to the oracle or the scene invalidates the entry (regenerated on the
+# next run). This keeps the acceptance suite from re-integrating the
+# single-threaded NumPy oracle (~300 us/cell/step) on every invocation.
+# ---------------------------------------------------------------------------
+
+
+def _flatten_state(s):
+    flat = {}
+    for k, v in s.items():
+        if isinstance(v, list):
+            for j, a in enumerate(v):
+                flat[f"{k}#{j}"] = np.asarray(a)
+        else:
+            flat[k] = np.asarray(v)
+    return flat
+
+
+def _unflatten_state(flat):
+    s = {}
+    lists = {}
+    for k, v in flat.items():
+        if "#" in k:
+            base, j = k.rsplit("#", 1)
+            lists.setdefault(base, {})[int(j)] = v
+        else:
+            s[k] = v.item() if v.ndim == 0 else v
+    for base, parts in lists.items():
+        s[base] = [parts[j] for j in sorted(parts)]
+    return s
+
+
+def cached_trajectory(cfg, grid, state0, nsteps, name, keep="all"):
+    """step_bimocq applied `nsteps` times from `state0`, memoized on disk.
+
+    keep='all' returns the list of all post-step states; keep='final'
+    returns a one-element list with the final state (100x smaller cache
+    entries for long-horizon tests that only assert the end state)."""
+    import hashlib
+    import os
+
+    m = hashlib.sha256(open(__file__, "rb").read())
+    m.update(repr(sorted((k, repr(v)) for k, v in cfg.items())).encode())
+    m.update(str((grid.ni, grid.nj, grid.nk, grid.h, nsteps, keep)).encode())
+    for k in sorted(_flatten_state(state0)):
+        m.update(k.encode())
+    for k, v in sorted(_flatten_state(state0).items()):
+        m.update(np.ascontiguousarray(v).tobytes())
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "_oracle_cache", f"{name}-{m.hexdigest()[:16]}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        idxs = sorted({int(k.split("|", 1)[0]) for k in z.files})
+        return [
+            _unflatten_state({k.split("|", 1)[1]: z[k] for k in z.files
+                              if int(k.split("|", 1)[0]) == i})
+            for i in idxs
+        ]
+    states = []
+    s = state0
+    for i in range(nsteps):
+        s = step_bimocq(cfg, grid, s)
+        if keep == "all" or i == nsteps - 1:
+            states.append(s)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, **{
+        f"{i}|{k}": v for i, st in enumerate(states)
+        for k, v in _flatten_state(st).items()
+    })
+    return states

@@ -81,9 +81,10 @@ def test_bimocq_matches_oracle_strict():
         # edge (measured growth ~4x/step); semantics bugs overshoot these
         # by orders of magnitude
         rho_tol = [1e-6, 5e-4, 1e-3, 2e-3, 4e-3, 8e-3]
+        ostates = oc.cached_trajectory(ocfg, og, ostate, 6, "strict32")
         for step in range(6):
             state = solver.step(state)
-            ostate = oc.step_bimocq(ocfg, og, ostate)
+            ostate = ostates[step]
             # the maps are smooth — they must agree essentially exactly
             assert _linf(state.vel_map.bwd[0], ostate["vel_bwd"][0]) < 1e-5
             assert _linf(state.vel_map.bwd_prev[1], ostate["vel_bwd_prev"][1]) < 1e-5
@@ -166,9 +167,10 @@ def test_bimocq_smooth_100steps():
         ostate["rho_init"] = rho.copy()
         ostate["u_init"], ostate["v_init"], ostate["w_init"] = (
             u.copy(), v.copy(), w.copy())
+        ostate = oc.cached_trajectory(
+            ocfg, og, ostate, 100, "smooth100", keep="final")[-1]
         for _ in range(100):
             state = solver.step(state)
-            ostate = oc.step_bimocq(ocfg, og, ostate)
         err = _linf(state.rho, ostate["rho"])
         assert err <= 1e-3, f"density L-inf after 100 steps: {err}"
         err_u = _linf(state.u, ostate["u"])

@@ -88,3 +88,25 @@ def test_sample3_cubic_reproduces_cubics(rng):
     want = (0.02 * pts[0]**3 - 0.05 * pts[1]**2 * pts[0] + 0.3 * pts[2]
             + 0.1 * pts[1] - 0.01 * pts[2]**3)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_sample3_separable_matches_exact_far_outside(rng):
+    """Voxel-SDF lookup geometry: a small grid sampled on a uniformly
+    shifted large lattice, most nodes far outside the grid. The separable
+    lookup must match exact clamped sample3 everywhere — the windowed fast
+    path would return 0.0 for far-outside nodes, misclassifying them as
+    inside (sd <= 0) when used for SDF boundary/emitter flags."""
+    gvals = jnp.asarray(rng.normal(size=(10, 12, 9)).astype(np.float32) + 2.0)
+    h = 0.01
+    n = (24, 20, 28)
+    pos = (0.083, -0.021, 0.147)  # shifts the lattice well past the grid
+    xs = ((np.arange(n[0]) + 0.5) * h - pos[0]).astype(np.float32)
+    ys = ((np.arange(n[1]) + 0.5) * h - pos[1]).astype(np.float32)
+    zs = ((np.arange(n[2]) + 0.5) * h - pos[2]).astype(np.float32)
+    dx = jnp.asarray(np.broadcast_to(xs[:, None, None], n))
+    dy = jnp.asarray(np.broadcast_to(ys[None, :, None], n))
+    dz = jnp.asarray(np.broadcast_to(zs[None, None, :], n))
+    got = np.asarray(interp.sample3_separable(gvals, dx, dy, dz, h))
+    want = np.asarray(interp.sample3(gvals, dx, dy, dz, h, (0.0, 0.0, 0.0)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    assert got.min() > 0.0  # far-outside nodes clamp to (positive) edge SDF
