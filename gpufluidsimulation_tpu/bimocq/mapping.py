@@ -83,13 +83,22 @@ def reinitialize(mapping: MappingState, grid) -> MappingState:
     )
 
 
-def update_mapping_3d(mapping: MappingState, grid, u, v, w, cfldt, dt) -> MappingState:
-    """Backward (DMC substepped) then forward march (Mapping.cpp:347-373)."""
+def update_mapping_3d(mapping: MappingState, grid, u, v, w, cfldt, dt,
+                      from_identity=False) -> MappingState:
+    """Backward (DMC substepped) then forward march (Mapping.cpp:347-373).
+
+    The MAC pack (the padded velocity triplet both marches sample) is
+    materialized ONCE and shared. `from_identity=True` (per-frame-reinit
+    mode only: both maps are statically identity at step entry) runs the
+    backward march's first substep gather-free."""
+    packed = interp.mac_pack_3d(u, v, w, grid.shape_c)
     bx, by, bz = advect.update_backward_map_3d(
-        grid, u, v, w, (mapping.bwd[0], mapping.bwd[1], mapping.bwd[2]), cfldt, dt
+        grid, u, v, w, (mapping.bwd[0], mapping.bwd[1], mapping.bwd[2]),
+        cfldt, dt, packed, from_identity=from_identity,
     )
     fx, fy, fz = advect.update_forward_map_3d(
-        grid, u, v, w, (mapping.fwd[0], mapping.fwd[1], mapping.fwd[2]), cfldt, dt
+        grid, u, v, w, (mapping.fwd[0], mapping.fwd[1], mapping.fwd[2]),
+        cfldt, dt, packed,
     )
     return mapping.replace(bwd=jnp.stack([bx, by, bz]), fwd=jnp.stack([fx, fy, fz]))
 

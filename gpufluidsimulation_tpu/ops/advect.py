@@ -422,20 +422,50 @@ def dmc_backward_step_2d(grid, u, v, map_x, map_y, substep):
     return out_x, out_y
 
 
-def update_backward_map_3d(grid, u, v, w, map_xyz, cfldt, dt):
+def dmc_backward_identity_3d(grid, u, v, w, substep):
+    """One DMC substep applied to the IDENTITY backward map, in pure XLA.
+
+    sample(identity, newpos) is just newpos with boundedAt clamping to the
+    cell-center range (linear interpolation of a linear ramp; edge
+    replication clamps to the first/last center), so the map-window gather
+    of the fused DMC kernel collapses to a clip — no map pad, no window
+    DMA, no launch. Used to peel the first substep of the per-frame-reinit
+    ('always') mode, where the backward map is statically identity at step
+    entry (BimocqGPUSolver.cpp:218-229 resets both maps every frame)."""
+    h = grid.h
+    du, dv, dw = dmc_displacements_3d(grid, u, v, w, substep)  # grid cells
+    px, py, pz = grid.node_coords("c")
+    nx_ = jnp.clip(px - du * h, 0.5 * h, (grid.ni - 0.5) * h)
+    ny_ = jnp.clip(py - dv * h, 0.5 * h, (grid.nj - 0.5) * h)
+    nz_ = jnp.clip(pz - dw * h, 0.5 * h, (grid.nk - 0.5) * h)
+    mask = grid.interior_mask("c", lo=2, hi=3)
+    return (
+        jnp.where(mask, nx_, px),
+        jnp.where(mask, ny_, py),
+        jnp.where(mask, nz_, pz),
+    )
+
+
+def update_backward_map_3d(grid, u, v, w, map_xyz, cfldt, dt, packed=None,
+                           from_identity=False):
     """CFL-substepped backward-map update (Mapping.cpp:7-24).
 
     Fast path: each substep is ONE fused window kernel
     (interp_fast.dmc_substep_fast) — static window origins, in-VMEM
     center/upwind velocity stencils, exponential step and 3-channel map
-    gather, no per-substep prepass or intermediate HBM passes."""
+    gather, no per-substep prepass or intermediate HBM passes. Pass
+    `packed` (interp.mac_pack_3d onto a lattice covering shape_c) to share
+    the MAC pack with the forward-map trace. `from_identity=True` asserts
+    the incoming map is the identity (per-frame-reinit mode): the first
+    substep then runs gather-free (dmc_backward_identity_3d)."""
     from gpufluidsimulation_tpu import config as _cfg
 
     if _cfg.use_fast_interp() and _cfg.interp_rr() <= 2:
         from gpufluidsimulation_tpu.ops import interp_fast
 
         grid_n = (grid.ni, grid.nj, grid.nk)
-        mac_packed = interp.mac_pack_3d(u, v, w, grid.shape_c)
+        mac_packed = (packed if packed is not None
+                      else interp.mac_pack_3d(u, v, w, grid.shape_c))
 
         def cond(carry):
             return carry[0] < dt
@@ -449,9 +479,13 @@ def update_backward_map_3d(grid, u, v, w, map_xyz, cfldt, dt):
             )
             return (t + sub, m2)
 
-        _, out = lax.while_loop(
-            cond, body, (jnp.float32(0.0), jnp.stack(list(map_xyz)))
-        )
+        if from_identity:
+            sub0 = jnp.minimum(cfldt, dt)
+            m0 = dmc_backward_identity_3d(grid, u, v, w, sub0)
+            carry0 = (sub0, jnp.stack(list(m0)))
+        else:
+            carry0 = (jnp.float32(0.0), jnp.stack(list(map_xyz)))
+        _, out = lax.while_loop(cond, body, carry0)
         return out[0], out[1], out[2]
 
     def cond(carry):
@@ -481,10 +515,10 @@ def update_backward_map_2d(grid, u, v, map_xy, cfldt, dt):
     return out
 
 
-def update_forward_map_3d(grid, u, v, w, map_xyz, cfldt, dt):
+def update_forward_map_3d(grid, u, v, w, map_xyz, cfldt, dt, packed=None):
     """Forward-map march: X <- trace(X, +dt) (forward_kernel, GPU_kernel.cu:127-144)."""
     mx, my, mz = map_xyz
-    ox, oy, oz = trace_3d(u, v, w, grid.h, cfldt, dt, mx, my, mz)
+    ox, oy, oz = trace_3d(u, v, w, grid.h, cfldt, dt, mx, my, mz, packed)
     mask = grid.interior_mask("c", lo=2, hi=3)
     return (
         jnp.where(mask, ox, mx),

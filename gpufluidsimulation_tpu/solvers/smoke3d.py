@@ -589,7 +589,13 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
 
     bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
 
-    vel_map = mp.update_mapping_3d(s.vel_map, g, s.u, s.v, s.w, cfldt, dt)
+    vel_map = mp.update_mapping_3d(
+        s.vel_map, g, s.u, s.v, s.w, cfldt, dt,
+        # 'always' reinitializes both maps to identity at the END of every
+        # step, so at entry they are statically identity: the backward
+        # march's first substep runs gather-free
+        from_identity=(cfg.reinit_mode == "always"),
+    )
     if cfg.reinit_mode == "always":
         # both maps are reset to identity every frame and marched with the
         # same velocity -> they are bitwise identical; march once. (The

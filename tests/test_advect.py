@@ -124,3 +124,49 @@ def test_dmc_backward_map_uniform_velocity():
     np.testing.assert_allclose(got, -0.03, atol=2e-3)
     # y/z map unchanged
     np.testing.assert_allclose(np.asarray(maps[1]), np.asarray(y), atol=1e-5)
+
+
+def test_dmc_identity_substep_matches_generic():
+    """dmc_backward_identity_3d (the gather-free peel of the first DMC
+    substep in per-frame-reinit mode) == dmc_backward_step_3d applied to
+    the identity map: sampling the identity with boundedAt clamping is
+    exactly a clip to the cell-center range."""
+    grid = Grid3D(16, 16, 16, 1.0 / 16)
+    i = np.arange(17)[:, None, None]
+    j = np.arange(17)[None, :, None]
+    k = np.arange(17)[None, None, :]
+    u = jnp.asarray(np.broadcast_to(
+        np.sin(2 * np.pi * j[:, :16] / 16) * np.cos(2 * np.pi * k[..., :16] / 16),
+        (17, 16, 16)).astype(np.float32))
+    v = jnp.asarray(np.broadcast_to(
+        np.cos(2 * np.pi * i[:16] / 16) * np.sin(2 * np.pi * k[..., :16] / 16),
+        (16, 17, 16)).astype(np.float32))
+    w = jnp.asarray(np.broadcast_to(
+        np.sin(2 * np.pi * i[:16] / 16) * np.cos(2 * np.pi * j[:, :16] / 16),
+        (16, 16, 17)).astype(np.float32))
+    x, y, z = grid.node_coords("c")
+    sub = 0.04  # ~0.64 cells at max|v|~1
+    want = advect.dmc_backward_step_3d(grid, u, v, w, x, y, z, sub)
+    got = advect.dmc_backward_identity_3d(grid, u, v, w, sub)
+    for g_, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(w_),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_update_backward_from_identity_matches_unpeeled():
+    """update_backward_map_3d(from_identity=True) == the unpeeled march on
+    identity input maps (exact path; the fast-path peel's substep-1 math is
+    pinned by test_dmc_identity_substep_matches_generic +
+    test_dmc_substep_fused_matches_exact)."""
+    grid = Grid3D(12, 12, 12, 1.0 / 12)
+    u = jnp.ones(grid.shape_u) * 0.3
+    v = jnp.ones(grid.shape_v) * -0.2
+    w = jnp.zeros(grid.shape_w)
+    x, y, z = grid.node_coords("c")
+    kw = dict(cfldt=jnp.float32(0.05), dt=jnp.float32(0.12))
+    want = advect.update_backward_map_3d(grid, u, v, w, (x, y, z), **kw)
+    got = advect.update_backward_map_3d(grid, u, v, w, (x, y, z),
+                                        from_identity=True, **kw)
+    for g_, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(w_),
+                                   rtol=1e-5, atol=1e-6)
