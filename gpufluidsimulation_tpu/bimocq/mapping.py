@@ -84,14 +84,18 @@ def reinitialize(mapping: MappingState, grid) -> MappingState:
 
 
 def update_mapping_3d(mapping: MappingState, grid, u, v, w, cfldt, dt,
-                      from_identity=False) -> MappingState:
+                      from_identity=False, packed=None) -> MappingState:
     """Backward (DMC substepped) then forward march (Mapping.cpp:347-373).
 
     The MAC pack (the padded velocity triplet both marches sample) is
-    materialized ONCE and shared. `from_identity=True` (per-frame-reinit
-    mode only: both maps are statically identity at step entry) runs the
-    backward march's first substep gather-free."""
-    packed = interp.mac_pack_3d(u, v, w, grid.shape_c)
+    materialized ONCE and shared; callers updating several maps with the
+    same velocity (vel + scalar advectors) pass their own `packed`
+    (interp.mac_pack_3d onto any lattice covering shape_c) to share it
+    across calls. `from_identity=True` (per-frame-reinit mode only: both
+    maps are statically identity at step entry) runs the backward march's
+    first substep gather-free."""
+    if packed is None:
+        packed = interp.mac_pack_3d(u, v, w, grid.shape_c)
     bx, by, bz = advect.update_backward_map_3d(
         grid, u, v, w, (mapping.bwd[0], mapping.bwd[1], mapping.bwd[2]),
         cfldt, dt, packed, from_identity=from_identity,

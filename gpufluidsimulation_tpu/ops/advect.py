@@ -426,18 +426,20 @@ def dmc_backward_identity_3d(grid, u, v, w, substep):
     """One DMC substep applied to the IDENTITY backward map, in pure XLA.
 
     sample(identity, newpos) is just newpos with boundedAt clamping to the
-    cell-center range (linear interpolation of a linear ramp; edge
-    replication clamps to the first/last center), so the map-window gather
-    of the fused DMC kernel collapses to a clip — no map pad, no window
-    DMA, no launch. Used to peel the first substep of the per-frame-reinit
-    ('always') mode, where the backward map is statically identity at step
-    entry (BimocqGPUSolver.cpp:218-229 resets both maps every frame)."""
+    lattice-value range (linear interpolation of a linear ramp; edge
+    replication clamps to the first/last node's value), so the map-window
+    gather of the fused DMC kernel collapses to a clip — no map pad, no
+    window DMA, no launch. Used to peel the first substep of the
+    per-frame-reinit ('always') mode, where the backward map is statically
+    identity at step entry (BimocqGPUSolver.cpp:218-229 resets both maps
+    every frame). The 3D cell lattice sits at i*h (BimocqSolver.cpp:13-15),
+    so the identity values span [0, (n-1)h] per axis."""
     h = grid.h
     du, dv, dw = dmc_displacements_3d(grid, u, v, w, substep)  # grid cells
     px, py, pz = grid.node_coords("c")
-    nx_ = jnp.clip(px - du * h, 0.5 * h, (grid.ni - 0.5) * h)
-    ny_ = jnp.clip(py - dv * h, 0.5 * h, (grid.nj - 0.5) * h)
-    nz_ = jnp.clip(pz - dw * h, 0.5 * h, (grid.nk - 0.5) * h)
+    nx_ = jnp.clip(px - du * h, 0.0, (grid.ni - 1) * h)
+    ny_ = jnp.clip(py - dv * h, 0.0, (grid.nj - 1) * h)
+    nz_ = jnp.clip(pz - dw * h, 0.0, (grid.nk - 1) * h)
     mask = grid.interior_mask("c", lo=2, hi=3)
     return (
         jnp.where(mask, nx_, px),

@@ -1115,8 +1115,13 @@ def _sample3_padded_multi(fields_padded, gx, gy, gz, *, Rr, P, interpret,
 
 def sample3_multi_padded(fields_padded, px, py, pz, h, offs, *, Rr=2,
                          interpret=False, adaptive=None):
-    """sample3_multi over fields already padded by pad_fields(out_shape=
-    px.shape) — the reuse path for the substepped trace loops."""
+    """sample3_multi over fields already padded by pad_fields — the reuse
+    path for the substepped trace loops. The pack's out_shape key only
+    needs to COVER px.shape (per axis: ceil-to-block extents >= this
+    call's): block geometry comes from the position arrays; the pack
+    supplies window extent, and _origins clamps windows to the actual fs.
+    One union-extent pack can therefore serve every lattice kind's trace
+    (smoke3d._vel_pack, mapping.update_mapping_3d)."""
     from gpufluidsimulation_tpu import config
 
     if adaptive is None:

@@ -589,12 +589,18 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
 
     bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
 
+    # ONE MAC pack serves every trace of this frame's velocity: both map
+    # marches, and (with boundaries) the semilag fallbacks — keyed to the
+    # union lattice only when the fallbacks need it
+    packed = (_vel_pack(g, s.u, s.v, s.w) if cfg.boundaries
+              else interp.mac_pack_3d(s.u, s.v, s.w, g.shape_c))
     vel_map = mp.update_mapping_3d(
         s.vel_map, g, s.u, s.v, s.w, cfldt, dt,
         # 'always' reinitializes both maps to identity at the END of every
         # step, so at entry they are statically identity: the backward
         # march's first substep runs gather-free
         from_identity=(cfg.reinit_mode == "always"),
+        packed=packed,
     )
     if cfg.reinit_mode == "always":
         # both maps are reset to identity every frame and marched with the
@@ -607,7 +613,8 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
             reinit_count=s.scalar_map.reinit_count,
         )
     else:
-        scalar_map = mp.update_mapping_3d(s.scalar_map, g, s.u, s.v, s.w, cfldt, dt)
+        scalar_map = mp.update_mapping_3d(s.scalar_map, g, s.u, s.v, s.w,
+                                          cfldt, dt, packed=packed)
 
     lvl2 = cfg.blend_coeff != 1.0
     if cfg.overflow_check_every <= 1:
@@ -625,7 +632,6 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     if cfg.boundaries:
         # semi-Lagrangian fallbacks for the boundary shell
         # (semilagAdvect + blendBoundary, BimocqSolver.cpp:106,122-126)
-        packed = _vel_pack(g, s.u, s.v, s.w)
         sl_u, sl_v, sl_w = _semilag_vel(
             g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, -dt, packed
         )

@@ -666,8 +666,12 @@ def cached_trajectory(cfg, grid, state0, nsteps, name, keep="all"):
         if keep == "all" or i == nsteps - 1:
             states.append(s)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    np.savez_compressed(path, **{
+    # atomic publish: an interrupted savez must not leave a truncated .npz
+    # at the final path (it would poison every subsequent run)
+    tmp = path[:-len(".npz")] + f".tmp{os.getpid()}.npz"
+    np.savez_compressed(tmp, **{
         f"{i}|{k}": v for i, st in enumerate(states)
         for k, v in _flatten_state(st).items()
     })
+    os.replace(tmp, path)
     return states

@@ -130,7 +130,10 @@ def test_dmc_identity_substep_matches_generic():
     """dmc_backward_identity_3d (the gather-free peel of the first DMC
     substep in per-frame-reinit mode) == dmc_backward_step_3d applied to
     the identity map: sampling the identity with boundedAt clamping is
-    exactly a clip to the cell-center range."""
+    exactly a clip to the lattice-value range [0, (n-1)h]. The second case
+    drives band nodes PAST the lattice edge (3-cell displacement) so the
+    clip bounds themselves are pinned — a [0.5h, (n-0.5)h] center-range
+    clip would be 0.5h wrong there."""
     grid = Grid3D(16, 16, 16, 1.0 / 16)
     i = np.arange(17)[:, None, None]
     j = np.arange(17)[None, :, None]
@@ -145,28 +148,42 @@ def test_dmc_identity_substep_matches_generic():
         np.sin(2 * np.pi * i[:16] / 16) * np.cos(2 * np.pi * j[:, :16] / 16),
         (16, 16, 17)).astype(np.float32))
     x, y, z = grid.node_coords("c")
-    sub = 0.04  # ~0.64 cells at max|v|~1
-    want = advect.dmc_backward_step_3d(grid, u, v, w, x, y, z, sub)
-    got = advect.dmc_backward_identity_3d(grid, u, v, w, sub)
-    for g_, w_ in zip(got, want):
-        np.testing.assert_allclose(np.asarray(g_), np.asarray(w_),
-                                   rtol=1e-5, atol=1e-6)
+    for uu, vv, ww, sub in [
+        (u, v, w, 0.04),                      # smooth, ~0.64 cells
+        (jnp.ones_like(u), jnp.ones_like(v) * -1.0, jnp.ones_like(w),
+         3.0 / 16),                           # uniform, 3 cells: clips
+    ]:
+        want = advect.dmc_backward_step_3d(grid, uu, vv, ww, x, y, z, sub)
+        got = advect.dmc_backward_identity_3d(grid, uu, vv, ww, sub)
+        for g_, w_ in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g_), np.asarray(w_),
+                                       rtol=1e-5, atol=1e-6)
 
 
 def test_update_backward_from_identity_matches_unpeeled():
     """update_backward_map_3d(from_identity=True) == the unpeeled march on
-    identity input maps (exact path; the fast-path peel's substep-1 math is
-    pinned by test_dmc_identity_substep_matches_generic +
-    test_dmc_substep_fused_matches_exact)."""
-    grid = Grid3D(12, 12, 12, 1.0 / 12)
-    u = jnp.ones(grid.shape_u) * 0.3
-    v = jnp.ones(grid.shape_v) * -0.2
+    identity input maps, on the FAST path (interpret mode) where the peel
+    is actually active — including a velocity strong enough to push band
+    nodes past the lattice edge in substep 1."""
+    from gpufluidsimulation_tpu import config
+
+    grid = Grid3D(16, 16, 128, 1.0 / 16)
+    # 2.24-cell substep-1 displacement (within the Rr+0.5 = 2.5 contract)
+    # pushes band nodes i=2 past the lattice edge: exercises the clip
+    u = jnp.ones(grid.shape_u) * 1.4
+    v = jnp.ones(grid.shape_v) * -1.4
     w = jnp.zeros(grid.shape_w)
     x, y, z = grid.node_coords("c")
-    kw = dict(cfldt=jnp.float32(0.05), dt=jnp.float32(0.12))
-    want = advect.update_backward_map_3d(grid, u, v, w, (x, y, z), **kw)
-    got = advect.update_backward_map_3d(grid, u, v, w, (x, y, z),
-                                        from_identity=True, **kw)
+    kw = dict(cfldt=jnp.float32(0.1), dt=jnp.float32(0.25))
+    config.set_fast_interp(True)
+    config.set_interp_interpret(True)
+    try:
+        want = advect.update_backward_map_3d(grid, u, v, w, (x, y, z), **kw)
+        got = advect.update_backward_map_3d(grid, u, v, w, (x, y, z),
+                                            from_identity=True, **kw)
+    finally:
+        config.set_fast_interp(None)
+        config.set_interp_interpret(False)
     for g_, w_ in zip(got, want):
         np.testing.assert_allclose(np.asarray(g_), np.asarray(w_),
                                    rtol=1e-5, atol=1e-6)

@@ -382,3 +382,24 @@ def test_x_adaptive_taps_bit_identical():
     finally:
         interp_fast.X_NX = old
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_sample3_multi_padded_covering_extent_pack(rng):
+    """A pack keyed to a LARGER (covering) out_shape must sample
+    identically to the exact-extent pack — the contract smoke3d._vel_pack
+    and update_mapping_3d's shared pack rely on (one union pack serves
+    every lattice kind's trace)."""
+    shape = (16, 16, 128)
+    h = 0.1
+    offs = ((0.0, 0.0, 0.0),)
+    field = rng.standard_normal((1,) + shape).astype(np.float32)
+    px, py, pz = _positions(shape, h, offs[0], rng, max_disp_cells=1.5)
+    args = (jnp.asarray(px), jnp.asarray(py), jnp.asarray(pz), h, offs)
+    exact_pack = interp_fast.pad_fields(jnp.asarray(field), shape, 2)
+    union_pack = interp_fast.pad_fields(
+        jnp.asarray(field), (shape[0] + 1, shape[1] + 1, shape[2] + 1), 2)
+    want = np.asarray(interp_fast.sample3_multi_padded(
+        exact_pack, *args, Rr=2, interpret=True))
+    got = np.asarray(interp_fast.sample3_multi_padded(
+        union_pack, *args, Rr=2, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)  # bit-identical
