@@ -484,10 +484,11 @@ def _semilag_vel(g, u, v, w, au, av, aw, cfldt, dt, packed=None):
     return nu, nv, nw
 
 
-def _maccormack_vel(g, u, v, w, au, av, aw, cfldt, dt):
+def _maccormack_vel(g, u, v, w, au, av, aw, cfldt, dt, packed=None):
     """MacCormack of the staggered triplet (fields == tracing velocity is the
     common case; reflection's second half advects the reflected field)."""
-    packed = _vel_pack(g, u, v, w)
+    if packed is None:
+        packed = _vel_pack(g, u, v, w)
     fu, fv, fw = _semilag_vel(g, u, v, w, au, av, aw, cfldt, -dt, packed)
     bu, bv, bw = _semilag_vel(g, u, v, w, fu, fv, fw, cfldt, dt, packed)
     cu = fu + 0.5 * (au - bu)
@@ -525,9 +526,11 @@ def _step_semilag(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
 def _step_maccormack(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     dt = cfg.dt
     cfldt = g.h / _max_velocity(s.u, s.v, s.w)
-    rho = advect.maccormack_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, dt)
-    T = advect.maccormack_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, dt)
-    u, v, w = _maccormack_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, dt)
+    packed = _vel_pack(g, s.u, s.v, s.w)  # one pack for every trace below
+    rho = advect.maccormack_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, dt, packed)
+    T = advect.maccormack_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, dt, packed)
+    u, v, w = _maccormack_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, dt,
+                              packed)
     u, v, w, rho, T = _forces_and_project(cfg, g, ctx, u, v, w, rho, T, s.frame, dt)
     bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
     rho = _clear_boundary(bnd, rho)
@@ -545,11 +548,13 @@ def _step_reflection(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     reflected field another half step, force+project again."""
     dt = cfg.dt
     cfldt = g.h / _max_velocity(s.u, s.v, s.w)
-    rho = advect.maccormack_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, dt)
-    T = advect.maccormack_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, dt)
+    packed = _vel_pack(g, s.u, s.v, s.w)  # shared by every s.u/v/w trace
+    rho = advect.maccormack_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, dt, packed)
+    T = advect.maccormack_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, dt, packed)
 
     # first half-step velocity advection (tracing in the original field)
-    u, v, w = _maccormack_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, 0.5 * dt)
+    u, v, w = _maccormack_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt,
+                              0.5 * dt, packed)
 
     u, v, w, rho, T = _forces_and_project(
         cfg, g, ctx, u, v, w, rho, T, s.frame, 0.5 * dt
