@@ -403,3 +403,40 @@ def test_sample3_multi_padded_covering_extent_pack(rng):
     got = np.asarray(interp_fast.sample3_multi_padded(
         union_pack, *args, Rr=2, interpret=True))
     np.testing.assert_allclose(got, want, rtol=0, atol=0)  # bit-identical
+
+
+def test_sample3_fast_property_random_geometry():
+    """Property test: randomized field/lattice shapes, staggered offsets and
+    contract-respecting smooth displacements — the windowed kernel must
+    match the exact clamped gather on every draw (interpret mode). Guards
+    the origin/rebase/padding index math against geometry edge cases the
+    fixed-shape tests don't reach (x/y/z extents off block multiples,
+    mismatched field-vs-lattice extents, nonzero staggered offsets)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        nx=st.integers(9, 34), ny=st.integers(9, 34),
+        nz=st.sampled_from([96, 128, 130, 160]),
+        dfx=st.integers(0, 1), dfy=st.integers(0, 1), dfz=st.integers(0, 1),
+        offi=st.sampled_from([0.0, -0.5]),
+        seed=st.integers(0, 2**31 - 1),
+        disp=st.floats(0.2, 2.2),
+    )
+    def check(nx, ny, nz, dfx, dfy, dfz, offi, seed, disp):
+        r = np.random.default_rng(seed)
+        shape = (nx, ny, nz)
+        fshape = (nx + dfx, ny + dfy, nz + dfz)
+        h = 0.07
+        off = (offi, 0.0, offi)
+        field = r.standard_normal(fshape).astype(np.float32)
+        px, py, pz = _positions(shape, h, off, r, max_disp_cells=disp)
+        want = np.asarray(interp.sample3(
+            jnp.asarray(field), jnp.asarray(px), jnp.asarray(py),
+            jnp.asarray(pz), h, off))
+        got = np.asarray(interp_fast.sample3_fast(
+            jnp.asarray(field), jnp.asarray(px), jnp.asarray(py),
+            jnp.asarray(pz), h, off, Rr=2, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    check()
