@@ -201,6 +201,33 @@ def main():
         pms, piters, pres = measure_poisson(n)
         result["poisson_ms_to_1e-4"] = round(pms, 2)
         result["poisson_iters"] = piters
+
+    measured_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "MEASURED.json")
+    if fallback:
+        # surface the last REAL accelerator measurement (clearly labeled:
+        # a prior run's number, not this one) so a dead tunnel at bench
+        # time doesn't erase the recorded state of the engine
+        try:
+            with open(measured_path) as f:
+                result["last_accelerator_measured"] = json.load(f)
+        except OSError:
+            pass
+    elif "TPU" in result["device"] or "tpu" in result["device"]:
+        import subprocess
+
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip()
+        except OSError:
+            commit = ""
+        with open(measured_path, "w") as f:
+            json.dump(dict(result, commit=commit,
+                           measured_at=time.strftime("%Y-%m-%d %H:%M UTC",
+                                                     time.gmtime())), f)
     print(json.dumps(result))
 
 
