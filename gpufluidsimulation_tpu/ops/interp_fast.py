@@ -1433,6 +1433,27 @@ def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
     sign = jnp.where(dt >= 0, 1.0, -1.0).astype(jnp.float32)
     cfldt = jnp.maximum(jnp.asarray(cfldt, jnp.float32), 1e-30)
 
+    # Off-block-multiple shapes carry rim cells in the padded positions.
+    # The kernel's world clamp is ABSOLUTE, so rim cells (whose lattice
+    # nodes sit outside the domain) clamp differently from the edge row
+    # they replicate — after one substep their displacement diverges by
+    # the rim overhang, breaking the block displacement contract for the
+    # last real rows. Re-derive the rim from the real edge in
+    # displacement space after every substep (statically skipped at
+    # block-multiple shapes, e.g. 256³, where there is no rim).
+    has_rim = (
+        _ceil(out_shape[0], BX) != out_shape[0]
+        or _ceil(out_shape[1], _by(Rr)) != out_shape[1]
+        or _ceil(out_shape[2], 128) != out_shape[2]
+    )
+    rsl = np.s_[: out_shape[0], : out_shape[1], : out_shape[2]]
+
+    def _rerim(g2):
+        rx, ry, rz = _pad_positions_rim(
+            g2[0][rsl], g2[1][rsl], g2[2][rsl], P, _by(Rr)
+        )
+        return jnp.stack([rx, ry, rz])
+
     def cond(carry):
         return carry[0] < total
 
@@ -1443,6 +1464,8 @@ def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
             packed, g[0], g[1], g[2], (sign * sub / h).astype(jnp.float32),
             Rr=Rr, P=P, interpret=interpret, deltas=deltas, clamp=clamp,
         )
+        if has_rim:
+            g2 = _rerim(g2)
         return (t + sub, g2)
 
     _, g = jax.lax.while_loop(

@@ -440,3 +440,71 @@ def test_sample3_fast_property_random_geometry():
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
     check()
+
+
+def test_trace_rk3_fused_property_random_geometry():
+    """Property test for the fused RK3 trace: randomized x/y extents (off
+    block multiples), velocity phases and substep fractions vs the
+    exact-gather substepped trace. Guards the padded-position carry, the
+    world clamp and the per-substep origin math across geometries."""
+    from hypothesis import given, settings, strategies as st
+
+    from gpufluidsimulation_tpu.core import interp as ci
+    from gpufluidsimulation_tpu.ops import advect
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        nx=st.integers(9, 33), ny=st.integers(9, 33),
+        phase=st.floats(0.0, 6.28),
+        subs=st.floats(0.3, 2.7),
+        sgn=st.sampled_from([-1.0, 1.0]),
+    )
+    def check(nx, ny, phase, subs, sgn):
+        nz, h = 128, 0.1
+        i = np.arange(nx + 1)[:, None, None]
+        j = np.arange(ny + 1)[None, :, None]
+        k = np.arange(nz + 1)[None, None, :]
+        u = np.broadcast_to(
+            np.sin(2 * np.pi * j[:, :ny, :] / ny + phase)
+            * np.cos(2 * np.pi * k[..., :nz] / nz),
+            (nx + 1, ny, nz)).astype(np.float32)
+        v = np.broadcast_to(
+            np.cos(2 * np.pi * i[:nx] / nx + phase)
+            * np.sin(2 * np.pi * k[..., :nz] / nz),
+            (nx, ny + 1, nz)).astype(np.float32)
+        w = np.broadcast_to(
+            np.sin(2 * np.pi * i[:nx] / nx)
+            * np.cos(2 * np.pi * j[:, :ny, :] / ny + phase),
+            (nx, ny, nz + 1)).astype(np.float32)
+        u, v, w = jnp.asarray(u), jnp.asarray(v), jnp.asarray(w)
+        px = jnp.broadcast_to(
+            jnp.asarray((np.arange(nx) + 0.5) * h)[:, None, None],
+            (nx, ny, nz)).astype(jnp.float32)
+        py = jnp.broadcast_to(
+            jnp.asarray((np.arange(ny) + 0.5) * h)[None, :, None],
+            (nx, ny, nz)).astype(jnp.float32)
+        pz = jnp.broadcast_to(
+            jnp.asarray((np.arange(nz) + 0.5) * h)[None, None, :],
+            (nx, ny, nz)).astype(jnp.float32)
+        cfldt = h  # max |v| ~ 1
+        dt = sgn * subs * cfldt
+
+        def step(sdt, p):
+            return advect.trace_rk3_3d(u, v, w, h, sdt, *p, packed=None)
+
+        want = advect._substepped(step, cfldt, dt, (px, py, pz))
+        packed = jnp.stack([
+            jnp.pad(u, ((0, 0), (0, 1), (0, 1)), mode="edge"),
+            jnp.pad(v, ((0, 1), (0, 0), (0, 1)), mode="edge"),
+            jnp.pad(w, ((0, 1), (0, 1), (0, 0)), mode="edge"),
+        ])
+        packed = interp_fast.pad_fields(packed, px.shape, 2)
+        got = interp_fast.trace_rk3_fused(
+            packed, px, py, pz, h, cfldt, dt, ci._MAC_OFFS, (nx, ny, nz),
+            Rr=2, interpret=True,
+        )
+        for g, wnt in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(wnt),
+                                       rtol=1e-4, atol=2e-4 * h)
+
+    check()
