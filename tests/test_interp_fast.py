@@ -508,3 +508,76 @@ def test_trace_rk3_fused_property_random_geometry():
                                        rtol=1e-4, atol=2e-4 * h)
 
     check()
+
+
+def test_bimocq_pullback_property_random_geometry():
+    """Property test for the fused BiMocq pull-back pipeline
+    (mapping.bimocq_advect_3d fast path: prefilter + static map-at-lattice
+    positions + multi-channel window sampling + bands + clamp) against an
+    exact-gather replica of the SAME prefilter math, at randomized
+    off-block-multiple shapes and staggered kinds."""
+    from hypothesis import given, settings, strategies as st
+
+    from gpufluidsimulation_tpu import config
+    from gpufluidsimulation_tpu.bimocq import mapping as mp
+    from gpufluidsimulation_tpu.core.grids import Grid3D
+    from gpufluidsimulation_tpu.ops import advect
+
+    def exact_replica(g, kind, cur, init, bwd, fwd):
+        """bimocq_advect_3d's prefilter branch with exact sample3 gathers."""
+        dim = g.dim_of(kind)
+        off = g.off_of(kind)
+        shape = cur.shape
+        band_adv = mp._band3(shape, (2 + dim[0], 2 + dim[1], 2 + dim[2]),
+                             (3, 3, 3))
+        band_c = mp._band3(shape, (1 + dim[0], 1 + dim[1], 1 + dim[2]),
+                           (2, 2, 2))
+        p1 = mp.map_at_lattice_3d(g, bwd, kind, 1.0, 1.0)
+        a = interp.sample3(mp.volume_prefilter_3d(init), *p1, g.h, off)
+        a = jnp.where(band_adv, a, cur)
+        p3 = mp.map_at_lattice_3d(g, fwd, kind, 0.0, 0.0)
+        e = interp.sample3(mp.volume_prefilter_3d(a), *p3, g.h, off)
+        e = jnp.where(band_c, e - init, 0.0)
+        p4 = mp.map_at_lattice_3d(g, bwd, kind, 0.0, 0.0)
+        c = interp.sample3(mp.volume_prefilter_3d(e), *p4, g.h, off)
+        return advect.clamp_extrema_neighborhood(
+            a, jnp.where(band_c, a - 0.5 * c, a))
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        nx=st.integers(10, 30), ny=st.integers(10, 30),
+        kind=st.sampled_from(["c", "u", "v", "w"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(nx, ny, kind, seed):
+        r = np.random.default_rng(seed)
+        nz, h = 128, 1.0 / 32
+        g = Grid3D(nx, ny, nz, h)
+        shape = {"c": (nx, ny, nz), "u": (nx + 1, ny, nz),
+                 "v": (nx, ny + 1, nz), "w": (nx, ny, nz + 1)}[kind]
+        cur = jnp.asarray(r.standard_normal(shape).astype(np.float32))
+        init = jnp.asarray(r.standard_normal(shape).astype(np.float32))
+        ident = mp.identity_map_3d(g)
+        # smooth sub-cell perturbations of the identity maps (the
+        # distortion-limited regime the contract assumes)
+        x, y, z = g.node_coords("c")
+        L = (nx * h, ny * h, nz * h)
+        pert = lambda s: 0.4 * h * jnp.sin(
+            2 * np.pi * (x / L[0] + s) ) * jnp.cos(2 * np.pi * (z / L[2] - s))
+        bwd = jnp.stack([ident[0] + pert(0.1), ident[1] - pert(0.25),
+                         ident[2] + pert(0.4)])
+        fwd = jnp.stack([ident[0] - pert(0.3), ident[1] + pert(0.15),
+                         ident[2] - pert(0.05)])
+        want = np.asarray(exact_replica(g, kind, cur, init, bwd, fwd))
+        config.set_fast_interp(True)
+        config.set_interp_interpret(True)
+        try:
+            (got,) = mp.bimocq_advect_3d(g, kind, [cur], [init], [cur],
+                                         bwd, None, fwd, None)
+        finally:
+            config.set_fast_interp(None)
+            config.set_interp_interpret(False)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                   atol=2e-4)
+
+    check()
