@@ -581,3 +581,68 @@ def test_bimocq_pullback_property_random_geometry():
                                    atol=2e-4)
 
     check()
+
+
+def test_dmc_substep_property_random_geometry():
+    """Property test for the fused DMC substep at randomized
+    off-block-multiple extents (static window origins + ceil-padded output
+    + rim slicing take a different path than the dynamic-origin samplers)."""
+    from hypothesis import given, settings, strategies as st
+
+    from gpufluidsimulation_tpu.core.grids import Grid3D
+    from gpufluidsimulation_tpu.ops import advect
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        nx=st.integers(10, 34), ny=st.integers(10, 34),
+        phase=st.floats(0.0, 6.28),
+        sub=st.floats(0.02, 0.09),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(nx, ny, phase, sub, seed):
+        r = np.random.default_rng(seed)
+        nz, h = 128, 0.1
+        g = Grid3D(nx, ny, nz, h)
+        i = np.arange(nx + 1)[:, None, None]
+        j = np.arange(ny + 1)[None, :, None]
+        k = np.arange(nz + 1)[None, None, :]
+        u = jnp.asarray(np.broadcast_to(
+            np.sin(2 * np.pi * j[:, :ny, :] / ny + phase)
+            * np.cos(2 * np.pi * k[..., :nz] / nz),
+            (nx + 1, ny, nz)).astype(np.float32))
+        v = jnp.asarray(np.broadcast_to(
+            np.cos(2 * np.pi * i[:nx] / nx + phase)
+            * np.sin(2 * np.pi * k[..., :nz] / nz),
+            (nx, ny + 1, nz)).astype(np.float32))
+        w = jnp.asarray(np.broadcast_to(
+            np.sin(2 * np.pi * i[:nx] / nx + phase)
+            * np.cos(2 * np.pi * j[:, :ny, :] / ny),
+            (nx, ny, nz + 1)).astype(np.float32))
+        px, py, pz = g.node_coords("c")
+        mx = px + 0.3 * h * jnp.sin(px / (nx * h) * 2 * np.pi + phase)
+        my = py + 0.2 * h * jnp.cos(py / (ny * h) * 2 * np.pi)
+        mz = pz + 0.25 * h * jnp.sin(pz / (nz * h) * 2 * np.pi)
+
+        want = advect.dmc_backward_step_3d(g, u, v, w, mx, my, mz, sub)
+        packed = jnp.stack([
+            jnp.pad(u, ((0, 0), (0, 1), (0, 1)), mode="edge"),
+            jnp.pad(v, ((0, 1), (0, 0), (0, 1)), mode="edge"),
+            jnp.pad(w, ((0, 1), (0, 1), (0, 0)), mode="edge"),
+        ])
+        packed = interp_fast.pad_fields(packed, g.shape_c, 2)
+        got = interp_fast.dmc_substep_fast(
+            packed, jnp.stack([mx, my, mz]), sub, h, (nx, ny, nz),
+            Rr=2, interpret=True,
+        )
+        # tolerance note: the kernel is bit-identical to the displacement
+        # form (dmc_displacements_3d), but the generic step evaluates
+        # velocities by gather instead of static stencils; near the
+        # |du| ~ 1e-4*h exp/euler threshold the f32 cancellation in
+        # 1-exp(-q) (the reference's own formula, GPU_kernel.cu:190-199)
+        # amplifies that last-ulp difference by vel/du <= 1e-2*|vel| cells.
+        # 0.025 cells of slack covers it; geometry bugs are 10-100x larger.
+        for ch, wnt in enumerate(want):
+            np.testing.assert_allclose(np.asarray(got[ch]), np.asarray(wnt),
+                                       rtol=5e-5, atol=2.5e-2 * h)
+
+    check()
