@@ -646,3 +646,52 @@ def test_dmc_substep_property_random_geometry():
                                        rtol=5e-5, atol=2.5e-2 * h)
 
     check()
+
+
+def test_minmax3_fast_property_random_geometry():
+    """Property test for the windowed min/max kernel (the MacCormack clamp
+    bound lookup) at randomized extents/offsets vs the exact 8-corner
+    min/max of the clamped gather."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        nx=st.integers(9, 33), ny=st.integers(9, 33),
+        offi=st.sampled_from([0.0, -0.5]),
+        seed=st.integers(0, 2**31 - 1),
+        disp=st.floats(0.2, 2.2),
+    )
+    def check(nx, ny, offi, seed, disp):
+        r = np.random.default_rng(seed)
+        shape = (nx, ny, 128)
+        h = 0.07
+        off = (offi, 0.0, offi)
+        field = r.standard_normal(shape).astype(np.float32)
+        px, py, pz = _positions(shape, h, off, r, max_disp_cells=disp)
+        gx = px / h - off[0]
+        gy = py / h - off[1]
+        gz = pz / h - off[2]
+        i0 = np.clip(np.floor(gx).astype(int), 0, shape[0] - 1)
+        j0 = np.clip(np.floor(gy).astype(int), 0, shape[1] - 1)
+        k0 = np.clip(np.floor(gz).astype(int), 0, shape[2] - 1)
+        i1 = np.clip(i0 + 1, 0, shape[0] - 1)
+        j1 = np.clip(j0 + 1, 0, shape[1] - 1)
+        k1 = np.clip(k0 + 1, 0, shape[2] - 1)
+        corners = np.stack([
+            field[a, b, c]
+            for a in (i0, i1) for b in (j0, j1) for c in (k0, k1)
+        ])
+        wmin, wmax = corners.min(0), corners.max(0)
+        mn, mx = interp_fast.minmax3_fast(
+            jnp.asarray(field), jnp.asarray(px), jnp.asarray(py),
+            jnp.asarray(pz), h, off, Rr=2, interpret=True)
+        # interior only, as in test_minmax3_fast_matches_gather: clamped
+        # corners at the rim differ from window-edge cells by design (the
+        # MacCormack guard bands exclude those cells in production)
+        inner = np.s_[2:-2, 2:-2, 2:-2]
+        np.testing.assert_allclose(np.asarray(mn)[inner], wmin[inner],
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(mx)[inner], wmax[inner],
+                                   rtol=0, atol=1e-6)
+
+    check()
