@@ -159,3 +159,61 @@ def test_accumulate_2d_matches_loop_oracle():
             g, kind, jnp.asarray(f["d"]), jnp.asarray(f["change"]),
             jnp.asarray(maps["fwd"]), coeff))
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_dmc_backward_step_2d_matches_loop_oracle():
+    """dmc_backward_step_2d (semiLagAdvectDMC, BimocqSolver2D.cpp:45-107):
+    per-node upwind tap at +-h, a = dvel/dx, exponential step with the
+    |a| > 1e-4 Euler fallback, position clamp to [h, L-h], map gather."""
+    g, _, maps = _grid_and_fields(seed=13)
+    r = np.random.default_rng(13)
+    u = r.standard_normal(g.shape_u).astype(np.float32)
+    v = r.standard_normal(g.shape_v).astype(np.float32)
+    h = g.h
+    sub = 0.4 * h  # sub-CFL at max|v|~2.5
+    mx, my = maps["bwd"][0], maps["bwd"][1]
+
+    def vel_at(px, py):
+        # getVelocity 2D semantics: out-of-band samples are ZERO (not
+        # clamped) — u valid for floor(px/h) in [0, ni-1] and
+        # floor(py/h-0.5) in [0, nj-2]; v symmetric
+        iu, ju = np.floor(px / h), np.floor(py / h - 0.5)
+        vu = (oracles.sample2(u, px, py, h, (0.0, 0.5))
+              if 0 <= iu <= g.ni - 1 and 0 <= ju <= g.nj - 2 else 0.0)
+        iv, jv = np.floor(px / h - 0.5), np.floor(py / h)
+        vv = (oracles.sample2(v, px, py, h, (0.5, 0.0))
+              if 0 <= iv <= g.ni - 2 and 0 <= jv <= g.nj - 1 else 0.0)
+        return vu, vv
+
+    px, py = [np.asarray(a) for a in g.node_coords("c")]
+    want_x = np.empty_like(px)
+    want_y = np.empty_like(py)
+    for i in range(px.shape[0]):
+        for j in range(px.shape[1]):
+            x0, y0 = px[i, j], py[i, j]
+            vu, vv = vel_at(x0, y0)
+            tx = x0 - h if vu > 0 else x0 + h
+            ty = y0 - h if vv > 0 else y0 + h
+            tu, tv = vel_at(tx, ty)
+            ax = (vu - tu) / (x0 - tx)
+            ay = (vv - tv) / (y0 - ty)
+
+            def newpos(p0, vel, a):
+                if abs(a) > 1e-4:
+                    return p0 - (1.0 - np.exp(-a * sub)) * vel / a
+                return p0 - vel * sub
+
+            nx_ = np.clip(newpos(x0, vu, ax), h, g.ni * h - h)
+            ny_ = np.clip(newpos(y0, vv, ay), h, g.nj * h - h)
+            want_x[i, j] = oracles.sample2(mx, nx_, ny_, h, (0.5, 0.5))
+            want_y[i, j] = oracles.sample2(my, nx_, ny_, h, (0.5, 0.5))
+
+    from gpufluidsimulation_tpu.ops import advect
+
+    got_x, got_y = advect.dmc_backward_step_2d(
+        g, jnp.asarray(u), jnp.asarray(v), jnp.asarray(mx), jnp.asarray(my),
+        sub)
+    np.testing.assert_allclose(np.asarray(got_x), want_x, rtol=2e-5,
+                               atol=2e-4 * h)
+    np.testing.assert_allclose(np.asarray(got_y), want_y, rtol=2e-5,
+                               atol=2e-4 * h)
