@@ -8,7 +8,10 @@ backends over N steps on whatever backend is active (TPU by default).
 Usage: python scripts/validate_fast_vs_exact.py [steps]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
