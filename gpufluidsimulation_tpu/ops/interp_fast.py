@@ -439,6 +439,17 @@ X_NX = None if _XNX_ENV in (None, "", "0") else int(_XNX_ENV)
 _REBASED_ENV = os.environ.get("GFS_INTERP_REBASED", "3")
 REBASED_NT = 0 if _REBASED_ENV in ("", "0", "false") else int(_REBASED_ENV)
 
+# static CENTERED x-tap subrange in _trilerp_when's fast branch. The x axis
+# can be neither dynamically sliced nor rolled (major axis, non-pow2), but
+# the prepass base shift centers each block's x residual band on the window
+# center Rr+1, so live x taps cluster in a small centered subrange
+# (measured on the developed 128^3 vortex-collision flow at CFL 2.6:
+# max 4 live taps, 100% inside the centered 5, ~89% inside the centered 3).
+# Blocks whose live range escapes it take the existing full-W fallback
+# branch — bit-identical either way. 0 = keep the full-W x loop.
+_XNT_ENV = os.environ.get("GFS_INTERP_XNT", "5")
+REBASED_XNT = 0 if _XNT_ENV in ("", "0", "false") else int(_XNT_ENV)
+
 
 def _trilerp_when(win_c, lx, ly, lz, block, Rr, store, nt=None):
     """Trilerp one channel window with the rebase-once/static-tile scheme,
@@ -478,6 +489,11 @@ def _trilerp_when(win_c, lx, ly, lz, block, Rr, store, nt=None):
     ylo, nyt = _live_taps(ly - b, W)
     zlo, nzt = _live_taps(lz - c, W)
     fits = (nyt <= nt) & (nzt <= nt)
+    nx = REBASED_XNT if 0 < REBASED_XNT < W else W
+    xs = (W - nx) // 2
+    if nx < W:
+        xlo, nxt = _live_taps(lx - a, W)
+        fits = fits & (xlo >= xs) & (xlo + nxt <= xs + nx)
 
     @pl.when(fits)
     def _():
@@ -485,7 +501,7 @@ def _trilerp_when(win_c, lx, ly, lz, block, Rr, store, nt=None):
         wz = pltpu.roll(wy, -zlo, z_axis)
         lyr = ly - ylo.astype(jnp.float32)
         lzr = lz - zlo.astype(jnp.float32)
-        hx = [_hat(lx - (a + dp)) for dp in range(W)]
+        hx = [_hat(lx - (a + (xs + i))) for i in range(nx)]
         covx = sum(hx)
         out = jnp.zeros(block, jnp.float32)
         covy = jnp.zeros(block, jnp.float32)
@@ -501,8 +517,8 @@ def _trilerp_when(win_c, lx, ly, lz, block, Rr, store, nt=None):
                     covy = covy + hy
                 wyz = wzr[:, dq : dq + B2, :]
                 accx = jnp.zeros(block, jnp.float32)
-                for dp in range(W):
-                    accx = accx + hx[dp] * wyz[dp : dp + B1]
+                for i in range(nx):
+                    accx = accx + hx[i] * wyz[xs + i : xs + i + B1]
                 accy = accy + hy * accx
             out = out + hz * accy
         cov = covx * covy * covz
