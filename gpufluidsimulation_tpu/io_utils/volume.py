@@ -23,27 +23,43 @@ except ImportError:  # pure-python fallback
 
 
 def write_volume(frame: int, filepath: str, voxel_size: float, density,
-                 name: str = "density") -> str:
+                 name: str = "density", fmt: str | None = None) -> str:
     """Matches writeVDB's signature (frame, path, dx, field); returns the
     written filename. File pattern follows the reference: `<path>/%04d.vdb`
-    (volumeMeshTools.h:37-40), with .npz substituted when OpenVDB is absent.
+    (volumeMeshTools.h:37-40). Default format is a real .vdb written by
+    the dependency-free io_utils.vdb serializer (pyopenvdb used instead
+    when importable); `fmt` / GFS_VOLUME_FORMAT selects 'vdb', 'gfsvol'
+    (native async sparse COO) or 'npz'.
     """
     os.makedirs(filepath, exist_ok=True)
     dense = np.asarray(density, np.float32)
-    try:
-        import pyopenvdb as vdb  # pragma: no cover - not in CI image
+    fmt = fmt or os.environ.get("GFS_VOLUME_FORMAT", "auto")
+    if fmt in ("auto", "vdb"):
+        try:
+            import pyopenvdb as vdb  # pragma: no cover - not in CI image
 
-        grid = vdb.FloatGrid()
-        grid.copyFromArray(dense, tolerance=DENSITY_THRESHOLD)
-        grid.transform = vdb.createLinearTransform(voxelSize=voxel_size)
-        grid.name = name
-        grid.gridClass = vdb.GridClass.FOG_VOLUME
+            grid = vdb.FloatGrid()
+            grid.copyFromArray(dense, tolerance=DENSITY_THRESHOLD)
+            grid.transform = vdb.createLinearTransform(voxelSize=voxel_size)
+            grid.name = name
+            grid.gridClass = vdb.GridClass.FOG_VOLUME
+            out = os.path.join(filepath, f"{frame:04d}.vdb")
+            vdb.write(out, grids=[grid])
+            return out
+        except ImportError:
+            pass
+        from gpufluidsimulation_tpu.io_utils import vdb as _vdb
+
+        payload = _vdb.pack_vdb(dense, voxel_size, name=name,
+                                threshold=DENSITY_THRESHOLD)
         out = os.path.join(filepath, f"{frame:04d}.vdb")
-        vdb.write(out, grids=[grid])
+        if _gfs_io is not None:
+            _gfs_io.async_write(out, payload)   # background writer thread
+        else:
+            with open(out, "wb") as f:
+                f.write(payload)
         return out
-    except ImportError:
-        pass
-    if _gfs_io is not None:
+    if _gfs_io is not None and fmt == "gfsvol":
         # native path: C single-pass packer + background writer thread, so
         # the frame loop never blocks on disk (flush_volumes() to drain)
         payload = _gfs_io.pack_sparse(
@@ -78,6 +94,10 @@ def flush_volumes() -> int:
 
 def read_volume(path: str):
     """Load a sparse volume back to dense (for tests / resume)."""
+    if path.endswith(".vdb"):
+        from gpufluidsimulation_tpu.io_utils import vdb as _vdb
+
+        return _vdb.read_vdb(path)
     if path.endswith(".gfsvol"):
         raw = open(path, "rb").read()
         magic, ver, nx, ny, nz, vox, count = struct.unpack("<4sIIIIfQ", raw[:32])

@@ -43,22 +43,25 @@ def main():
         try:
             import openvdb as vdb
         except ImportError:
-            sys.exit("pyopenvdb/openvdb not installed here — run this "
-                     "script in an environment that has OpenVDB Python "
-                     "bindings (e.g. `pip install openvdb`).")
+            vdb = None  # fall back to the in-tree serializer
 
     os.makedirs(args.out_dir, exist_ok=True)
     for path in args.inputs:
         dense, voxel = load_any(path)
-        grid = vdb.FloatGrid()
-        grid.copyFromArray(dense, tolerance=1e-4)
-        grid.transform = vdb.createLinearTransform(voxelSize=voxel)
-        grid.name = args.name
-        grid.gridClass = vdb.GridClass.FOG_VOLUME
         out = os.path.join(
             args.out_dir,
             os.path.splitext(os.path.basename(path))[0] + ".vdb")
-        vdb.write(out, grids=[grid])
+        if vdb is None:
+            from gpufluidsimulation_tpu.io_utils.vdb import write_vdb
+
+            write_vdb(out, dense, voxel, name=args.name, threshold=1e-4)
+        else:
+            grid = vdb.FloatGrid()
+            grid.copyFromArray(dense, tolerance=1e-4)
+            grid.transform = vdb.createLinearTransform(voxelSize=voxel)
+            grid.name = args.name
+            grid.gridClass = vdb.GridClass.FOG_VOLUME
+            vdb.write(out, grids=[grid])
         print(out)
 
 

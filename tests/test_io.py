@@ -1,5 +1,7 @@
 import os
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -29,13 +31,17 @@ def test_colormap_matches_reference_stops():
     assert rgb[0][0] == int((0.1 * 0.9 + 0.9 * 0.3) * 255)
 
 
-def test_sparse_volume_roundtrip(tmp_path, rng):
+@pytest.mark.parametrize("fmt,suffix", [
+    (None, "0003.vdb"),            # default: real .vdb (io_utils/vdb.py)
+    ("gfsvol", ("0003.gfsvol", "0003.npz")),  # native async sparse COO
+])
+def test_sparse_volume_roundtrip(tmp_path, rng, fmt, suffix):
     dense = np.zeros((6, 5, 4), np.float32)
     dense[2, 3, 1] = 0.7
     dense[1, 1, 1] = 0.5
     dense[0, 0, 0] = 1e-6  # below threshold -> dropped
-    out = volume.write_volume(3, str(tmp_path), 0.01, dense)
-    assert out.endswith(("0003.npz", "0003.gfsvol"))
+    out = volume.write_volume(3, str(tmp_path), 0.01, dense, fmt=fmt)
+    assert out.endswith(suffix)
     assert volume.flush_volumes() == 0
     back, h = volume.read_volume(out)
     assert h == np.float32(0.01)
