@@ -124,9 +124,53 @@ def _hat(t):
 
 _NSC = 9  # per-block scalars in the prefetch vector (see _origins)
 
+# When a list, every windowed-sampler launch traced while it is active
+# appends its per-launch contract-violation block count (see
+# _overflow_count) — the zero-cost runtime monitor: the counts are a
+# byproduct of the block stats the _origins prepass already computes.
+OVERFLOW_SINK = None
+
+
+class overflow_sink:
+    """Context manager collecting per-launch displacement-contract
+    violation counts from every windowed-sampler launch traced inside.
+
+    Usage: `with overflow_sink() as counts: ... ; total = sum(counts)`.
+    Only safe when the enclosed launches live in the SAME jax trace scope
+    as the consumer — do NOT wrap samplers inside lax.while_loop/scan
+    bodies whose counts are summed outside (leaked-tracer error)."""
+
+    def __enter__(self):
+        global OVERFLOW_SINK
+        self._prev = OVERFLOW_SINK
+        OVERFLOW_SINK = []
+        return OVERFLOW_SINK
+
+    def __exit__(self, *exc):
+        global OVERFLOW_SINK
+        OVERFLOW_SINK = self._prev
+        return False
+
+
+def _overflow_count(stats, Rr):
+    """Count blocks whose residual band cannot fit the tap window: with the
+    midpoint base shift s, an element's taps clip (-> clamp+renormalize,
+    i.e. an actually-wrong sample) iff d + delta - s < -(Rr+1) or
+    > Rr+1 somewhere in the block. This is the exact mass-clipping
+    condition; residual_overflow's Rr+0.5 bound is the conservative
+    guaranteed-fit version of the same contract (it can flag blocks whose
+    rounding still fits)."""
+    viol = None
+    for mn, mx, s, dlo, dhi in stats:
+        v = ((mn + dlo - s.astype(jnp.float32) < -(Rr + 1))
+             | (mx + dhi - s.astype(jnp.float32) > Rr + 1))
+        viol = v if viol is None else viol | v
+    return jnp.sum(viol, dtype=jnp.int32)
+
 
 def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
-             dspan=((0.0, 0.0), (0.0, 0.0), (0.0, 0.0))):
+             dspan=((0.0, 0.0), (0.0, 0.0), (0.0, 0.0)),
+             want_count=False):
     """Per-block scalars [ox, oy, sy_slack, ozw, g0, ylo, nyt, zlo, nzt].
 
     ox: x window origin (arbitrary); oy: y origin (floor-8, slack absorbed
@@ -191,12 +235,19 @@ def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
     r_z = (Rr + 1 - s_z).astype(jnp.float32)
     zlo, nzt = taps(mnz + r_z + dspan[2][0], mxz + r_z + dspan[2][1])
 
+    count = _overflow_count([
+        (mnx, mxx, s_x, dspan[0][0], dspan[0][1]),
+        (mny, mxy, s_y, dspan[1][0], dspan[1][1]),
+        (mnz, mxz, s_z, dspan[2][0], dspan[2][1]),
+    ], Rr) if want_count else None
+
     shape3 = (nb[0], nb[1], nb[2])
-    return jnp.stack(
+    packed = jnp.stack(
         [jnp.broadcast_to(v, shape3).reshape(-1)
          for v in (ox, oy, slack, ozw, g0, ylo, nyt, zlo, nzt)],
         axis=-1,
     ).reshape(-1)
+    return (packed, count) if want_count else packed
 
 
 def _origins_union(pos_sets, fs_xy, *, Rr, P, nb):
@@ -706,12 +757,15 @@ def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Rr", "P", "interpret", "out_shape", "adaptive"),
+    static_argnames=("Rr", "P", "interpret", "out_shape", "adaptive",
+                     "count_overflow"),
 )
 def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape,
-                    adaptive=False):
+                    adaptive=False, count_overflow=False):
     """Positions g are lattice-shaped arrays in PADDED field coordinates
-    (x/y: +P, z: +128), pre-padded to (mult8, mult8, mult128)."""
+    (x/y: +P, z: +128), pre-padded to (mult8, mult8, mult128).
+    count_overflow=True additionally returns the launch's contract-violation
+    block count (see overflow_sink)."""
     nx, ny, Z = gx.shape
     BY = _by(Rr)
     bz = _bz(Z)
@@ -720,7 +774,12 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape,
     fs = field_padded.shape
     Wx = BX + 2 * Rr + 2
     win_shape = (Wx, WY_WIN, _wz_win(bz))
-    origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb)
+    ocount = None
+    if count_overflow:
+        origins, ocount = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb,
+                                   want_count=True)
+    else:
+        origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -753,7 +812,8 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape,
         ),
         interpret=interpret,
     )(origins, gx, gy, gz, field_padded)
-    return out[: out_shape[0], : out_shape[1], : out_shape[2]]
+    out = out[: out_shape[0], : out_shape[1], : out_shape[2]]
+    return (out, ocount) if count_overflow else out
 
 
 def pad_fields(field_like, out_shape, Rr, dtype=None):
@@ -845,11 +905,16 @@ def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False,
     out_shape = px.shape
     fpad, gx, gy, gz, P = _pad_field_positions(field, px, py, pz, h, off, Rr,
                                                dtype=dtype)
-    return _sample3_padded(
+    want = OVERFLOW_SINK is not None
+    out = _sample3_padded(
         fpad, gx, gy, gz,
         Rr=Rr, P=P, interpret=interpret, out_shape=out_shape,
-        adaptive=adaptive,
+        adaptive=adaptive, count_overflow=want,
     )
+    if want:
+        out, ocount = out
+        OVERFLOW_SINK.append(ocount)
+    return out
 
 
 def residual_overflow(px, py, pz, h, off, *, Rr=2, Rz=8):
@@ -1076,10 +1141,11 @@ def _dspan(deltas):
 @functools.partial(
     jax.jit,
     static_argnames=("Rr", "P", "interpret", "out_shape", "deltas",
-                     "adaptive"),
+                     "adaptive", "count_overflow"),
 )
 def _sample3_padded_multi(fields_padded, gx, gy, gz, *, Rr, P, interpret,
-                          out_shape, deltas, adaptive=False):
+                          out_shape, deltas, adaptive=False,
+                          count_overflow=False):
     C = fields_padded.shape[0]
     nx, ny, Z = gx.shape
     BY = _by(Rr)
@@ -1089,8 +1155,13 @@ def _sample3_padded_multi(fields_padded, gx, gy, gz, *, Rr, P, interpret,
     fs = fields_padded.shape[1:]
     Wx = BX + 2 * Rr + 2
     win_shape = (C, Wx, WY_WIN, _wz_win(bz))
-    origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb,
-                       dspan=_dspan(deltas))
+    ocount = None
+    if count_overflow:
+        origins, ocount = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb,
+                                   dspan=_dspan(deltas), want_count=True)
+    else:
+        origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb,
+                           dspan=_dspan(deltas))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1126,7 +1197,8 @@ def _sample3_padded_multi(fields_padded, gx, gy, gz, *, Rr, P, interpret,
         ),
         interpret=interpret,
     )(origins, gx, gy, gz, fields_padded)
-    return out[:, : out_shape[0], : out_shape[1], : out_shape[2]]
+    out = out[:, : out_shape[0], : out_shape[1], : out_shape[2]]
+    return (out, ocount) if count_overflow else out
 
 
 def sample3_multi_padded(fields_padded, px, py, pz, h, offs, *, Rr=2,
@@ -1977,8 +2049,13 @@ def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False,
     fpad, gx, gy, gz, P = _pad_field_positions(
         fields, px, py, pz, h, off0, Rr, dtype=dtype
     )
-    return _sample3_padded_multi(
+    want = OVERFLOW_SINK is not None
+    out = _sample3_padded_multi(
         fpad, gx, gy, gz,
         Rr=Rr, P=P, interpret=interpret, out_shape=out_shape, deltas=deltas,
-        adaptive=adaptive,
+        adaptive=adaptive, count_overflow=want,
     )
+    if want:
+        out, ocount = out
+        OVERFLOW_SINK.append(ocount)
+    return out

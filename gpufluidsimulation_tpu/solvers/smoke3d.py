@@ -202,9 +202,12 @@ class Smoke3DState:
     # (reference scoreboard offsets 2000+, BimocqGPUSolver.cpp:447-452);
     # entries past proj_iters are -1
     proj_res_hist: jnp.ndarray
-    # count of samples violating the fast-interp bounded-displacement
-    # contract this step (ops/interp_fast.py residual_overflow); 0 = the
-    # windowed kernels were exact. Only evaluated on the fast-interp path.
+    # fast-interp bounded-displacement contract monitor, 0 = the windowed
+    # kernels were exact this step. Sum of (a) per-launch violating-block
+    # counts reported free by every pull-back sampler's prepass
+    # (interp_fast.overflow_sink, every frame) and (b) the fused DMC
+    # kernel's displacement mirror (periodic, cfg.overflow_check_every).
+    # Only evaluated on the fast-interp path.
     interp_overflow: jnp.ndarray
 
 
@@ -621,16 +624,27 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
         scalar_map = mp.update_mapping_3d(s.scalar_map, g, s.u, s.v, s.w,
                                           cfldt, dt, packed=packed)
 
-    lvl2 = cfg.blend_coeff != 1.0
-    if cfg.overflow_check_every <= 1:
-        overflow = _interp_overflow_check(g, vel_map, s.u, s.v, s.w, cfldt,
-                                          check_level2=lvl2)
+    # Contract monitoring, two tiers (ops/interp_fast.py):
+    # * the pull-back sampler launches below report their own violation
+    #   counts as a free byproduct of the _origins prepass block stats
+    #   (interp_fast.overflow_sink) — every frame, every launch;
+    # * the fused DMC kernel has static windows (no prepass), so its
+    #   displacement contract is mirrored in XLA periodically.
+    from gpufluidsimulation_tpu import config as _cfg
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    dmc_checked = _cfg.use_fast_interp() and _cfg.interp_rr() <= 2
+    if not dmc_checked:
+        ov_dmc = jnp.int32(0)
+    elif cfg.overflow_check_every <= 1:
+        ov_dmc = _dmc_displacement_overflow(g, s.u, s.v, s.w, cfldt,
+                                            _cfg.interp_rr())
     else:
-        overflow = jax.lax.cond(
+        ov_dmc = jax.lax.cond(
             s.frame % cfg.overflow_check_every == 0,
-            lambda _: _interp_overflow_check(g, vel_map, s.u, s.v, s.w,
-                                             cfldt, check_level2=lvl2),
-            lambda _: s.interp_overflow,
+            lambda _: _dmc_displacement_overflow(g, s.u, s.v, s.w, cfldt,
+                                                 _cfg.interp_rr()),
+            lambda _: jnp.int32(0),
             None,
         )
 
@@ -652,22 +666,25 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     # level-2 pull-back a zero-weight term: None marks it statically dead
     blend_v = (None if cfg.blend_coeff == 1.0 else
                jnp.where(vel_map.reinit_count != 0, cfg.blend_coeff, 1.0))
-    (u,) = mp.bimocq_advect_3d(
-        g, "u", [s.u], [s.u_init], [s.u_prev],
-        vel_map.bwd, vel_map.bwd_prev, vel_map.fwd, blend_v)
-    (v,) = mp.bimocq_advect_3d(
-        g, "v", [s.v], [s.v_init], [s.v_prev],
-        vel_map.bwd, vel_map.bwd_prev, vel_map.fwd, blend_v)
-    (w,) = mp.bimocq_advect_3d(
-        g, "w", [s.w], [s.w_init], [s.w_prev],
-        vel_map.bwd, vel_map.bwd_prev, vel_map.fwd, blend_v)
-
-    # --- scalar pull-back (rho and T share every map sample) ---
     blend_s = (None if cfg.blend_coeff == 1.0 else
                jnp.where(scalar_map.reinit_count != 0, cfg.blend_coeff, 1.0))
-    rho, T = mp.bimocq_advect_3d(
-        g, "c", [s.rho, s.T], [s.rho_init, s.T_init], [s.rho_prev, s.T_prev],
-        scalar_map.bwd, scalar_map.bwd_prev, scalar_map.fwd, blend_s)
+    with interp_fast.overflow_sink() as ovf_counts:
+        (u,) = mp.bimocq_advect_3d(
+            g, "u", [s.u], [s.u_init], [s.u_prev],
+            vel_map.bwd, vel_map.bwd_prev, vel_map.fwd, blend_v)
+        (v,) = mp.bimocq_advect_3d(
+            g, "v", [s.v], [s.v_init], [s.v_prev],
+            vel_map.bwd, vel_map.bwd_prev, vel_map.fwd, blend_v)
+        (w,) = mp.bimocq_advect_3d(
+            g, "w", [s.w], [s.w_init], [s.w_prev],
+            vel_map.bwd, vel_map.bwd_prev, vel_map.fwd, blend_v)
+
+        # --- scalar pull-back (rho and T share every map sample) ---
+        rho, T = mp.bimocq_advect_3d(
+            g, "c", [s.rho, s.T], [s.rho_init, s.T_init],
+            [s.rho_prev, s.T_prev],
+            scalar_map.bwd, scalar_map.bwd_prev, scalar_map.fwd, blend_s)
+    overflow = ov_dmc + (sum(ovf_counts) if ovf_counts else jnp.int32(0))
 
     if cfg.boundaries:
         u = _blend_boundary(bnd, "u", u, sl_u)

@@ -302,6 +302,18 @@ def test_interp_overflow_flags_violent_flow():
             fwd=jnp.stack([x, y, z]), bwd=jnp.stack([x, y, z]),
             bwd_prev=jnp.stack([x, y, z]), reinit_count=jnp.int32(1))
         assert int(_interp_overflow_check(g, good)) == 0
+
+        # the free launch-level monitor (interp_fast.overflow_sink) flags
+        # the same map when it is actually sampled through the pull-back
+        from gpufluidsimulation_tpu.ops import interp_fast
+
+        field = jnp.zeros(g.shape_c, jnp.float32)
+        for m, expect_bad in ((bad, True), (good, False)):
+            pos = mp.map_at_lattice_3d(g, m.bwd, "c", 1.0, 1.0)
+            with interp_fast.overflow_sink() as counts:
+                mp._sample_fields_at(g, "c", [field], pos)
+            assert counts, "fast path did not report a launch count"
+            assert (int(sum(counts)) > 0) == expect_bad
     finally:
         config.set_fast_interp(None)
         config.set_interp_interpret(False)

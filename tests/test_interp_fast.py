@@ -109,6 +109,36 @@ def test_residual_overflow_detects_violations(rng):
     assert over > 0
 
 
+def test_overflow_sink_counts_launch_violations(rng):
+    """Every windowed-sampler launch traced under overflow_sink reports its
+    violating-block count as a free byproduct of the _origins prepass —
+    the per-frame contract monitor wired into the BiMocq step."""
+    shape = (16, 16, 128)
+    h = 1.0
+    field = rng.random(shape).astype(np.float32)
+    node = np.stack(np.meshgrid(*[np.arange(s) for s in shape],
+                                indexing="ij")).astype(np.float32)
+
+    def run(px, py, pz):
+        with interp_fast.overflow_sink() as counts:
+            interp_fast.sample3_fast(
+                jnp.asarray(field), jnp.asarray(px), jnp.asarray(py),
+                jnp.asarray(pz), h, (0, 0, 0), Rr=2, interpret=True)
+        assert len(counts) == 1
+        return int(counts[0])
+
+    # smooth small displacement: in contract -> zero
+    ok = [np.clip((n + 0.8) * h, h, (s - 1) * h).astype(np.float32)
+          for n, s in zip(node, shape)]
+    assert run(*ok) == 0
+    # non-smooth x displacement up to 6 cells: blocks must overflow Rr=2
+    px = np.clip(node[0] + rng.uniform(-6, 6, shape), 1,
+                 shape[0] - 1).astype(np.float32) * h
+    assert run(px, ok[1], ok[2]) > 0
+    # sink inactive: nothing recorded, sampling still works
+    assert interp_fast.OVERFLOW_SINK is None
+
+
 def test_minmax3_fast_matches_gather(rng):
     shape = (16, 16, 128)
     h = 0.1
@@ -671,12 +701,19 @@ def test_minmax3_fast_property_random_geometry():
         gx = px / h - off[0]
         gy = py / h - off[1]
         gz = pz / h - off[2]
-        i0 = np.clip(np.floor(gx).astype(int), 0, shape[0] - 1)
-        j0 = np.clip(np.floor(gy).astype(int), 0, shape[1] - 1)
-        k0 = np.clip(np.floor(gz).astype(int), 0, shape[2] - 1)
-        i1 = np.clip(i0 + 1, 0, shape[0] - 1)
-        j1 = np.clip(j0 + 1, 0, shape[1] - 1)
-        k1 = np.clip(k0 + 1, 0, shape[2] - 1)
+        # corner set of the clamped gather: each corner index clipped from
+        # the UNCLIPPED floor (clip(floor), clip(floor+1)) — clipping the
+        # base first would invent a {0,1} pair for positions left of the
+        # domain where the reference gather degenerates to {0,0}
+        i0u = np.floor(gx).astype(int)
+        j0u = np.floor(gy).astype(int)
+        k0u = np.floor(gz).astype(int)
+        i0 = np.clip(i0u, 0, shape[0] - 1)
+        j0 = np.clip(j0u, 0, shape[1] - 1)
+        k0 = np.clip(k0u, 0, shape[2] - 1)
+        i1 = np.clip(i0u + 1, 0, shape[0] - 1)
+        j1 = np.clip(j0u + 1, 0, shape[1] - 1)
+        k1 = np.clip(k0u + 1, 0, shape[2] - 1)
         corners = np.stack([
             field[a, b, c]
             for a in (i0, i1) for b in (j0, j1) for c in (k0, k1)
