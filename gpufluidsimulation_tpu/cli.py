@@ -19,6 +19,25 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the 3D step is a large program
+    (~minutes cold at 256^3); repeat CLI invocations should pay it once.
+    Opt out with GFS_COMPILE_CACHE=0 or point it elsewhere via
+    JAX_COMPILATION_CACHE_DIR."""
+    if os.environ.get("GFS_COMPILE_CACHE", "1") in ("0", "false"):
+        return
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/jax_comp_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+
 def _run_2d(args):
     import jax
 
@@ -162,6 +181,7 @@ def main(argv=None):
     p3.set_defaults(fn=_run_3d)
 
     args = p.parse_args(argv)
+    _enable_compile_cache()
     return args.fn(args)
 
 
