@@ -259,7 +259,8 @@ def volume_prefilter_3d(f):
 def _use_prefilter():
     from gpufluidsimulation_tpu import config
 
-    return config.use_fast_interp() and not config.volume_exact()
+    fast = config.use_fast_interp() or config.sharded_sampling() is not None
+    return fast and not config.volume_exact()
 
 
 def _volume_eval_3d(grid, kind, eval_fn, is_point=False):
@@ -396,11 +397,32 @@ def compensate_3d(grid, kind, field_adv, field_init, fwd, bwd, is_point=False):
 def _sample_fields_at(grid, kind, fields, positions):
     """Sample N same-shape (already prefiltered) fields of `kind` at shared
     world positions: ONE multi-channel window launch on the fast path,
-    exact gathers otherwise."""
+    shard_map halo windows in sharded mode, exact gathers otherwise."""
     from gpufluidsimulation_tpu import config
 
     mx, my, mz = positions
     off = grid.off_of(kind)
+    ss = config.sharded_sampling()
+    if ss is not None and mx.ndim == 3:
+        mesh, halo = ss
+        nz = mx.shape[2]
+        if (nz % mesh.size == 0 and halo <= nz // mesh.size
+                and all(f.shape == mx.shape for f in fields)):
+            from gpufluidsimulation_tpu.parallel import sharded_interp
+
+            kw = dict(halo=halo, Rr=config.interp_rr(),
+                      interpret=config.interp_interpret(),
+                      dtype=config.interp_window_dtype())
+            if len(fields) == 1:
+                return [sharded_interp.sample3_fast_sharded(
+                    fields[0], mx, my, mz, grid.h, off, mesh, **kw)]
+            out = sharded_interp.sample3_multi_sharded(
+                jnp.stack(fields), mx, my, mz, grid.h,
+                (off,) * len(fields), mesh, **kw)
+            return [out[i] for i in range(len(fields))]
+        # z-staggered kinds (nk+1 lanes) don't divide the mesh: exact
+        # gathers below (GSPMD partitions them correctly)
+        return [interp.sample3(f, mx, my, mz, grid.h, off) for f in fields]
     if config.use_fast_interp() and mx.ndim == 3:
         if len(fields) == 1:
             return [interp.sample3_lattice(fields[0], mx, my, mz, grid.h,

@@ -145,6 +145,24 @@ def set_pallas_diffuse(value: bool | None) -> None:
     _PALLAS_DIFFUSE = value
 
 
+# (mesh, halo) when the sharded step should route full-lattice sampling
+# through the shard_map windowed kernels (parallel/sharded_interp.py)
+# instead of exact gathers; set by parallel.sharding.sharded_step.
+_SHARDED_SAMPLING: tuple | None = None
+
+
+def sharded_sampling():
+    return _SHARDED_SAMPLING
+
+
+def set_sharded_sampling(mesh, halo: int = 8) -> None:
+    """Route fast-lattice sampling through the shard_map halo path on
+    `mesh` (None disables). The fields/positions must be z-shardable
+    (extent divisible by mesh.size, halo <= local slab)."""
+    global _SHARDED_SAMPLING
+    _SHARDED_SAMPLING = None if mesh is None else (mesh, int(halo))
+
+
 _INTERPRET = os.environ.get("GFS_INTERP_INTERPRET", "0") not in ("0", "false")
 
 

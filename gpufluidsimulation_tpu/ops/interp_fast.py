@@ -1003,7 +1003,14 @@ def minmax3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False,
                  adaptive=None):
     """Min/max over the trilinear corner cells at each position — the
     window-kernel counterpart of an 8-way corner gather. Same bounded-smooth
-    displacement contract as sample3_fast."""
+    displacement contract as sample3_fast.
+
+    Corner membership is hat-weight > 0: a position within an f32 ulp of a
+    lattice plane (in the kernel's padded coordinates) quantizes the far
+    corner's weight to exactly 0 and drops that corner from the min/max
+    set — a slightly TIGHTER clamp bound than the reference's
+    unconditional 8-corner gather at those measure-zero positions
+    (O(1e-5)-weight corners; tests mask them)."""
     del Rz
     from gpufluidsimulation_tpu import config
 

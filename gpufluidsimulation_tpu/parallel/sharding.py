@@ -97,13 +97,24 @@ class ShardedMGContext:
         )
 
 
-def sharded_step(solver, mesh: Mesh, halo_smoother: bool = True):
+def sharded_step(solver, mesh: Mesh, halo_smoother: bool = True,
+                 fast_sampling: bool | None = None, halo: int = 8):
     """Jit the full solver step with in/out shardings pinned to the mesh.
 
     With halo_smoother=True (default) the projection's MG smoothing runs
     through the shard_map ppermute-halo path (ShardedMGContext); otherwise
-    the unmodified step is jitted and GSPMD chooses all collectives."""
+    the unmodified step is jitted and GSPMD chooses all collectives.
+
+    fast_sampling routes the BiMocq pull-back samplers through the
+    shard_map windowed-DMA path (parallel/sharded_interp.py): each device
+    runs the single-chip Pallas window kernels on its halo-extended slab,
+    with only `halo` z-planes crossing the interconnect. Default (None):
+    on for accelerator backends, off on CPU — mirroring the single-chip
+    fast-interp auto mode. Everything else (traces, DMC, projection
+    stencils) stays on exact/GSPMD paths."""
     from functools import partial
+
+    import jax as _jax
 
     from gpufluidsimulation_tpu.solvers import smoke3d
 
@@ -111,20 +122,25 @@ def sharded_step(solver, mesh: Mesh, halo_smoother: bool = True):
     ctx = solver.ctx
     if halo_smoother:
         ctx = ShardedMGContext(solver.grid.shape_c, solver.cfg.bc, mesh)
+    if fast_sampling is None:
+        fast_sampling = _jax.default_backend() not in ("cpu",)
 
     def fn(state):
-        # Trace the sharded step on the exact-gather path: the windowed-DMA
-        # Pallas kernels carry no GSPMD partitioning rules yet (grid-sharded
-        # window sampling with explicit halos is the planned upgrade), and
-        # XLA's gather partitioning is correct under any sharding.
         from gpufluidsimulation_tpu import config
 
         prev = config._FORCED
+        prev_ss = config.sharded_sampling()
         config.set_fast_interp(False)
+        if fast_sampling:
+            config.set_sharded_sampling(mesh, halo)
         try:
             return step_fn(solver.cfg, solver.grid, ctx, state)
         finally:
             config.set_fast_interp(prev)
+            if prev_ss is None:
+                config.set_sharded_sampling(None)
+            else:
+                config.set_sharded_sampling(prev_ss[0], prev_ss[1])
 
     example = solver.init_state()
     shardings = jax.tree.map(

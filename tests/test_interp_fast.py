@@ -724,11 +724,25 @@ def test_minmax3_fast_property_random_geometry():
             jnp.asarray(pz), h, off, Rr=2, interpret=True)
         # interior only, as in test_minmax3_fast_matches_gather: clamped
         # corners at the rim differ from window-edge cells by design (the
-        # MacCormack guard bands exclude those cells in production)
-        inner = np.s_[2:-2, 2:-2, 2:-2]
-        np.testing.assert_allclose(np.asarray(mn)[inner], wmin[inner],
+        # MacCormack guard bands exclude those cells in production).
+        # Also exclude positions within an f32 ulp of a lattice plane in
+        # the kernel's PADDED coordinates (g + P or g + FRONT_Z): the far
+        # corner's hat weight quantizes to exactly 0 there and the kernel
+        # drops it from the min/max corner set — a documented edge of the
+        # weight-as-mask form (O(1e-5) effect on interpolated VALUES, but
+        # binary for corner membership).
+        P = 4.0
+        onplane = np.zeros(shape, bool)
+        for g, pad in ((gx, P), (gy, P), (gz, float(interp_fast.FRONT_Z))):
+            gp = (g + pad).astype(np.float32)
+            onplane |= np.abs(gp - np.round(gp)) < 1e-4
+        inner = np.zeros(shape, bool)
+        inner[2:-2, 2:-2, 2:-2] = True
+        keep = inner & ~onplane
+        assert keep.sum() > 0.5 * inner.sum()
+        np.testing.assert_allclose(np.asarray(mn)[keep], wmin[keep],
                                    rtol=0, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(mx)[inner], wmax[inner],
+        np.testing.assert_allclose(np.asarray(mx)[keep], wmax[keep],
                                    rtol=0, atol=1e-6)
 
     check()

@@ -79,3 +79,105 @@ def test_sharded_bimocq_step_matches_single_device():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(s1.vel_map.bwd), np.asarray(s0.vel_map.bwd),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_fast_interp_matches_exact(rng):
+    """The shard_map windowed sampler (parallel/sharded_interp.py): fields
+    and position lattices z-sharded over 8 devices, ppermute halo slabs,
+    per-shard Pallas windows — must match the exact clamped gather."""
+    from gpufluidsimulation_tpu.core import interp
+    from gpufluidsimulation_tpu.parallel import sharded_interp
+
+    mesh = make_mesh(8)
+    shape = (12, 16, 64)            # local slab 8 >= halo 8
+    h = 0.1
+    off = (0.0, 0.5, 0.0)
+    field = rng.standard_normal(shape).astype(np.float32)
+    node = np.stack(np.meshgrid(*[np.arange(s, dtype=np.float32)
+                                  for s in shape], indexing="ij"))
+    # smooth bounded displacement, z reach ~2.5 cells < halo
+    disp = [np.cos(0.2 * node[0] + 0.3 * node[1] + 0.1 * node[2] + k)
+            for k in range(3)]
+    px = ((node[0] + off[0] + 1.1 * disp[0]) * h).astype(np.float32)
+    py = ((node[1] + off[1] + 1.7 * disp[1]) * h).astype(np.float32)
+    pz = ((node[2] + off[2] + 2.5 * disp[2]) * h).astype(np.float32)
+    want = np.asarray(interp.sample3(
+        jnp.asarray(field), jnp.asarray(px), jnp.asarray(py),
+        jnp.asarray(pz), h, off))
+    got = np.asarray(sharded_interp.sample3_fast_sharded(
+        jnp.asarray(field), jnp.asarray(px), jnp.asarray(py),
+        jnp.asarray(pz), h, off, mesh, halo=8, interpret=True))
+    # fast-path tolerance convention (hat-sum association vs the gather)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_fast_interp_multi_matches_exact(rng):
+    from gpufluidsimulation_tpu.core import interp
+    from gpufluidsimulation_tpu.parallel import sharded_interp
+
+    mesh = make_mesh(4)
+    shape = (8, 16, 32)
+    h = 0.05
+    offs = ((0.0, 0.0, 0.0), (0.5, 0.0, 0.5))
+    fields = rng.standard_normal((2,) + shape).astype(np.float32)
+    node = np.stack(np.meshgrid(*[np.arange(s, dtype=np.float32)
+                                  for s in shape], indexing="ij"))
+    px = ((node[0] + 0.8 * np.sin(0.3 * node[2])) * h).astype(np.float32)
+    py = ((node[1] + 1.2 * np.cos(0.25 * node[0])) * h).astype(np.float32)
+    pz = ((node[2] + 2.0 * np.sin(0.2 * node[1])) * h).astype(np.float32)
+    got = np.asarray(sharded_interp.sample3_multi_sharded(
+        jnp.asarray(fields), jnp.asarray(px), jnp.asarray(py),
+        jnp.asarray(pz), h, offs, mesh, halo=8, interpret=True))
+    for c, off in enumerate(offs):
+        # channel c samples ITS field at the same world positions with its
+        # own staggered offset (sample3_multi's per-channel delta form)
+        want = np.asarray(interp.sample3(
+            jnp.asarray(fields[c]), jnp.asarray(px), jnp.asarray(py),
+            jnp.asarray(pz), h, off))
+        np.testing.assert_allclose(got[c], want, rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_fast_step_matches_single_device_fast():
+    """Sharded step with fast_sampling=True: the BiMocq pull-backs run the
+    windowed Pallas kernels per shard behind ppermute halo slabs
+    (parallel/sharded_interp.py). Must match the single-device FAST step
+    (same prefilter semantics; traces remain exact in sharded mode, so
+    tolerances are the fused-vs-exact fidelity bounds)."""
+    from gpufluidsimulation_tpu import config
+    from gpufluidsimulation_tpu.scenes.scenes3d import vortex_collision_config
+    from gpufluidsimulation_tpu.solvers.schemes import Scheme
+    from gpufluidsimulation_tpu.solvers.smoke3d import Emitter3D, Smoke3D
+
+    cfg = vortex_collision_config(
+        ni=8, nj=8, nk=32, scheme=Scheme.BIMOCQ, dt=0.01,
+        emitters=(Emitter3D(center=(0.03, 0.05, 0.1), radius=0.03,
+                            sign=1.0),),
+        viscosity=0.0, proj_tol=1e-6, proj_max_iters=60,
+    )
+    solver = Smoke3D(cfg)
+
+    config.set_interp_interpret(True)
+    try:
+        # single-device fast path (windowed kernels + volume prefilter)
+        config.set_fast_interp(True)
+        s0 = solver.init_state()
+        for _ in range(2):
+            s0 = solver.step(s0)
+        config.set_fast_interp(None)
+
+        mesh = make_mesh(4)          # local slab 8 == halo
+        step = sharded_step(solver, mesh, halo_smoother=True,
+                            fast_sampling=True, halo=8)
+        s1 = shard_state(solver.init_state(), mesh)
+        for _ in range(2):
+            s1 = step(s1)
+    finally:
+        config.set_fast_interp(None)
+        config.set_interp_interpret(False)
+        config.set_sharded_sampling(None)
+
+    assert len(s1.rho.sharding.device_set) == 4
+    np.testing.assert_allclose(np.asarray(s1.rho), np.asarray(s0.rho),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(s1.u), np.asarray(s0.u),
+                               rtol=2e-3, atol=2e-3)
