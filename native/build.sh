@@ -7,5 +7,5 @@ INC=$(python -c "import sysconfig; print(sysconfig.get_paths()['include'])")
 OUT=../gpufluidsimulation_tpu/native
 mkdir -p "$OUT"
 touch "$OUT/__init__.py"
-cc -O3 -shared -fPIC -I"$INC" gfs_io.c -o "$OUT/gfs_io.so" -lpthread
+cc -O3 -shared -fPIC -I"$INC" "$OUT/gfs_io.c" -o "$OUT/gfs_io.so" -lpthread
 echo "built $OUT/gfs_io.so"
