@@ -690,8 +690,8 @@ def estimate_distortion_3d(grid, mapping: MappingState, exclude_mask=None):
 
 def _map_sample_2d(grid, maps, px, py):
     h = grid.h
-    mx = interp.sample2(maps[0], px, py, h, (0.5, 0.5))
-    my = interp.sample2(maps[1], px, py, h, (0.5, 0.5))
+    mx = interp.sample2_lattice(maps[0], px, py, h, (0.5, 0.5))
+    my = interp.sample2_lattice(maps[1], px, py, h, (0.5, 0.5))
     return interp.clamp_pos_2d(mx, my, h, grid.ni, grid.nj)
 
 
@@ -741,13 +741,15 @@ def advect_bimocq_2d(grid, kind, semi_field, init_field, origin_field,
         p1x, p1y = _map_sample_2d(grid, bwd, px, py)
         p2x, p2y = _map_sample_2d(grid, bwd_prev, p1x, p1y)
         one_level = (
-            interp.sample2(init_field, p1x, p1y, h, off)
-            + interp.sample2(dfield, p1x, p1y, h, off)
+            interp.sample2_lattice(init_field, p1x, p1y, h, off, values=True)
+            + interp.sample2_lattice(dfield, p1x, p1y, h, off, values=True)
         )
         two_level = (
-            interp.sample2(origin_field, p2x, p2y, h, off)
-            + interp.sample2(dfield, p1x, p1y, h, off)
-            + interp.sample2(dfield_prev, p2x, p2y, h, off)
+            interp.sample2_lattice(origin_field, p2x, p2y, h, off,
+                                   values=True)
+            + interp.sample2_lattice(dfield, p1x, p1y, h, off, values=True)
+            + interp.sample2_lattice(dfield_prev, p2x, p2y, h, off,
+                                     values=True)
         )
         return blend_coeff * one_level + (1.0 - blend_coeff) * two_level
 
@@ -772,7 +774,7 @@ def correct_2d(grid, kind, field, field_init, dfield, fwd, bwd):
 
     def ev_fwd(px, py):
         mx, my = _map_sample_2d(grid, fwd, px, py)
-        return interp.sample2(field, mx, my, h, off)
+        return interp.sample2_lattice(field, mx, my, h, off, values=True)
 
     tmp = _volume_eval_2d(grid, kind, ev_fwd) - dfield
     tmp = jnp.where(band, tmp, 0.0)
@@ -780,7 +782,7 @@ def correct_2d(grid, kind, field, field_init, dfield, fwd, bwd):
 
     def ev_bwd(px, py):
         mx, my = _map_sample_2d(grid, bwd, px, py)
-        return interp.sample2(tmp, mx, my, h, off)
+        return interp.sample2_lattice(tmp, mx, my, h, off, values=True)
 
     corr = _volume_eval_2d(grid, kind, ev_bwd)
     out = jnp.where(band, field - corr, field)
@@ -795,7 +797,7 @@ def accumulate_2d(grid, kind, dfield, change, fwd, coeff=1.0):
 
     def ev(px, py):
         mx, my = _map_sample_2d(grid, fwd, px, py)
-        return coeff * interp.sample2(change, mx, my, h, off)
+        return coeff * interp.sample2_lattice(change, mx, my, h, off, values=True)
 
     delta = _volume_eval_2d(grid, kind, ev)
     a, b = _BANDS_2D_ACCUM[kind]
@@ -812,14 +814,14 @@ def estimate_distortion_2d(grid, bwd, fwd):
 
     fx = fwd[0]
     fy = fwd[1]
-    bx_at_f = interp.sample2(bwd[0], fx, fy, h, off)
-    by_at_f = interp.sample2(bwd[1], fx, fy, h, off)
+    bx_at_f = interp.sample2_lattice(bwd[0], fx, fy, h, off)
+    by_at_f = interp.sample2_lattice(bwd[1], fx, fy, h, off)
     d1 = jnp.sqrt((bx_at_f - px) ** 2 + (by_at_f - py) ** 2)
 
     bx = bwd[0]
     by = bwd[1]
-    fx_at_b = interp.sample2(fwd[0], bx, by, h, off)
-    fy_at_b = interp.sample2(fwd[1], bx, by, h, off)
+    fx_at_b = interp.sample2_lattice(fwd[0], bx, by, h, off)
+    fy_at_b = interp.sample2_lattice(fwd[1], bx, by, h, off)
     d2 = jnp.sqrt((fx_at_b - px) ** 2 + (fy_at_b - py) ** 2)
 
     band = _band2(px.shape, (2, 2), (3, 3))

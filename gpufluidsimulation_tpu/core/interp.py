@@ -184,6 +184,38 @@ def sample3_lattice(field, px, py, pz, h, off, values=False):
     return sample3(field, px, py, pz, h, off)
 
 
+def sample2_lattice(field, px, py, h, off, values=False):
+    """2D counterpart of sample3_lattice: full-lattice (or small-batched
+    full-lattice) position arrays route to the lifted windowed kernel
+    (interp_fast.sample2_fast) on TPU, the exact gather elsewhere."""
+    from gpufluidsimulation_tpu import config
+
+    if px.ndim in (2, 3) and config.use_fast_interp():
+        from gpufluidsimulation_tpu.ops import interp_fast
+
+        return interp_fast.sample2_fast(
+            field, px, py, h, off,
+            Rr=config.interp_rr(), interpret=config.interp_interpret(),
+            dtype=config.interp_window_dtype() if values else None,
+        )
+    return sample2(field, px, py, h, off)
+
+
+def mac_velocity_2d_lattice(u, v, px, py, h):
+    """mac_velocity_2d for full-lattice position arrays — windowed kernel
+    on TPU with the zero-out-of-band mask applied after sampling."""
+    from gpufluidsimulation_tpu import config
+
+    if px.ndim in (2, 3) and config.use_fast_interp():
+        from gpufluidsimulation_tpu.ops import interp_fast
+
+        return interp_fast.mac2_fast(
+            u, v, px, py, h,
+            Rr=config.interp_rr(), interpret=config.interp_interpret(),
+        )
+    return mac_velocity_2d(u, v, px, py, h)
+
+
 def mac_velocity_2d(u, v, px, py, h):
     """Sample the 2D MAC velocity; returns (u, v) arrays shaped like px.
 

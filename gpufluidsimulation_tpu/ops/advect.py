@@ -58,11 +58,11 @@ def trace_rk3_2d(u, v, h, dt, px, py):
     """2D RK3 with the reference's 0.001h clamp (BimocqSolver2D.cpp:16-17)."""
     ni, nj = v.shape[0], u.shape[1]
     c1, c2, c3 = 2.0 / 9.0 * dt, 3.0 / 9.0 * dt, 4.0 / 9.0 * dt
-    u1, v1 = interp.mac_velocity_2d(u, v, px, py, h)
+    u1, v1 = interp.mac_velocity_2d_lattice(u, v, px, py, h)
     m1x, m1y = px + 0.5 * dt * u1, py + 0.5 * dt * v1
-    u2, v2 = interp.mac_velocity_2d(u, v, m1x, m1y, h)
+    u2, v2 = interp.mac_velocity_2d_lattice(u, v, m1x, m1y, h)
     m2x, m2y = px + 0.75 * dt * u2, py + 0.75 * dt * v2
-    u3, v3 = interp.mac_velocity_2d(u, v, m2x, m2y, h)
+    u3, v3 = interp.mac_velocity_2d_lattice(u, v, m2x, m2y, h)
     ox = px + c1 * u1 + c2 * u2 + c3 * u3
     oy = py + c1 * v1 + c2 * v2 + c3 * v3
     return interp.clamp_pos_2d(ox, oy, h, ni, nj, eps=0.001)
@@ -152,7 +152,7 @@ def semilag_2d(grid, kind, field_src, u, v, w_unused, cfldt, dt):
     px, py = grid.node_coords(kind)
     bx, by = trace_2d(u, v, grid.h, cfldt, -dt, px, py)
     off = grid.off_of(kind)
-    return interp.sample2(field_src, bx, by, grid.h, off)
+    return interp.sample2_lattice(field_src, bx, by, grid.h, off, values=True)
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +201,7 @@ def _maccormack_clamp_2d(grid, kind, src, dst, u, v, cfldt, dt):
     v11 = interp._gather2(src, i0 + 1, j0 + 1)
     mn = jnp.minimum(jnp.minimum(v00, v10), jnp.minimum(v01, v11))
     mx = jnp.maximum(jnp.maximum(v00, v10), jnp.maximum(v01, v11))
-    fallback = interp.sample2(src, bx, by, h, off)
+    fallback = interp.sample2_lattice(src, bx, by, h, off, values=True)
     return jnp.where((dst < mn) | (dst > mx), fallback, dst)
 
 
@@ -408,17 +408,17 @@ def dmc_backward_step_2d(grid, u, v, map_x, map_y, substep):
     h = grid.h
     ni, nj = grid.ni, grid.nj
     px, py = grid.node_coords("c")
-    vel_u, vel_v = interp.mac_velocity_2d(u, v, px, py, h)
+    vel_u, vel_v = interp.mac_velocity_2d_lattice(u, v, px, py, h)
     tx = jnp.where(vel_u > 0, px - h, px + h)
     ty = jnp.where(vel_v > 0, py - h, py + h)
-    tu, tv = interp.mac_velocity_2d(u, v, tx, ty, h)
+    tu, tv = interp.mac_velocity_2d_lattice(u, v, tx, ty, h)
     ax = (vel_u - tu) / (px - tx)
     ay = (vel_v - tv) / (py - ty)
     nx_ = _dmc_newpos(px, vel_u, ax, substep)
     ny_ = _dmc_newpos(py, vel_v, ay, substep)
     nx_, ny_ = interp.clamp_pos_2d(nx_, ny_, h, ni, nj)
-    out_x = interp.sample2(map_x, nx_, ny_, h, grid.OFF_C)
-    out_y = interp.sample2(map_y, nx_, ny_, h, grid.OFF_C)
+    out_x = interp.sample2_lattice(map_x, nx_, ny_, h, grid.OFF_C)
+    out_y = interp.sample2_lattice(map_y, nx_, ny_, h, grid.OFF_C)
     return out_x, out_y
 
 

@@ -2066,3 +2066,76 @@ def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False,
         out, ocount = out
         OVERFLOW_SINK.append(ocount)
     return out
+
+
+# ---------------------------------------------------------------------------
+# 2D sampling on the 3D window machinery: a 2D field (ni, nj) lifts to a
+# singleton-x volume (1, ni, nj) — 2D-i becomes the sublane axis, 2D-j the
+# lane axis, and the x axis is a single plane sampled at displacement 0
+# (edge-replicated by pad_fields; zero x residual trivially satisfies the
+# contract). The whole 2D problem is small enough that the lift's padding
+# waste is irrelevant next to the ~20 ns/index scalar-core gathers it
+# replaces (a 256^2 BiMocq frame was gather-bound at ~650 ms on the TPU;
+# the windowed form runs the same samples in fractions of a millisecond).
+# Same bounded-displacement contract per (block) as the 3D kernels, now
+# over (i, j) blocks of the lifted (y, z) axes.
+# ---------------------------------------------------------------------------
+
+
+def sample2_fast(field, px, py, h, off, *, Rr=2, interpret=False, dtype=None):
+    """Bilinear drop-in for interp.sample2 on full-lattice position arrays:
+    element (i, j) samples near lattice site (i, j). Positions may carry a
+    small leading batch axis (B, ni, nj) — e.g. the 5-point volume stencil
+    of _volume_eval_2d — lifted onto the x block axis; the per-block base
+    shift centers the 0..B-1 batch residual, so B <= 2*Rr + 1 keeps the
+    contract."""
+    squeeze = px.ndim == 2
+    if squeeze:
+        px, py = px[None], py[None]
+    if px.shape[0] > 2 * Rr + 1:
+        raise ValueError(f"2D position batch {px.shape[0]} > {2 * Rr + 1}")
+    zeros = jnp.zeros_like(px)
+    off3 = (0.0, off[0], off[1])
+    out = sample3_fast(field[None], zeros, px, py, h, off3,
+                       Rr=Rr, interpret=interpret, dtype=dtype)
+    return out[0] if squeeze else out
+
+
+def sample2_multi(fields, px, py, h, offs, *, Rr=2, interpret=False,
+                  dtype=None):
+    """C stacked 2D fields sampled at one lattice with per-channel offsets:
+    one lifted window launch (the 2D counterpart of sample3_multi)."""
+    squeeze = px.ndim == 2
+    if squeeze:
+        px, py = px[None], py[None]
+    zeros = jnp.zeros_like(px)
+    offs3 = tuple((0.0, o[0], o[1]) for o in offs)
+    out = sample3_multi(fields[:, None], zeros, px, py, h,
+                        offs3, Rr=Rr, interpret=interpret, dtype=dtype)
+    return out[:, 0] if squeeze else out
+
+
+def mac2_fast(u, v, px, py, h, *, Rr=2, interpret=False):
+    """MAC velocity sampling with getVelocity's zero-out-of-band semantics
+    (interp.mac_velocity_2d): bilinear from the windowed kernels, then the
+    band mask applied in XLA (the fast path clamps; masked cells become 0
+    exactly as the reference's early-return does)."""
+    ni = v.shape[0]
+    nj = u.shape[1]
+    squeeze = px.ndim == 2
+    if squeeze:
+        px, py = px[None], py[None]
+    zeros = jnp.zeros_like(px)
+    us = sample3_fast(u[None], zeros, px, py, h,
+                      (0.0, 0.0, 0.5), Rr=Rr, interpret=interpret)
+    vs = sample3_fast(v[None], zeros, px, py, h,
+                      (0.0, 0.5, 0.0), Rr=Rr, interpret=interpret)
+    iu = jnp.floor(px / h)
+    ju = jnp.floor(py / h - 0.5)
+    us = jnp.where((iu >= 0) & (iu <= ni - 1) & (ju >= 0) & (ju <= nj - 2),
+                   us, 0.0)
+    iv = jnp.floor(px / h - 0.5)
+    jv = jnp.floor(py / h)
+    vs = jnp.where((iv >= 0) & (iv <= ni - 2) & (jv >= 0) & (jv <= nj - 1),
+                   vs, 0.0)
+    return (us[0], vs[0]) if squeeze else (us, vs)

@@ -29,6 +29,7 @@ import dataclasses
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from gpufluidsimulation_tpu import config
@@ -317,3 +318,43 @@ def test_interp_overflow_flags_violent_flow():
     finally:
         config.set_fast_interp(None)
         config.set_interp_interpret(False)
+
+
+def test_2d_step_fast_matches_exact():
+    """The lifted 2D windowed path (interp_fast.sample2_fast/mac2_fast,
+    wired through sample2_lattice/mac_velocity_2d_lattice): a few BiMocq
+    steps on the Taylor-vortex scene must track the exact-gather step
+    (the 2D step was scalar-core gather-bound on TPU before the lift)."""
+    from gpufluidsimulation_tpu.scenes import scenes2d
+    from gpufluidsimulation_tpu.solvers.schemes import Scheme
+    from gpufluidsimulation_tpu.solvers.smoke2d import Smoke2D, Smoke2DConfig
+    import math
+
+    cfg = Smoke2DConfig(ni=64, nj=64, L=2 * math.pi, scheme=Scheme.BIMOCQ,
+                        blend_coeff=1.0, pure_neumann=False)
+    solver = Smoke2D(cfg)
+    st0 = solver.init_state()
+    st0 = scenes2d.init_taylor_vortex(solver, st0, 0.81)[0]
+    st0 = jax.tree.map(np.asarray, st0)   # host copy: step donates buffers
+    dt = 0.025
+
+    sa = jax.tree.map(jnp.asarray, st0)
+    for _ in range(3):
+        sa = solver.step(sa, dt)
+
+    config.set_fast_interp(True)
+    config.set_interp_interpret(True)
+    try:
+        sb = jax.tree.map(jnp.asarray, st0)
+        for _ in range(3):
+            sb = solver.step(sb, dt)
+    finally:
+        config.set_fast_interp(None)
+        config.set_interp_interpret(False)
+
+    ua, ub = np.asarray(sa.u), np.asarray(sb.u)
+    assert np.isfinite(ub).all()
+    np.testing.assert_allclose(ub, ua, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sb.vel_map.bwd),
+                               np.asarray(sa.vel_map.bwd),
+                               rtol=1e-4, atol=1e-4)

@@ -746,3 +746,63 @@ def test_minmax3_fast_property_random_geometry():
                                    rtol=0, atol=1e-6)
 
     check()
+
+
+def test_sample2_fast_matches_gather(rng):
+    """The 2D lift (sample2_fast): 2D fields on the 3D window machinery via
+    a singleton/batched x plane, vs the exact bilinear gather."""
+    for shape in [(256, 256), (9, 33), (64, 100)]:
+        h = 0.1
+        off = (0.5, 0.5)
+        field = rng.standard_normal(shape).astype(np.float32)
+        node = np.stack(np.meshgrid(*[np.arange(s, dtype=np.float32)
+                                      for s in shape], indexing="ij"))
+        px = ((node[0] + off[0] + 1.8 * np.cos(0.2 * node[1])) * h
+              ).astype(np.float32)
+        py = ((node[1] + off[1] + 2.2 * np.sin(0.15 * node[0])) * h
+              ).astype(np.float32)
+        want = np.asarray(interp.sample2(
+            jnp.asarray(field), jnp.asarray(px), jnp.asarray(py), h, off))
+        got = np.asarray(interp_fast.sample2_fast(
+            jnp.asarray(field), jnp.asarray(px), jnp.asarray(py), h, off,
+            interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+        # batched 5-point volume-stencil form (B, ni, nj)
+        offs5 = np.array([[-0.25, -0.25], [0.25, -0.25], [-0.25, 0.25],
+                          [0.25, 0.25], [0.0, 0.0]], np.float32) * h
+        pxb = (px[None] + offs5[:, 0, None, None]).astype(np.float32)
+        pyb = (py[None] + offs5[:, 1, None, None]).astype(np.float32)
+        wantb = np.asarray(interp.sample2(
+            jnp.asarray(field), jnp.asarray(pxb), jnp.asarray(pyb), h, off))
+        gotb = np.asarray(interp_fast.sample2_fast(
+            jnp.asarray(field), jnp.asarray(pxb), jnp.asarray(pyb), h, off,
+            interpret=True))
+        np.testing.assert_allclose(gotb, wantb, rtol=1e-3, atol=1e-4)
+
+
+def test_mac2_fast_matches_exact(rng):
+    """mac2_fast: windowed MAC sampling + the zero-out-of-band mask ==
+    interp.mac_velocity_2d (incl. its NOT-clamped early-return zeros)."""
+    ni, nj = 32, 24
+    h = 0.05
+    u = rng.standard_normal((ni + 1, nj)).astype(np.float32)
+    v = rng.standard_normal((ni, nj + 1)).astype(np.float32)
+    node = np.stack(np.meshgrid(np.arange(ni, dtype=np.float32),
+                                np.arange(nj, dtype=np.float32),
+                                indexing="ij"))
+    # smooth, contract-compliant displacement (in-block variation < Rr+0.5)
+    # whose rim rows still cross the u/v validity bands (the +-1.8-cell
+    # reach past lattice 23/31 exercises the zero mask)
+    px = ((node[0] + 0.5 + 1.8 * np.cos(0.06 * node[1])) * h).astype(np.float32)
+    py = ((node[1] + 0.5 + 1.8 * np.sin(0.07 * node[0])) * h).astype(np.float32)
+    wu, wv = interp.mac_velocity_2d(jnp.asarray(u), jnp.asarray(v),
+                                    jnp.asarray(px), jnp.asarray(py), h)
+    gu, gv = interp_fast.mac2_fast(jnp.asarray(u), jnp.asarray(v),
+                                   jnp.asarray(px), jnp.asarray(py), h,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(wu),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(wv),
+                               rtol=1e-3, atol=1e-4)
+    # the zero-out-of-band semantics were actually exercised
+    assert (np.asarray(wu) == 0).any() and (np.asarray(wv) == 0).any()
