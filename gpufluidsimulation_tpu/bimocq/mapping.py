@@ -94,6 +94,16 @@ def update_mapping_3d(mapping: MappingState, grid, u, v, w, cfldt, dt,
     across calls. `from_identity=True` (per-frame-reinit mode only: both
     maps are statically identity at step entry) runs the backward march's
     first substep gather-free."""
+    from gpufluidsimulation_tpu import config
+
+    ss = config.sharded_sampling()
+    if ss is not None:
+        mesh, halo = ss
+        if grid.nk % mesh.size == 0 and halo <= grid.nk // mesh.size:
+            from gpufluidsimulation_tpu.parallel import sharded_interp
+
+            return sharded_interp.update_mapping_3d_sharded(
+                mapping, grid, u, v, w, cfldt, dt, mesh, halo)
     if packed is None:
         packed = interp.mac_pack_3d(u, v, w, grid.shape_c)
     bx, by, bz = advect.update_backward_map_3d(

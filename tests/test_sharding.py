@@ -181,3 +181,43 @@ def test_sharded_fast_step_matches_single_device_fast():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(s1.u), np.asarray(s0.u),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_map_marches_match_single_device():
+    """update_mapping_3d_sharded: DMC backward + RK3 forward marches with
+    z-sharded maps, replicated velocity slabs, per-substep ppermute map
+    halos, and windowed sampling in local slab coordinates — vs the
+    single-device marches on developed flow."""
+    from gpufluidsimulation_tpu import config
+    from gpufluidsimulation_tpu.scenes.scenes3d import vortex_collision_config
+    from gpufluidsimulation_tpu.solvers.schemes import Scheme
+    from gpufluidsimulation_tpu.solvers.smoke3d import Emitter3D, Smoke3D
+    from gpufluidsimulation_tpu.bimocq import mapping as mp
+    from gpufluidsimulation_tpu.parallel import sharded_interp
+
+    cfg = vortex_collision_config(
+        ni=8, nj=8, nk=32, scheme=Scheme.BIMOCQ, dt=0.01,
+        emitters=(Emitter3D(center=(0.03, 0.05, 0.1), radius=0.03,
+                            sign=1.0),),
+        viscosity=0.0, proj_tol=1e-6, proj_max_iters=60,
+    )
+    solver = Smoke3D(cfg)
+    s = solver.init_state()
+    s = solver.step(s)
+    g = solver.grid
+    maxv = float(jnp.max(jnp.abs(s.u)))
+    cfldt = g.h / max(maxv, 1e-6)
+
+    ref = mp.update_mapping_3d(s.vel_map, g, s.u, s.v, s.w, cfldt, cfg.dt)
+    config.set_interp_interpret(True)
+    try:
+        mesh = make_mesh(4)
+        got = sharded_interp.update_mapping_3d_sharded(
+            s.vel_map, g, s.u, s.v, s.w, cfldt, cfg.dt, mesh, halo=8)
+    finally:
+        config.set_interp_interpret(False)
+    assert len(got.bwd.sharding.device_set) == 4
+    np.testing.assert_allclose(np.asarray(got.bwd), np.asarray(ref.bwd),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.fwd), np.asarray(ref.fwd),
+                               rtol=1e-5, atol=1e-6)
