@@ -80,6 +80,11 @@ def _run_2d(args):
               {"cfl": f"{float(state.cfl):.3f}",
                "proj_iters": int(state.proj_iters),
                "proj_res": f"{float(state.proj_res):.2e}"}))
+        overflow = int(getattr(state, "interp_overflow", 0))
+        if overflow:
+            print(timing.RED + f"[WARN] fast-interp contract violated in "
+                  f"{overflow} blocks this frame — results may be clamped; "
+                  f"raise GFS_INTERP_RR or lower dt" + timing.RESET)
         if scene.output == "vorticity":
             curl = forces.curl_2d(state.u, state.v, g.h)
             rgb = colormap.render_vorticity(curl, g.ni, g.nj)

@@ -93,6 +93,10 @@ class Smoke2DState:
     cfl: jnp.ndarray
     proj_iters: jnp.ndarray
     proj_res: jnp.ndarray
+    # fast-interp contract monitor: per-frame violating-block counts from
+    # the BIMOCQ pull-back/correct sampler launches (interp_fast.
+    # overflow_sink); 0 on the exact path and for the other schemes
+    interp_overflow: jnp.ndarray
 
 
 def init_state(cfg: Smoke2DConfig) -> Smoke2DState:
@@ -125,6 +129,7 @@ def init_state(cfg: Smoke2DConfig) -> Smoke2DState:
         cfl=jnp.float32(0.0),
         proj_iters=jnp.int32(0),
         proj_res=jnp.float32(0.0),
+        interp_overflow=jnp.int32(0),
     )
     return jax.tree.map(lambda x: x + jnp.zeros_like(x), state)
 
@@ -247,29 +252,37 @@ def _step_bimocq(cfg, g, ctx, s, dt):
 
     u_presave, v_presave = u0, v0
 
-    if not lvl:
-        u = mp.advect_bimocq_2d(g, "u", semi_u, s.u_init, s.u_origin, s.du,
-                                s.du_prev, vel_map.bwd, vel_map.bwd_prev,
-                                cfg.blend_coeff)
-        v = mp.advect_bimocq_2d(g, "v", semi_v, s.v_init, s.v_origin, s.dv,
-                                s.dv_prev, vel_map.bwd, vel_map.bwd_prev,
-                                cfg.blend_coeff)
-        u = mp.correct_2d(g, "u", u, s.u_init, s.du, vel_map.fwd, vel_map.bwd)
-        v = mp.correct_2d(g, "v", v, s.v_init, s.dv, vel_map.fwd, vel_map.bwd)
-    else:
-        u, v = u0, v0
+    # the pull-back/correct launches self-report contract-violation block
+    # counts (free byproduct of the window prepass; cf. the 3D step)
+    from gpufluidsimulation_tpu.ops import interp_fast
 
-    rho = mp.advect_bimocq_2d(g, "c", semi_rho, s.rho_init, s.rho_orig, s.drho,
-                              s.drho_prev, scalar_map.bwd, scalar_map.bwd_prev,
-                              cfg.blend_coeff)
-    T = mp.advect_bimocq_2d(g, "c", semi_T, s.T_init, s.T_orig, s.dT,
-                            s.dT_prev, scalar_map.bwd, scalar_map.bwd_prev,
-                            cfg.blend_coeff)
-    if not lvl:
-        rho = mp.correct_2d(g, "c", rho, s.rho_init, s.drho,
-                            scalar_map.fwd, scalar_map.bwd)
-        T = mp.correct_2d(g, "c", T, s.T_init, s.dT,
-                          scalar_map.fwd, scalar_map.bwd)
+    with interp_fast.overflow_sink() as ovf_counts:
+        if not lvl:
+            u = mp.advect_bimocq_2d(g, "u", semi_u, s.u_init, s.u_origin,
+                                    s.du, s.du_prev, vel_map.bwd,
+                                    vel_map.bwd_prev, cfg.blend_coeff)
+            v = mp.advect_bimocq_2d(g, "v", semi_v, s.v_init, s.v_origin,
+                                    s.dv, s.dv_prev, vel_map.bwd,
+                                    vel_map.bwd_prev, cfg.blend_coeff)
+            u = mp.correct_2d(g, "u", u, s.u_init, s.du, vel_map.fwd,
+                              vel_map.bwd)
+            v = mp.correct_2d(g, "v", v, s.v_init, s.dv, vel_map.fwd,
+                              vel_map.bwd)
+        else:
+            u, v = u0, v0
+
+        rho = mp.advect_bimocq_2d(g, "c", semi_rho, s.rho_init, s.rho_orig,
+                                  s.drho, s.drho_prev, scalar_map.bwd,
+                                  scalar_map.bwd_prev, cfg.blend_coeff)
+        T = mp.advect_bimocq_2d(g, "c", semi_T, s.T_init, s.T_orig, s.dT,
+                                s.dT_prev, scalar_map.bwd,
+                                scalar_map.bwd_prev, cfg.blend_coeff)
+        if not lvl:
+            rho = mp.correct_2d(g, "c", rho, s.rho_init, s.drho,
+                                scalar_map.fwd, scalar_map.bwd)
+            T = mp.correct_2d(g, "c", T, s.T_init, s.dT,
+                              scalar_map.fwd, scalar_map.bwd)
+    overflow = (sum(ovf_counts) if ovf_counts else jnp.int32(0))
 
     u_save, v_save = u, v
     rho_save, T_save = rho, T
@@ -367,6 +380,7 @@ def _step_bimocq(cfg, g, ctx, s, dt):
         frame=s.frame + 1,
         last_remeshing=jnp.where(vel_remap, s.frame, s.last_remeshing),
         rho_last_remeshing=jnp.where(rho_remap, s.frame, s.rho_last_remeshing),
+        interp_overflow=overflow,
         total_resample_count=total_resample,
         total_scalar_resample=total_scalar_resample,
         cfl=max_vel(u, v) * dt / g.h, proj_iters=iters, proj_res=res,
