@@ -51,8 +51,8 @@ def _shift_zero(x, d, axis):
     return jnp.concatenate([zeros, x[tuple(sl)]], axis=axis)
 
 
-def _rbgs_kernel(x_hbm, b_hbm, d_hbm, out_ref, xw, bw, dw, sems, *,
-                 sweeps, win, nx, ny):
+def _rbgs_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
+                 sweeps, win, nx, ny, nz, neumann):
     bi = pl.program_id(0)
     bj = pl.program_id(1)
     ox = bi * TX          # window x origin in padded coords (pad = HX)
@@ -61,7 +61,7 @@ def _rbgs_kernel(x_hbm, b_hbm, d_hbm, out_ref, xw, bw, dw, sems, *,
     cps = [
         pltpu.make_async_copy(
             src.at[pl.ds(ox, win[0]), pl.ds(oy, win[1]), :], dst, sems.at[i])
-        for i, (src, dst) in enumerate(((x_hbm, xw), (b_hbm, bw), (d_hbm, dw)))
+        for i, (src, dst) in enumerate(((x_hbm, xw), (b_hbm, bw)))
     ]
     for cp in cps:
         cp.start()
@@ -74,12 +74,26 @@ def _rbgs_kernel(x_hbm, b_hbm, d_hbm, out_ref, xw, bw, dw, sems, *,
     valid = (gi >= 0) & (gi < nx) & (gj >= 0) & (gj < ny)
     # global checkerboard: pads/origins are even, so local parity == global
     red = (li + lj + lk) % 2 == 0
+    # The diagonal is STRUCTURAL (poisson._diag): 2*ndim for Dirichlet, the
+    # existing-neighbor count for Neumann — recomputed here from the global
+    # indices instead of DMA'ing a third full window per block (-1/3 of the
+    # input DMA bytes and one XLA pad per launch). Integer-valued in f32,
+    # bitwise identical to the _diag table. Halo cells outside the domain
+    # get a harmless nonzero value (their results are masked off).
+    if neumann:
+        one = jnp.float32(1.0)
+        zero = jnp.float32(0.0)
+        diag = (jnp.where(gi > 0, one, zero) + jnp.where(gi < nx - 1, one, zero)
+                + jnp.where(gj > 0, one, zero) + jnp.where(gj < ny - 1, one, zero)
+                + jnp.where(lk > 0, one, zero) + jnp.where(lk < nz - 1, one, zero))
+        # each axis contributes >= 1 even in the halo, so diag >= 3: no /0
+    else:
+        diag = jnp.float32(6.0)
 
     for cp in cps:
         cp.wait()
     x = xw[...]
     b = bw[...]
-    diag = dw[...]
 
     def nbr(x):
         total = jnp.zeros_like(x)
@@ -96,34 +110,33 @@ def _rbgs_kernel(x_hbm, b_hbm, d_hbm, out_ref, xw, bw, dw, sems, *,
     out_ref[...] = x[HX : HX + TX, HY : HY + TY, :]
 
 
-@functools.partial(jax.jit, static_argnames=("sweeps", "interpret"))
-def _rbgs_launch(x, b, diag, *, sweeps, interpret):
+@functools.partial(jax.jit, static_argnames=("sweeps", "neumann", "interpret"))
+def _rbgs_launch(x, b, *, sweeps, neumann, interpret):
     nx, ny, nz = x.shape
     gx_ = -(-nx // TX)
     gy_ = -(-ny // TY)
     padw = [(HX, HX + gx_ * TX - nx), (HY, HY + gy_ * TY - ny), (0, 0)]
     xp = jnp.pad(x, padw)
     bp = jnp.pad(b, padw)
-    dp = jnp.pad(diag, padw, constant_values=1.0)
     win = (TX + 2 * HX, TY + 2 * HY, nz)
 
     kernel = functools.partial(
-        _rbgs_kernel, sweeps=sweeps, win=win, nx=nx, ny=ny)
+        _rbgs_kernel, sweeps=sweeps, win=win, nx=nx, ny=ny, nz=nz,
+        neumann=neumann)
     out = pl.pallas_call(
         kernel,
         grid=(gx_, gy_),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec((TX, TY, nz), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gx_ * TX, gy_ * TY, nz), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM(win, jnp.float32),
             pltpu.VMEM(win, jnp.float32),
-            pltpu.VMEM(win, jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xp, bp, dp)
+    )(xp, bp)
     return out[:nx, :ny, :]
 
 
@@ -218,15 +231,16 @@ def jacobi_diffuse(x, b, *, iters, coef, interpret: bool = False):
     return x[..., :nz]
 
 
-def rbgs_smooth(x, b, diag, *, bc: str, iters: int, interpret: bool = False):
+def rbgs_smooth(x, b, *, bc: str, iters: int, interpret: bool = False):
     """Red-black Gauss-Seidel: `iters` full red+black sweeps of
     L x = b with L as in ops.poisson.laplacian (x_new = (nbr_sum + b)/diag
-    per color; `bc` is encoded in `diag`). Blocked — works at any volume
-    size (the halo budget caps sweeps at 2 per launch)."""
-    del bc  # the unified zero-ghost form needs only diag
+    per color; the structural diagonal for `bc` is computed in-kernel).
+    Blocked — works at any volume size (the halo budget caps sweeps at 2
+    per launch)."""
     remaining = int(iters)
     while remaining > 0:
         s = min(2, remaining)
-        x = _rbgs_launch(x, b, diag, sweeps=s, interpret=interpret)
+        x = _rbgs_launch(x, b, sweeps=s, neumann=(bc == "neumann"),
+                         interpret=interpret)
         remaining -= s
     return x

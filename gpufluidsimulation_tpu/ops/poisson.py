@@ -264,7 +264,7 @@ class MGContext:
             from gpufluidsimulation_tpu.ops.pallas_kernels import rbgs_smooth
 
             return rbgs_smooth(
-                x, b, self.diags[level], bc=self.bc, iters=iters,
+                x, b, bc=self.bc, iters=iters,
                 interpret=_cfg.interp_interpret(),
             )
         return jacobi_smooth(x, b, self.bc, self.diags[level], iters, omega)

@@ -46,7 +46,7 @@ def main(n=256):
     lap = jax.jit(lambda p: poisson.laplacian(p, bc))
     timeit("laplacian apply (fine)", lap, b)
 
-    sm2 = jax.jit(lambda xx, bb: rbgs_smooth(xx, bb, ctx.diags[0], bc=bc,
+    sm2 = jax.jit(lambda xx, bb: rbgs_smooth(xx, bb, bc=bc,
                                              iters=2))
     timeit("RBGS 2 sweeps (fine, 1 launch)", sm2, x, b)
 

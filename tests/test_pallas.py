@@ -12,8 +12,7 @@ def test_rbgs_reduces_residual(rng, bc):
     b = rng.standard_normal(shape).astype(np.float32)
     if bc == "neumann":
         b = b - b.mean()
-    diag = jnp.asarray(poisson._diag(shape, bc))
-    x = rbgs_smooth(jnp.zeros(shape, jnp.float32), jnp.asarray(b), diag,
+    x = rbgs_smooth(jnp.zeros(shape, jnp.float32), jnp.asarray(b),
                     bc=bc, iters=20, interpret=True)
     r = np.asarray(b) - np.asarray(poisson.laplacian(x, bc))
     if bc == "neumann":
@@ -29,7 +28,7 @@ def test_rbgs_is_gauss_seidel_exact_small():
     diag = np.asarray(poisson._diag(shape, "dirichlet"))
     got = np.asarray(
         rbgs_smooth(jnp.zeros(shape, jnp.float32), jnp.asarray(b),
-                    jnp.asarray(diag), bc="dirichlet", iters=1, interpret=True)
+                    bc="dirichlet", iters=1, interpret=True)
     )
 
     x = np.zeros(shape, np.float32)
@@ -61,7 +60,7 @@ def test_rbgs_blocked_multi_tile_matches_reference_gs(rng):
     b = rng.standard_normal(shape).astype(np.float32)
     diag = np.asarray(poisson._diag(shape, "neumann"))
     got = np.asarray(rbgs_smooth(
-        jnp.zeros(shape, jnp.float32), jnp.asarray(b), jnp.asarray(diag),
+        jnp.zeros(shape, jnp.float32), jnp.asarray(b),
         bc="neumann", iters=2, interpret=True))
 
     x = np.zeros(shape, np.float32)
