@@ -99,9 +99,8 @@ def measure_poisson(n, tol=1e-4, reps=5):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=int(os.environ.get("BENCH_N", "256")))
-    # >= 8 timed steps so the periodic displacement-contract monitor
-    # (overflow_check_every=4) is both EXERCISED (frames 4, 8 checked) and
-    # amortized into the ms/step exactly as in production
+    # >= 8 timed steps amortize per-step noise; the displacement-contract
+    # monitor rides every launch of every frame (no periodic pass)
     ap.add_argument("--steps", type=int, default=int(os.environ.get("BENCH_STEPS", "8")))
     ap.add_argument("--scheme", default="bimocq")
     ap.add_argument("--skip-poisson", action="store_true")

@@ -473,21 +473,29 @@ def update_backward_map_3d(grid, u, v, w, map_xyz, cfldt, dt, packed=None,
             return carry[0] < dt
 
         def body(carry):
-            t, m = carry
+            t, m, cnt = carry
             sub = jnp.minimum(cfldt, dt - t)
-            m2 = interp_fast.dmc_substep_fast(
+            m2, c2 = interp_fast.dmc_substep_fast(
                 mac_packed, m, sub, grid.h, grid_n,
                 Rr=_cfg.interp_rr(), interpret=_cfg.interp_interpret(),
+                want_count=True,
             )
-            return (t + sub, m2)
+            return (t + sub, m2, cnt + c2)
 
         if from_identity:
+            # the identity-map substep is gather-free (a clip) — it cannot
+            # violate the window contract, so it contributes no count
             sub0 = jnp.minimum(cfldt, dt)
             m0 = dmc_backward_identity_3d(grid, u, v, w, sub0)
-            carry0 = (sub0, jnp.stack(list(m0)))
+            carry0 = (sub0, jnp.stack(list(m0)), jnp.int32(0))
         else:
-            carry0 = (jnp.float32(0.0), jnp.stack(list(map_xyz)))
-        _, out = lax.while_loop(cond, body, carry0)
+            carry0 = (jnp.float32(0.0), jnp.stack(list(map_xyz)),
+                      jnp.int32(0))
+        _, out, cnt = lax.while_loop(cond, body, carry0)
+        # every in-kernel substep self-reports its displacement-contract
+        # violations; surface the total through the frame's overflow sink
+        if interp_fast.OVERFLOW_SINK is not None:
+            interp_fast.OVERFLOW_SINK.append(cnt)
         return out[0], out[1], out[2]
 
     def cond(carry):

@@ -1851,8 +1851,8 @@ def _dmc_origin(i, j, k, fs, P, Rr, bz=128):
     return ox, pl.multiple_of(oy, 8), sy, pl.multiple_of(ozw, 128), g0 - ozw
 
 
-def _kernel_dmc(sh_ref, mac_hbm, maps_hbm, out_ref, win_v, win_m, sem,
-                *, Rr, block, win_shape, fs_v, fs_m, P, grid_n):
+def _kernel_dmc(sh_ref, mac_hbm, maps_hbm, out_ref, cnt_ref, win_v, win_m,
+                sem, *, Rr, block, win_shape, fs_v, fs_m, P, grid_n):
     nb1 = pl.num_programs(1)
     nb2 = pl.num_programs(2)
     bi = pl.program_id(0)
@@ -1972,6 +1972,27 @@ def _kernel_dmc(sh_ref, mac_hbm, maps_hbm, out_ref, win_v, win_m, sem,
         center = wm[ch, R1: R1 + B1, R1: R1 + B2, R1: R1 + B3]
         out_ref[ch] = jnp.where(band, sampled, center)
 
+    # free displacement-contract monitor: DMC displacements beyond the
+    # window reach (|d| > Rr + 0.5 cells per axis) are clamped by the tap
+    # machinery — count them per launch so every substep of every frame
+    # self-reports (the in-kernel twin of smoke3d's periodic XLA mirror,
+    # which this byproduct replaces). Band cells only: rim cells keep the
+    # old map and never consume a clamped sample.
+    reach = Rr + 0.5
+    viol = band & ((jnp.abs(lx - (a_i + R1)) > reach)
+                   | (jnp.abs(ly - (b_i + R1)) > reach)
+                   | (jnp.abs(lz - (c_i + R1)) > reach))
+    # single (1,1) SMEM accumulator with a constant index map: the TPU grid
+    # runs sequentially on one core, so += across grid steps is safe, and
+    # the block is only flushed once, after the last step. (A per-block row
+    # output would need a (1,1) block over an (nblk,1) array — rejected by
+    # Mosaic's (8,128)-divisible-or-whole-array block rule.)
+    @pl.when(blk == 0)
+    def _():
+        cnt_ref[0, 0] = 0
+
+    cnt_ref[0, 0] += jnp.sum(viol.astype(jnp.int32))
+
 
 @functools.partial(
     jax.jit, static_argnames=("Rr", "interpret", "out_shape", "grid_n")
@@ -1998,17 +2019,25 @@ def _dmc_padded(mac_packed, maps_packed, sh, h, *, Rr, interpret, out_shape,
         fs_v=fs_v, fs_m=fs_m, P=P, grid_n=grid_n,
     )
     scalars = jnp.stack([sh, h]).astype(jnp.float32).reshape(1, 2)
-    out = pl.pallas_call(
+    out, cnt = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((3, nx, ny, Z), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, nx, ny, Z), jnp.float32),
+            # launch-total contract-violation count (see _kernel_dmc)
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
         grid=nb,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((3,) + block, lambda i, j, k: (0, i, j, k),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((3,) + block, lambda i, j, k: (0, i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((2,) + win_shape, mac_packed.dtype),  # win_v (MAC)
             pltpu.VMEM((2,) + win_shape, jnp.float32),       # win_m (maps)
@@ -2019,21 +2048,25 @@ def _dmc_padded(mac_packed, maps_packed, sh, h, *, Rr, interpret, out_shape,
         ),
         interpret=interpret,
     )(scalars, mac_packed, maps_packed)
-    return out[:, : out_shape[0], : out_shape[1], : out_shape[2]]
+    return (out[:, : out_shape[0], : out_shape[1], : out_shape[2]],
+            jnp.sum(cnt))
 
 
 def dmc_substep_fast(mac_packed, maps, sub, h, grid_n, *, Rr=2,
-                     interpret=False):
+                     interpret=False, want_count=False):
     """One fused DMC backward-map substep. `mac_packed` is the frame's MAC
     pack (pad_fields onto the cell lattice); `maps` is the stacked
-    (3, ni, nj, nk) backward map, padded here per substep (it changes)."""
+    (3, ni, nj, nk) backward map, padded here per substep (it changes).
+    `want_count=True` additionally returns the launch's in-kernel
+    displacement-contract violation count (free byproduct)."""
     out_shape = maps.shape[1:]
     maps_packed = pad_fields(maps, out_shape, Rr)
     sh = jnp.asarray(sub, jnp.float32) / h
-    return _dmc_padded(
+    out, cnt = _dmc_padded(
         mac_packed, maps_packed, sh, jnp.float32(h),
         Rr=Rr, interpret=interpret, out_shape=out_shape, grid_n=grid_n,
     )
+    return (out, cnt) if want_count else out
 
 
 def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False,

@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TX, TY = 16, 16
+TX, TY = 32, 32
 HX, HY = 4, 8  # halo (x) and halo+alignment (y); sweeps/launch <= HX/2
 
 
@@ -52,16 +52,17 @@ def _shift_zero(x, d, axis):
 
 
 def _rbgs_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
-                 sweeps, win, nx, ny, nz, neumann):
+                 sweeps, win, nx, ny, nz, neumann, from_zero=False):
     bi = pl.program_id(0)
     bj = pl.program_id(1)
     ox = bi * TX          # window x origin in padded coords (pad = HX)
     oy = pl.multiple_of(bj * TY, 8)
 
+    srcs = ((b_hbm, bw),) if from_zero else ((x_hbm, xw), (b_hbm, bw))
     cps = [
         pltpu.make_async_copy(
             src.at[pl.ds(ox, win[0]), pl.ds(oy, win[1]), :], dst, sems.at[i])
-        for i, (src, dst) in enumerate(((x_hbm, xw), (b_hbm, bw)))
+        for i, (src, dst) in enumerate(srcs)
     ]
     for cp in cps:
         cp.start()
@@ -92,7 +93,11 @@ def _rbgs_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
 
     for cp in cps:
         cp.wait()
-    x = xw[...]
+    # from_zero: the pre-smoother starts at x == 0 everywhere (v_cycle's
+    # zeros_like(r) initial guess) — skip the x window DMA and pad entirely;
+    # nbr(0) == 0 makes the first red sweep b/diag, exactly as if the zero
+    # window had been loaded.
+    x = jnp.zeros(win, bw.dtype) if from_zero else xw[...]
     b = bw[...]
 
     def nbr(x):
@@ -110,19 +115,23 @@ def _rbgs_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
     out_ref[...] = x[HX : HX + TX, HY : HY + TY, :]
 
 
-@functools.partial(jax.jit, static_argnames=("sweeps", "neumann", "interpret"))
-def _rbgs_launch(x, b, *, sweeps, neumann, interpret):
-    nx, ny, nz = x.shape
+@functools.partial(jax.jit,
+                   static_argnames=("sweeps", "neumann", "interpret",
+                                    "from_zero"))
+def _rbgs_launch(x, b, *, sweeps, neumann, interpret, from_zero=False):
+    nx, ny, nz = b.shape
     gx_ = -(-nx // TX)
     gy_ = -(-ny // TY)
     padw = [(HX, HX + gx_ * TX - nx), (HY, HY + gy_ * TY - ny), (0, 0)]
-    xp = jnp.pad(x, padw)
     bp = jnp.pad(b, padw)
+    # from_zero skips the x pad AND the x window DMA (kernel substitutes a
+    # zero window); bp stands in as the unused first operand.
+    xp = bp if from_zero else jnp.pad(x, padw)
     win = (TX + 2 * HX, TY + 2 * HY, nz)
 
     kernel = functools.partial(
         _rbgs_kernel, sweeps=sweeps, win=win, nx=nx, ny=ny, nz=nz,
-        neumann=neumann)
+        neumann=neumann, from_zero=from_zero)
     out = pl.pallas_call(
         kernel,
         grid=(gx_, gy_),
@@ -236,11 +245,19 @@ def rbgs_smooth(x, b, *, bc: str, iters: int, interpret: bool = False):
     L x = b with L as in ops.poisson.laplacian (x_new = (nbr_sum + b)/diag
     per color; the structural diagonal for `bc` is computed in-kernel).
     Blocked — works at any volume size (the halo budget caps sweeps at 2
-    per launch)."""
+    per launch).
+
+    `x=None` means the initial guess is exactly zero (the V-cycle's
+    pre-smoother): the first launch then runs from_zero — no x pad, no x
+    window DMA — and produces bit-identical results to smoothing an
+    explicit zeros array."""
     remaining = int(iters)
+    from_zero = x is None
     while remaining > 0:
         s = min(2, remaining)
-        x = _rbgs_launch(x, b, sweeps=s, neumann=(bc == "neumann"),
-                         interpret=interpret)
+        x = _rbgs_launch(b if from_zero else x, b, sweeps=s,
+                         neumann=(bc == "neumann"), interpret=interpret,
+                         from_zero=from_zero)
+        from_zero = False
         remaining -= s
     return x

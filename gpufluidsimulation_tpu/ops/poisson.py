@@ -258,6 +258,8 @@ class MGContext:
         # 3D fine levels only: natively, Mosaic DMA slice sizes on the lane
         # (z) dim must be 128-aligned; interpret mode (CPU tests) has no
         # such constraint. Coarse grids are cheap on XLA Jacobi anyway.
+        # `x=None` = statically-zero initial guess (the pre-smoother): the
+        # RBGS path skips the x pad + window DMA of its first launch.
         if (_cfg.use_rbgs() and iters <= 4 and len(shape) == 3
                 and min(shape) >= 16
                 and ((shape[2] % 128 == 0) or _cfg.interp_interpret())):
@@ -267,6 +269,8 @@ class MGContext:
                 x, b, bc=self.bc, iters=iters,
                 interpret=_cfg.interp_interpret(),
             )
+        if x is None:
+            x = jnp.zeros_like(b)
         return jacobi_smooth(x, b, self.bc, self.diags[level], iters, omega)
 
     def v_cycle(self, r, level=0, n_pre=2, n_post=2, n_coarse=40, omega=0.8):
@@ -276,9 +280,8 @@ class MGContext:
         same role)."""
         bc = self.bc
         if level == len(self.shapes) - 1:
-            e = jnp.zeros_like(r)
-            return self._smooth(e, r, level, n_coarse, omega)
-        e = self._smooth(jnp.zeros_like(r), r, level, n_pre, omega)
+            return self._smooth(None, r, level, n_coarse, omega)
+        e = self._smooth(None, r, level, n_pre, omega)
         rr = r - laplacian(e, bc)
         rmats = getattr(self, "rmats", None)
         pmats = getattr(self, "pmats", None)

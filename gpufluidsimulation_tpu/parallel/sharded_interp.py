@@ -207,6 +207,10 @@ def update_mapping_3d_sharded(mapping, grid, u, v, w, cfldt, dt,
         w_l = _vel_slab(w_g, s0, L, 1)
         prev_fast = config._FORCED
         config.set_fast_interp(True)
+        # the overflow sink must not capture tracers from inside the
+        # shard_map / while_loop scopes (they cannot escape to the outer
+        # consumer); the sharded march reports no per-launch counts
+        prev_sink, interp_fast.OVERFLOW_SINK = interp_fast.OVERFLOW_SINK, None
         try:
             pack = interp.mac_pack_3d(u_l, v_l, w_l, (ni, nj, L))
 
@@ -321,6 +325,7 @@ def update_mapping_3d_sharded(mapping, grid, u, v, w, cfldt, dt,
             return bwd_out, fwd_out
         finally:
             config.set_fast_interp(prev_fast)
+            interp_fast.OVERFLOW_SINK = prev_sink
 
     rep = P(None, None, None)
     mspec = P(None, None, None, "z")

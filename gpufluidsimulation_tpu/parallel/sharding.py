@@ -80,6 +80,8 @@ class ShardedMGContext:
         from gpufluidsimulation_tpu.ops import poisson
         from gpufluidsimulation_tpu.parallel import halo
 
+        if x is None:  # pre-smoother's statically-zero initial guess
+            x = jnp.zeros_like(b)
         nz = self.shapes[level][2]
         if nz % self.mesh.size == 0 and nz // self.mesh.size >= 2:
             return halo.jacobi_smooth_sharded(

@@ -157,11 +157,6 @@ class Smoke3DConfig:
     scalar_reinit_gap: int = 30
     vel_distortion_limit: float = 1.0    # BimocqSolver.cpp:175
     scalar_distortion_limit: float = 5.0
-    # fast-interp displacement-contract monitor cadence: the check costs
-    # ~2% of a 256^3 step (a composed map sample + three staged
-    # reductions), so it runs every K frames; frames in between carry the
-    # last measured count. 1 = every frame (strict).
-    overflow_check_every: int = 4
 
     @property
     def h(self) -> float:
@@ -204,10 +199,10 @@ class Smoke3DState:
     proj_res_hist: jnp.ndarray
     # fast-interp bounded-displacement contract monitor, 0 = the windowed
     # kernels were exact this step. Sum of (a) per-launch violating-block
-    # counts reported free by every pull-back sampler's prepass
-    # (interp_fast.overflow_sink, every frame) and (b) the fused DMC
-    # kernel's displacement mirror (periodic, cfg.overflow_check_every).
-    # Only evaluated on the fast-interp path.
+    # counts reported free by every pull-back sampler's prepass and (b) the
+    # fused DMC substep kernel's in-kernel clamped-displacement counts
+    # (interp_fast.overflow_sink) — every launch, every frame. Only
+    # evaluated on the fast-interp path.
     interp_overflow: jnp.ndarray
 
 
@@ -597,78 +592,65 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
 
     bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
 
-    # ONE MAC pack serves every trace of this frame's velocity: both map
-    # marches, and (with boundaries) the semilag fallbacks — keyed to the
-    # union lattice only when the fallbacks need it
-    packed = (_vel_pack(g, s.u, s.v, s.w) if cfg.boundaries
-              else interp.mac_pack_3d(s.u, s.v, s.w, g.shape_c))
-    vel_map = mp.update_mapping_3d(
-        s.vel_map, g, s.u, s.v, s.w, cfldt, dt,
-        # 'always' reinitializes both maps to identity at the END of every
-        # step, so at entry they are statically identity: the backward
-        # march's first substep runs gather-free
-        from_identity=(cfg.reinit_mode == "always"),
-        packed=packed,
-    )
-    if cfg.reinit_mode == "always":
-        # both maps are reset to identity every frame and marched with the
-        # same velocity -> they are bitwise identical; march once. (The
-        # reference runs two identical MapperBaseGPU updates,
-        # BimocqGPUSolver.cpp:138-139 — pure redundancy on TPU.)
-        scalar_map = s.scalar_map.replace(
-            fwd=vel_map.fwd, bwd=vel_map.bwd,
-            bwd_prev=s.scalar_map.bwd_prev,
-            reinit_count=s.scalar_map.reinit_count,
-        )
-    else:
-        scalar_map = mp.update_mapping_3d(s.scalar_map, g, s.u, s.v, s.w,
-                                          cfldt, dt, packed=packed)
-
-    # Contract monitoring, two tiers (ops/interp_fast.py):
-    # * the pull-back sampler launches below report their own violation
-    #   counts as a free byproduct of the _origins prepass block stats
-    #   (interp_fast.overflow_sink) — every frame, every launch;
-    # * the fused DMC kernel has static windows (no prepass), so its
-    #   displacement contract is mirrored in XLA periodically.
-    from gpufluidsimulation_tpu import config as _cfg
+    # Contract monitoring — every launch self-reports, every frame
+    # (ops/interp_fast.py): the pull-back sampler launches report their
+    # violation counts as a free byproduct of the _origins prepass block
+    # stats, and the fused DMC substep kernel counts its own clamped
+    # displacements in-kernel (advect.update_backward_map_3d appends the
+    # march's total to the same sink). No periodic XLA mirror pass.
     from gpufluidsimulation_tpu.ops import interp_fast
 
-    dmc_checked = _cfg.use_fast_interp() and _cfg.interp_rr() <= 2
-    if not dmc_checked:
-        ov_dmc = jnp.int32(0)
-    elif cfg.overflow_check_every <= 1:
-        ov_dmc = _dmc_displacement_overflow(g, s.u, s.v, s.w, cfldt,
-                                            _cfg.interp_rr())
-    else:
-        ov_dmc = jax.lax.cond(
-            s.frame % cfg.overflow_check_every == 0,
-            lambda _: _dmc_displacement_overflow(g, s.u, s.v, s.w, cfldt,
-                                                 _cfg.interp_rr()),
-            lambda _: jnp.int32(0),
-            None,
-        )
-
-    if cfg.boundaries:
-        # semi-Lagrangian fallbacks for the boundary shell
-        # (semilagAdvect + blendBoundary, BimocqSolver.cpp:106,122-126)
-        sl_u, sl_v, sl_w = _semilag_vel(
-            g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, -dt, packed
-        )
-        sl_rho = advect.semilag_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, -dt,
-                                   packed)
-        sl_T = advect.semilag_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, -dt,
-                                 packed)
-
-    # --- velocity pull-back + compensation + two-level blend ---
-    # (fused per lattice kind: shared static map positions + one window
-    # launch per stage, mp.bimocq_advect_3d)
-    # blend_coeff == 1.0 (the reference default, main.cpp:47) makes the
-    # level-2 pull-back a zero-weight term: None marks it statically dead
-    blend_v = (None if cfg.blend_coeff == 1.0 else
-               jnp.where(vel_map.reinit_count != 0, cfg.blend_coeff, 1.0))
-    blend_s = (None if cfg.blend_coeff == 1.0 else
-               jnp.where(scalar_map.reinit_count != 0, cfg.blend_coeff, 1.0))
     with interp_fast.overflow_sink() as ovf_counts:
+        # ONE MAC pack serves every trace of this frame's velocity: both
+        # map marches, and (with boundaries) the semilag fallbacks — keyed
+        # to the union lattice only when the fallbacks need it
+        packed = (_vel_pack(g, s.u, s.v, s.w) if cfg.boundaries
+                  else interp.mac_pack_3d(s.u, s.v, s.w, g.shape_c))
+        vel_map = mp.update_mapping_3d(
+            s.vel_map, g, s.u, s.v, s.w, cfldt, dt,
+            # 'always' reinitializes both maps to identity at the END of
+            # every step, so at entry they are statically identity: the
+            # backward march's first substep runs gather-free
+            from_identity=(cfg.reinit_mode == "always"),
+            packed=packed,
+        )
+        if cfg.reinit_mode == "always":
+            # both maps are reset to identity every frame and marched with
+            # the same velocity -> they are bitwise identical; march once.
+            # (The reference runs two identical MapperBaseGPU updates,
+            # BimocqGPUSolver.cpp:138-139 — pure redundancy on TPU.)
+            scalar_map = s.scalar_map.replace(
+                fwd=vel_map.fwd, bwd=vel_map.bwd,
+                bwd_prev=s.scalar_map.bwd_prev,
+                reinit_count=s.scalar_map.reinit_count,
+            )
+        else:
+            scalar_map = mp.update_mapping_3d(s.scalar_map, g, s.u, s.v,
+                                              s.w, cfldt, dt, packed=packed)
+
+        if cfg.boundaries:
+            # semi-Lagrangian fallbacks for the boundary shell
+            # (semilagAdvect + blendBoundary, BimocqSolver.cpp:106,122-126)
+            sl_u, sl_v, sl_w = _semilag_vel(
+                g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, -dt, packed
+            )
+            sl_rho = advect.semilag_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt,
+                                       -dt, packed)
+            sl_T = advect.semilag_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, -dt,
+                                     packed)
+
+        # --- velocity pull-back + compensation + two-level blend ---
+        # (fused per lattice kind: shared static map positions + one window
+        # launch per stage, mp.bimocq_advect_3d)
+        # blend_coeff == 1.0 (the reference default, main.cpp:47) makes the
+        # level-2 pull-back a zero-weight term: None marks it statically
+        # dead
+        blend_v = (None if cfg.blend_coeff == 1.0 else
+                   jnp.where(vel_map.reinit_count != 0, cfg.blend_coeff,
+                             1.0))
+        blend_s = (None if cfg.blend_coeff == 1.0 else
+                   jnp.where(scalar_map.reinit_count != 0, cfg.blend_coeff,
+                             1.0))
         (u,) = mp.bimocq_advect_3d(
             g, "u", [s.u], [s.u_init], [s.u_prev],
             vel_map.bwd, vel_map.bwd_prev, vel_map.fwd, blend_v)
@@ -684,7 +666,7 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
             g, "c", [s.rho, s.T], [s.rho_init, s.T_init],
             [s.rho_prev, s.T_prev],
             scalar_map.bwd, scalar_map.bwd_prev, scalar_map.fwd, blend_s)
-    overflow = ov_dmc + (sum(ovf_counts) if ovf_counts else jnp.int32(0))
+    overflow = sum(ovf_counts) if ovf_counts else jnp.int32(0)
 
     if cfg.boundaries:
         u = _blend_boundary(bnd, "u", u, sl_u)

@@ -53,6 +53,19 @@ def test_rbgs_is_gauss_seidel_exact_small():
     np.testing.assert_allclose(got, x, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("bc", ["neumann", "dirichlet"])
+def test_rbgs_from_zero_matches_explicit_zeros(rng, bc):
+    """x=None (the V-cycle pre-smoother's statically-zero guess, which
+    skips the x pad + window DMA) must be bit-identical to smoothing an
+    explicit zeros array, across multiple launches (iters > 2)."""
+    shape = (40, 24, 16)
+    b = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    a = rbgs_smooth(jnp.zeros(shape, jnp.float32), b, bc=bc, iters=3,
+                    interpret=True)
+    c = rbgs_smooth(None, b, bc=bc, iters=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_rbgs_blocked_multi_tile_matches_reference_gs(rng):
     """Blocked tiling (several (16,16) tiles + halos) must equal a global
     red-black GS sweep — catches halo/validity/parity bugs."""
