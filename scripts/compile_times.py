@@ -19,7 +19,7 @@ def main(n=64):
 
     solver = build(n)
     state = solver.init_state()
-    fn = jax.jit(solver.step_fn, donate_argnums=0)
+    fn = solver.step_fn()  # the solver's own jitted, donated step
 
     t0 = time.time()
     lowered = fn.lower(state)
