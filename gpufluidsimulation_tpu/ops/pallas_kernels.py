@@ -5,13 +5,14 @@ parallel-safe smoother the reference uses on CPU (RBGS,
 utils/AlgebraicMultigrid.h:22-151) and approximates with Jacobi on GPU
 (smoothing_jacobi, GPU_kernel.cu:1420-1485).
 
-Geometry: (16, 16, nz) output tiles over an (x, y) grid, full z column in
-VMEM. Each launch performs up to 2 full red+black sweeps entirely on-chip:
-one window DMA of (x, b, diag) and one write of the tile per launch, vs
-2 HBM round-trips per half-sweep for the XLA pad/slice formulation. Halo
-cells (4 in x, 8 in y — the y halo doubles as the 8-row DMA alignment)
-are recomputed redundantly and discarded; their validity shrinks by one
-ring per half-sweep, which bounds sweeps-per-launch at 2.
+Geometry: (32, 32, nz) output tiles over an (x, y) grid, full z column in
+VMEM, window DMAs double-buffered across tiles (_pipeline_tiles). Each
+launch performs up to 2 full red+black sweeps entirely on-chip: one window
+DMA of (x, b) and one write of the tile per launch, vs 2 HBM round-trips
+per half-sweep for the XLA pad/slice formulation. Halo cells (4 in x, 8 in
+y — the y halo doubles as the 8-row DMA alignment) are recomputed
+redundantly and discarded; their validity shrinks by one ring per
+half-sweep, which bounds sweeps-per-launch at 2.
 
 Boundary conditions ride the unified zero-ghost form: ghosts are frozen
 at 0 and `diag` carries the BC (6 everywhere for Dirichlet, the existing-
@@ -51,6 +52,44 @@ def _shift_zero(x, d, axis):
     return jnp.concatenate([zeros, x[tuple(sl)]], axis=axis)
 
 
+def _pipeline_tiles(srcs, sems, tx, ty, win):
+    """Double-buffered window DMA for STATIC (x, y) tile origins on a 2D
+    sequential grid: start block blk+1's windows, wait for block blk's —
+    the static-origin twin of interp_fast._pipeline_window (without it,
+    every block stalls on its own window DMA latency; at 256³ that is ~70
+    serial stalls per launch). `srcs` = tuple of (hbm_ref, vmem_scratch
+    with a leading 2-slot axis); `sems` is a (2, len(srcs)) DMA semaphore
+    array. Returns the current block's slot index."""
+    gy_n = pl.num_programs(1)
+    blk = pl.program_id(0) * gy_n + pl.program_id(1)
+    nblk = pl.num_programs(0) * gy_n
+    slot = jax.lax.rem(blk, 2)
+
+    def copies(b, s):
+        ox = (b // gy_n) * tx
+        oy = pl.multiple_of(jax.lax.rem(b, gy_n) * ty, 8)
+        return [
+            pltpu.make_async_copy(
+                src.at[pl.ds(ox, win[0]), pl.ds(oy, win[1]), :],
+                dst.at[s], sems.at[s, i])
+            for i, (src, dst) in enumerate(srcs)
+        ]
+
+    @pl.when(blk == 0)
+    def _():
+        for cp in copies(blk, slot):
+            cp.start()
+
+    @pl.when(blk + 1 < nblk)
+    def _():
+        for cp in copies(blk + 1, jax.lax.rem(blk + 1, 2)):
+            cp.start()
+
+    for cp in copies(blk, slot):
+        cp.wait()
+    return slot
+
+
 def _rbgs_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
                  sweeps, win, nx, ny, nz, neumann, from_zero=False):
     bi = pl.program_id(0)
@@ -59,13 +98,7 @@ def _rbgs_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
     oy = pl.multiple_of(bj * TY, 8)
 
     srcs = ((b_hbm, bw),) if from_zero else ((x_hbm, xw), (b_hbm, bw))
-    cps = [
-        pltpu.make_async_copy(
-            src.at[pl.ds(ox, win[0]), pl.ds(oy, win[1]), :], dst, sems.at[i])
-        for i, (src, dst) in enumerate(srcs)
-    ]
-    for cp in cps:
-        cp.start()
+    slot = _pipeline_tiles(srcs, sems, TX, TY, win)
 
     li = jax.lax.broadcasted_iota(jnp.int32, win, 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, win, 1)
@@ -91,14 +124,12 @@ def _rbgs_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
     else:
         diag = jnp.float32(6.0)
 
-    for cp in cps:
-        cp.wait()
     # from_zero: the pre-smoother starts at x == 0 everywhere (v_cycle's
     # zeros_like(r) initial guess) — skip the x window DMA and pad entirely;
     # nbr(0) == 0 makes the first red sweep b/diag, exactly as if the zero
     # window had been loaded.
-    x = jnp.zeros(win, bw.dtype) if from_zero else xw[...]
-    b = bw[...]
+    x = jnp.zeros(win, bw.dtype) if from_zero else xw[slot]
+    b = bw[slot]
 
     def nbr(x):
         total = jnp.zeros_like(x)
@@ -140,10 +171,13 @@ def _rbgs_launch(x, b, *, sweeps, neumann, interpret, from_zero=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gx_ * TX, gy_ * TY, nz), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM(win, jnp.float32),
-            pltpu.VMEM(win, jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2,) + win, jnp.float32),
+            pltpu.VMEM((2,) + win, jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xp, bp)
     return out[:nx, :ny, :]
@@ -156,13 +190,7 @@ def _jacobi_diffuse_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
     ox = bi * tx
     oy = pl.multiple_of(bj * ty, 8)
 
-    cps = [
-        pltpu.make_async_copy(
-            src.at[pl.ds(ox, win[0]), pl.ds(oy, win[1]), :], dst, sems.at[i])
-        for i, (src, dst) in enumerate(((x_hbm, xw), (b_hbm, bw)))
-    ]
-    for cp in cps:
-        cp.start()
+    slot = _pipeline_tiles(((x_hbm, xw), (b_hbm, bw)), sems, tx, ty, win)
 
     li = jax.lax.broadcasted_iota(jnp.int32, win, 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, win, 1)
@@ -173,10 +201,8 @@ def _jacobi_diffuse_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
     interior = ((gi > 0) & (gi < nx - 1) & (gj > 0) & (gj < ny - 1)
                 & (lk > 0) & (lk < nz - 1))
 
-    for cp in cps:
-        cp.wait()
-    x = xw[...]
-    b = bw[...]
+    x = xw[slot]
+    b = bw[slot]
     denom = 1.0 + 6.0 * coef
 
     for _ in range(sweeps):
@@ -194,12 +220,13 @@ def jacobi_diffuse(x, b, *, iters, coef, interpret: bool = False):
     """Damped-Jacobi viscosity solve (I + coef*L)x = b — the Pallas blocked
     form of forces.diffuse_3d (gpu_diffuse_field, GPU_kernel.cu:834-876).
 
-    Runs `sweeps<=4` Jacobi iterations per launch entirely in VMEM
-    ((tx+8, ty+16, nz) windows, halo validity shrinking one ring per
-    sweep), so 20 reference-parity iterations need 5 window round-trips
-    instead of 20 HBM passes. Bitwise-ordered like diffuse_3d's neighbor
+    Runs `sweeps<=8` Jacobi iterations per launch entirely in VMEM
+    ((tx+16, ty+16, nz) windows, halo validity shrinking one ring per
+    sweep), so 20 reference-parity iterations need 3 window round-trips
+    instead of 20 HBM passes, with the window DMAs double-buffered across
+    tiles (_pipeline_tiles). Bitwise-ordered like diffuse_3d's neighbor
     sum. `b` is the held right-hand side (the pre-diffusion field)."""
-    tx, ty, hx, hy = 32, 32, 4, 8
+    tx, ty, hx, hy = 32, 32, 8, 8
     nx, ny, nz = x.shape
     # window DMA slices must be 128-aligned on the lane (z) axis: round nz
     # up once; pad cells are non-interior (lk bound uses the real nz) so
@@ -214,7 +241,7 @@ def jacobi_diffuse(x, b, *, iters, coef, interpret: bool = False):
     remaining = int(iters)
     first = True
     while remaining > 0:
-        s = min(4, remaining)
+        s = min(8, remaining)
         xp = jnp.pad(x, padw if first else padw[:2] + [(0, 0)])
         first = False
         kernel = functools.partial(
@@ -229,10 +256,13 @@ def jacobi_diffuse(x, b, *, iters, coef, interpret: bool = False):
             out_shape=jax.ShapeDtypeStruct((gx_ * tx, gy_ * ty, nzp),
                                            jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM(win, jnp.float32),
-                pltpu.VMEM(win, jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2,) + win, jnp.float32),
+                pltpu.VMEM((2,) + win, jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
             ],
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(xp, bp)
         x = out[:nx, :ny, :]
