@@ -192,7 +192,7 @@ def _restrict_matrix(fn, cn):
     for c in range(cn):
         m[c, min(2 * c, fn - 1)] += 0.5
         m[c, min(2 * c + 1, fn - 1)] += 0.5
-    return jnp.asarray(m)
+    return m  # host numpy: see MGContext.__init__ on device-constant cost
 
 
 def _prolong_matrix(cn, fn):
@@ -207,7 +207,7 @@ def _prolong_matrix(cn, fn):
         b_ = min(max(x0 + 1, 0), cn - 1)
         m[i, a] += 1.0 - f
         m[i, b_] += f
-    return jnp.asarray(m)
+    return m  # host numpy: see MGContext.__init__ on device-constant cost
 
 
 def _apply_axis_mats(x, mats):
@@ -231,7 +231,12 @@ class MGContext:
     def __init__(self, shape, bc):
         self.bc = bc
         self.shapes = mg_shapes(shape)
-        self.diags = [jnp.asarray(_diag(s, bc)) for s in self.shapes]
+        # HOST numpy constants on purpose: device-array constants closed
+        # over by a jitted step must be fetched back (D2H) when the trace
+        # is lowered to MLIR — ~7 s per constant through the axon tunnel
+        # (measured: 15 such constants made a 32^3 step take 484 s to
+        # lower). numpy constants inline from host memory instantly.
+        self.diags = [_diag(s, bc) for s in self.shapes]
         self.rmats = None
         self.pmats = None
         if len(shape) == 3:
@@ -400,7 +405,7 @@ def pcg(b, bc, tol=1e-6, max_iters=400, order=3, omega=0.8):
     plain CG) intact. Returns (p, iters, rel_res_inf)."""
     if bc == "neumann":
         b = b - jnp.mean(b)
-    diag = jnp.asarray(_diag(b.shape, bc))
+    diag = _diag(b.shape, bc)
     b_inf = jnp.maximum(jnp.max(jnp.abs(b)), 1e-30)
 
     def precond(r):
@@ -441,7 +446,7 @@ def pcg(b, bc, tol=1e-6, max_iters=400, order=3, omega=0.8):
 def jacobi_solve(b, bc, iters=100):
     """Plain Jacobi projection solver (gpu_projection_jacobi parity,
     GPU_kernel.cu:1818-1895)."""
-    diag = jnp.asarray(_diag(b.shape, bc))
+    diag = _diag(b.shape, bc)
     p = jacobi_smooth(jnp.zeros_like(b), b, bc, diag, iters, omega=1.0)
     return p
 
