@@ -53,18 +53,25 @@ def build(n, scheme_name="bimocq", proj_iters=30):
 
 def measure(n, steps, scheme_name="bimocq"):
     import jax
+    import jax.numpy as jnp
 
     solver = build(n, scheme_name)
     state = solver.init_state()
     t0 = time.time()
     state = solver.step(state)
-    jax.block_until_ready(jax.tree.leaves(state)[0])
+    # fence by MATERIALIZING a scalar: through the axon tunnel,
+    # block_until_ready on a device buffer has been observed to return
+    # before the chain actually executed (a 0.14 ms/step "measurement" at
+    # 256^3); a host float cannot lie
+    float(jnp.max(state.rho))
     compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(steps):
         state = solver.step(state)
-    jax.block_until_ready(jax.tree.leaves(state)[0])
+    rho_max = float(jnp.max(state.rho))
     ms_per_step = (time.time() - t0) / steps * 1e3
+    if not (0.0 < rho_max <= 10.0):  # physics sanity on the timed chain
+        raise RuntimeError(f"bench: implausible rho_max={rho_max}")
     overflow = int(getattr(state, "interp_overflow", 0))
     return ms_per_step, compile_s, overflow
 

@@ -123,6 +123,29 @@ def set_interp_bf16(value: bool) -> None:
     _INTERP_BF16 = bool(value)
 
 
+_SPECTRAL_ENV = os.environ.get("GFS_SPECTRAL")
+_SPECTRAL: bool | None = (
+    None if _SPECTRAL_ENV is None else _SPECTRAL_ENV not in ("0", "false")
+)
+
+
+def use_spectral_poisson() -> bool:
+    """Solve the unmasked full-box pressure system DIRECTLY in the DST/DCT
+    eigenbasis (ops/spectral.py) — six (n,n) matmuls on the MXU instead of
+    the MG-PCG iteration. Exact to f32 transform rounding (~1e-6 relative
+    residual, tighter than any iterative exit). Default: on for TPU
+    backends, off on CPU (tests/oracles compare against the iterative
+    path). Masked/voxelized-boundary projections always use MG-PCG."""
+    if _SPECTRAL is not None:
+        return _SPECTRAL
+    return use_fast_interp()
+
+
+def set_spectral_poisson(value: bool | None) -> None:
+    global _SPECTRAL
+    _SPECTRAL = value
+
+
 _DIFFUSE_ENV = os.environ.get("GFS_PALLAS_DIFFUSE")
 _PALLAS_DIFFUSE: bool | None = (
     None if _DIFFUSE_ENV is None else _DIFFUSE_ENV not in ("0", "false")

@@ -456,18 +456,46 @@ def jacobi_solve(b, bc, iters=100):
 # ---------------------------------------------------------------------------
 
 
+def _spectral_solve(b, bc, max_iters):
+    """Direct DST/DCT eigenbasis solve (ops/spectral.py) with the same
+    (p, iters, res, hist) contract as mgpcg: iters == 1, res = the honestly
+    measured relative residual of the direct solution, hist[0] = res."""
+    from gpufluidsimulation_tpu.ops import spectral
+
+    sctx = spectral.get_context(tuple(b.shape), bc)
+    if bc == "neumann":
+        # the zero mode is projected out in the eigenbasis; measure the
+        # residual against the compatible (mean-free) rhs, like mgpcg
+        b = b - jnp.mean(b)
+    p = sctx.solve(b)
+    b_inf = jnp.maximum(jnp.max(jnp.abs(b)), 1e-30)
+    res = jnp.max(jnp.abs(b - laplacian(p, bc))) / b_inf
+    hist = jnp.full((int(max_iters),), -1.0, jnp.float32).at[0].set(res)
+    return p, jnp.int32(1), res, hist
+
+
 def project_2d(u, v, ctx: MGContext, tol=1e-6, max_iters=200):
     """rhs = -div (the 2D reference solves -div/h with 1/h^2 matrix,
     BimocqSolver2D.cpp:356-385 — identical p up to units)."""
+    from gpufluidsimulation_tpu import config as _cfg
+
     div = divergence_2d(u, v)
-    p, iters, res, _ = mgpcg(-div, ctx, tol, max_iters)
+    if _cfg.use_spectral_poisson():
+        p, iters, res, _ = _spectral_solve(-div, ctx.bc, max_iters)
+    else:
+        p, iters, res, _ = mgpcg(-div, ctx, tol, max_iters)
     u, v = subtract_gradient_2d(u, v, p, ctx.bc)
     return u, v, p, iters, res
 
 
 def project_3d(u, v, w, ctx: MGContext, tol=1e-4, max_iters=100):
+    from gpufluidsimulation_tpu import config as _cfg
+
     div = divergence_3d(u, v, w)
-    p, iters, res, hist = mgpcg(-div, ctx, tol, max_iters)
+    if _cfg.use_spectral_poisson():
+        p, iters, res, hist = _spectral_solve(-div, ctx.bc, max_iters)
+    else:
+        p, iters, res, hist = mgpcg(-div, ctx, tol, max_iters)
     u, v, w = subtract_gradient_3d(u, v, w, p, ctx.bc)
     return u, v, w, p, iters, res, hist
 
