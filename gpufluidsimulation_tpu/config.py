@@ -138,7 +138,11 @@ def use_spectral_poisson() -> bool:
     path). Masked/voxelized-boundary projections always use MG-PCG."""
     if _SPECTRAL is not None:
         return _SPECTRAL
-    return use_fast_interp()
+    # backend-only default (NOT use_fast_interp(): tests force fast-interp
+    # on/off on CPU to A/B the samplers and must not flip the solver too)
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 
 
 def set_spectral_poisson(value: bool | None) -> None:

@@ -456,10 +456,13 @@ def jacobi_solve(b, bc, iters=100):
 # ---------------------------------------------------------------------------
 
 
-def _spectral_solve(b, bc, max_iters):
+def _spectral_solve(b, bc, tol, max_iters):
     """Direct DST/DCT eigenbasis solve (ops/spectral.py) with the same
-    (p, iters, res, hist) contract as mgpcg: iters == 1, res = the honestly
-    measured relative residual of the direct solution, hist[0] = res."""
+    (p, iters, res, hist) contract as mgpcg. The relative residual is
+    measured honestly against the stencil operator; if f32 transform
+    rounding leaves it above `tol` (seen in 2D at tol=1e-6: ~5e-5 direct),
+    ONE iterative-refinement pass (p += solve(r)) squares it — `iters`
+    then reports 2 and hist carries both residuals."""
     from gpufluidsimulation_tpu.ops import spectral
 
     sctx = spectral.get_context(tuple(b.shape), bc)
@@ -467,11 +470,24 @@ def _spectral_solve(b, bc, max_iters):
         # the zero mode is projected out in the eigenbasis; measure the
         # residual against the compatible (mean-free) rhs, like mgpcg
         b = b - jnp.mean(b)
-    p = sctx.solve(b)
     b_inf = jnp.maximum(jnp.max(jnp.abs(b)), 1e-30)
-    res = jnp.max(jnp.abs(b - laplacian(p, bc))) / b_inf
-    hist = jnp.full((int(max_iters),), -1.0, jnp.float32).at[0].set(res)
-    return p, jnp.int32(1), res, hist
+    p = sctx.solve(b)
+    r = b - laplacian(p, bc)
+    res0 = jnp.max(jnp.abs(r)) / b_inf
+    refine = res0 > tol
+
+    def _refine(args):
+        p, r = args
+        p2 = p + sctx.solve(r)
+        return p2, b - laplacian(p2, bc)
+
+    p, r = lax.cond(refine, _refine, lambda args: args, (p, r))
+    res = jnp.max(jnp.abs(r)) / b_inf
+    iters = jnp.int32(1) + refine.astype(jnp.int32)
+    hist = jnp.full((int(max_iters),), -1.0, jnp.float32).at[0].set(res0)
+    if int(max_iters) > 1:
+        hist = hist.at[1].set(jnp.where(refine, res, -1.0))
+    return p, iters, res, hist
 
 
 def project_2d(u, v, ctx: MGContext, tol=1e-6, max_iters=200):
@@ -481,7 +497,7 @@ def project_2d(u, v, ctx: MGContext, tol=1e-6, max_iters=200):
 
     div = divergence_2d(u, v)
     if _cfg.use_spectral_poisson():
-        p, iters, res, _ = _spectral_solve(-div, ctx.bc, max_iters)
+        p, iters, res, _ = _spectral_solve(-div, ctx.bc, tol, max_iters)
     else:
         p, iters, res, _ = mgpcg(-div, ctx, tol, max_iters)
     u, v = subtract_gradient_2d(u, v, p, ctx.bc)
@@ -493,7 +509,7 @@ def project_3d(u, v, w, ctx: MGContext, tol=1e-4, max_iters=100):
 
     div = divergence_3d(u, v, w)
     if _cfg.use_spectral_poisson():
-        p, iters, res, hist = _spectral_solve(-div, ctx.bc, max_iters)
+        p, iters, res, hist = _spectral_solve(-div, ctx.bc, tol, max_iters)
     else:
         p, iters, res, hist = mgpcg(-div, ctx, tol, max_iters)
     u, v, w = subtract_gradient_3d(u, v, w, p, ctx.bc)

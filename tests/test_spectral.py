@@ -90,6 +90,26 @@ def test_project_3d_spectral_gate_zeroes_divergence(rng, bc):
     assert float(jnp.max(jnp.abs(div))) < 5e-5 * scale
 
 
+@pytest.mark.parametrize("bc", ["dirichlet", "neumann"])
+def test_project_2d_refinement_reaches_reference_tol(rng, bc):
+    """The 2D reference solves to 1e-6 (BimocqSolver2D.cpp:367); the f32
+    direct solve alone leaves ~5e-5, so the tol-gated iterative-refinement
+    pass must engage and square it below 1e-6."""
+    shape = (96, 64)
+    u = jnp.asarray(rng.standard_normal((shape[0] + 1, shape[1]))
+                    .astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((shape[0], shape[1] + 1))
+                    .astype(np.float32))
+    ctx = poisson.MGContext(shape, bc)
+    config.set_spectral_poisson(True)
+    try:
+        u2, v2, p, iters, res = poisson.project_2d(u, v, ctx, tol=1e-6)
+    finally:
+        config.set_spectral_poisson(None)
+    assert float(res) < 1e-6, float(res)
+    assert int(iters) in (1, 2)
+
+
 def test_bimocq_step_drift_spectral_vs_mgpcg():
     """A few full BiMocq steps with the spectral projection must stay
     within solver-exit noise of the MG-PCG path (the production-default
