@@ -864,14 +864,23 @@ def _pad_positions_rim(gx, gy, gz, P, BY):
         return gx, gy, gz
     pw = [(0, p) for p in pad_to]
 
-    def node_like(x, axis, p):
-        return jax.lax.broadcasted_iota(jnp.float32, x.shape, axis) + p
+    # Closed form of the displacement-space pad: along its OWN axis a rim
+    # element is the edge value plus the node overhang (displacement
+    # replicates, the node base keeps growing); along the other axes the
+    # coordinate simply replicates. One fused pad+iota pass per channel
+    # instead of the subtract/pad/re-add round-trip (two extra full-array
+    # materializations per channel at 256^3 — was ~18 ms/step across the
+    # pull-back launches). Interior elements pass through EXACTLY (the old
+    # form's (g - node) + node could differ in the last ulp).
+    def rim(g, axis):
+        gp = jnp.pad(g, pw, mode="edge")
+        if pad_to[axis]:
+            n = g.shape[axis]
+            i = jax.lax.broadcasted_iota(jnp.int32, gp.shape, axis)
+            gp = gp + jnp.maximum(i - (n - 1), 0).astype(jnp.float32)
+        return gp
 
-    dx = jnp.pad(gx - node_like(gx, 0, P), pw, mode="edge")
-    dy = jnp.pad(gy - node_like(gy, 1, P), pw, mode="edge")
-    dz = jnp.pad(gz - node_like(gz, 2, FRONT_Z), pw, mode="edge")
-    return (node_like(dx, 0, P) + dx, node_like(dy, 1, P) + dy,
-            node_like(dz, 2, FRONT_Z) + dz)
+    return rim(gx, 0), rim(gy, 1), rim(gz, 2)
 
 
 def _pad_field_positions(field_like, px, py, pz, h, off, Rr, dtype=None):
