@@ -112,7 +112,7 @@ def update_mapping_3d(mapping: MappingState, grid, u, v, w, cfldt, dt,
     )
     fx, fy, fz = advect.update_forward_map_3d(
         grid, u, v, w, (mapping.fwd[0], mapping.fwd[1], mapping.fwd[2]),
-        cfldt, dt, packed,
+        cfldt, dt, packed, from_identity=from_identity,
     )
     return mapping.replace(bwd=jnp.stack([bx, by, bz]), fwd=jnp.stack([fx, fy, fz]))
 

@@ -89,7 +89,8 @@ def _substepped(step_fn, cfldt, dt, pos):
     return out
 
 
-def trace_3d(u, v, w, h, cfldt, dt, px, py, pz, packed=None):
+def trace_3d(u, v, w, h, cfldt, dt, px, py, pz, packed=None,
+             from_identity=False):
     # pack the MAC triplet once for the whole substep loop (up to 9
     # window-sampler calls share it); callers tracing several fields in the
     # same velocity pass their own pack
@@ -104,13 +105,25 @@ def trace_3d(u, v, w, h, cfldt, dt, px, py, pz, packed=None):
         and _cfg.interp_rr() <= 2
     ):
         # fused path: one window kernel per substep evaluates all three RK3
-        # stages (vs 3 multi-channel launches + position round-trips)
+        # stages (vs 3 multi-channel launches + position round-trips).
+        # from_identity (per-frame-reinit: the positions ARE the lattice)
+        # additionally peels substep 1 onto a static-origin kernel whose
+        # stage-1 velocity is this cell-centered MAC average — the
+        # positions arrays never materialize for it.
         from gpufluidsimulation_tpu.ops import interp_fast
 
+        k1 = None
+        if from_identity:
+            k1 = jnp.stack([
+                0.5 * (u[:-1] + u[1:]),
+                0.5 * (v[:, :-1] + v[:, 1:]),
+                0.5 * (w[:, :, :-1] + w[:, :, 1:]),
+            ])
         ni, nj, nk = v.shape[0], u.shape[1], u.shape[2]
         return interp_fast.trace_rk3_fused(
             packed, px, py, pz, h, cfldt, dt, interp._MAC_OFFS, (ni, nj, nk),
             Rr=_cfg.interp_rr(), interpret=_cfg.interp_interpret(),
+            from_identity=from_identity, k1=k1,
         )
 
     def step(sdt, p):
@@ -525,10 +538,16 @@ def update_backward_map_2d(grid, u, v, map_xy, cfldt, dt):
     return out
 
 
-def update_forward_map_3d(grid, u, v, w, map_xyz, cfldt, dt, packed=None):
-    """Forward-map march: X <- trace(X, +dt) (forward_kernel, GPU_kernel.cu:127-144)."""
+def update_forward_map_3d(grid, u, v, w, map_xyz, cfldt, dt, packed=None,
+                          from_identity=False):
+    """Forward-map march: X <- trace(X, +dt) (forward_kernel, GPU_kernel.cu:127-144).
+
+    `from_identity=True` asserts the incoming map is the identity
+    (per-frame-reinit mode): the fused-trace path then peels substep 1
+    onto the static-origin identity kernel."""
     mx, my, mz = map_xyz
-    ox, oy, oz = trace_3d(u, v, w, grid.h, cfldt, dt, mx, my, mz, packed)
+    ox, oy, oz = trace_3d(u, v, w, grid.h, cfldt, dt, mx, my, mz, packed,
+                          from_identity=from_identity)
     mask = grid.interior_mask("c", lo=2, hi=3)
     return (
         jnp.where(mask, ox, mx),

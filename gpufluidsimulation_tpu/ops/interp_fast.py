@@ -1499,8 +1499,135 @@ def _rk3_padded(fields_padded, gx, gy, gz, sh, *, Rr, P, interpret, deltas,
     )(origins, gx, gy, gz, sh.reshape(1, 1), fields_padded)
 
 
+def _kernel_rk3_ident(sh_ref, k1_ref, fields_hbm, out_ref, win_ref, sem, *,
+                      Rr, block, win_shape, fs, P, deltas, clamp, off0):
+    """The identity-start RK3 substep: positions are the node lattice, so
+    window origins are STATIC (no prepass, 3-tile z window as in the fused
+    DMC kernel) and the stage-1 velocity is the precomputed cell-centered
+    MAC average `k1` (a plain block input) — only stages 2 and 3 sample
+    the velocity windows. `Rr` here is the widened reach Rk = Rr + 1."""
+    nb1 = pl.num_programs(1)
+    nb2 = pl.num_programs(2)
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    bk = pl.program_id(2)
+    blk = (bi * nb1 + bj) * nb2 + bk
+    nblk = pl.num_programs(0) * nb1 * nb2
+    slot = jax.lax.rem(blk, 2)
+    BY = block[1]
+
+    def copy(b, sl):
+        k = jax.lax.rem(b, nb2)
+        ij = b // nb2
+        j = jax.lax.rem(ij, nb1)
+        i = ij // nb1
+        ox, oy, _, ozw, _ = _dmc_origin(i, j, k, fs, P, Rr, block[2])
+        src = fields_hbm.at[:, pl.ds(ox, win_shape[1]),
+                            pl.ds(oy, win_shape[2]),
+                            pl.ds(ozw, win_shape[3])]
+        return pltpu.make_async_copy(src, win_ref.at[sl], sem.at[sl])
+
+    @pl.when(blk == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(blk + 1 < nblk)
+    def _():
+        copy(blk + 1, jax.lax.rem(blk + 1, 2)).start()
+
+    copy(blk, slot).wait()
+
+    sh = sh_ref[0, 0]   # signed substep dt / h
+    h = sh_ref[0, 1]
+    ox, oy, sy, ozw, relz = _dmc_origin(bi, bj, bk, fs, P, Rr, block[2])
+    oz = 512 if block[2] == 256 else None
+    win_all = _rebased_window(win_ref.at[slot], sy, relz, 2, out_z=oz)
+
+    # identity positions, replicating the array path's float ops exactly:
+    # px = i*h (the identity map), gx = px/h - off0 + P
+    a = jax.lax.broadcasted_iota(jnp.int32, block, 0)
+    b = jax.lax.broadcasted_iota(jnp.int32, block, 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, block, 2)
+    gx = ((bi * BX + a).astype(jnp.float32) * h) / h - off0[0] + P
+    gy = ((bj * BY + b).astype(jnp.float32) * h) / h - off0[1] + P
+    gz = ((bk * block[2] + c).astype(jnp.float32) * h) / h - off0[2] + FRONT_Z
+    lx = gx - ox.astype(jnp.float32)
+    ly = gy - (oy + sy).astype(jnp.float32)
+    lz = gz - (ozw + relz).astype(jnp.float32)
+
+    u1 = k1_ref[0]
+    v1 = k1_ref[1]
+    w1 = k1_ref[2]
+    aa = 0.5 * sh
+    u2, v2, w2 = _sample_mac_stage(
+        win_all, lx + aa * u1, ly + aa * v1, lz + aa * w1, deltas, block, Rr
+    )
+    bb = 0.75 * sh
+    u3, v3, w3 = _sample_mac_stage(
+        win_all, lx + bb * u2, ly + bb * v2, lz + bb * w2, deltas, block, Rr
+    )
+    c1 = (2.0 / 9.0) * sh
+    c2 = (3.0 / 9.0) * sh
+    c3 = (4.0 / 9.0) * sh
+    out_ref[0] = jnp.clip(gx + c1 * u1 + c2 * u2 + c3 * u3,
+                          clamp[0], clamp[1])
+    out_ref[1] = jnp.clip(gy + c1 * v1 + c2 * v2 + c3 * v3,
+                          clamp[2], clamp[3])
+    out_ref[2] = jnp.clip(gz + c1 * w1 + c2 * w2 + c3 * w3,
+                          clamp[4], clamp[5])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Rr", "P", "interpret", "deltas", "clamp", "off0"),
+)
+def _rk3_padded_ident(fields_padded, k1, sh, h, *, Rr, P, interpret, deltas,
+                      clamp, off0):
+    """The peeled identity-start RK3 substep (static origins, no position
+    inputs). `k1` is the stacked (3, nx, ny, Z) cell-centered MAC average
+    on the block lattice; returns new positions in padded channel-0 coords
+    like _rk3_padded."""
+    C = fields_padded.shape[0]
+    nx, ny, Z = k1.shape[1:]
+    Rk = Rr + 1
+    BY = _by(Rr)
+    bz = _bz(Z)
+    nb = (nx // BX, ny // BY, Z // bz)
+    block = (BX, BY, bz)
+    fs = fields_padded.shape[1:]
+    Wx = BX + 2 * Rk + 2
+    win_shape = (C, Wx, WY_WIN, _wz_win(bz, static=True))
+    kernel = functools.partial(
+        _kernel_rk3_ident, Rr=Rk, block=block, win_shape=win_shape, fs=fs,
+        P=P, deltas=deltas, clamp=clamp, off0=off0,
+    )
+    scalars = jnp.stack([sh, h]).astype(jnp.float32).reshape(1, 2)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, nx, ny, Z), jnp.float32),
+        grid=nb,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3,) + block, lambda i, j, k: (0, i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((3,) + block, lambda i, j, k: (0, i, j, k),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + win_shape, fields_padded.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(scalars, k1, fields_padded)
+
+
 def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
-                    lo=1.0, hi=1.0, Rr=2, interpret=False):
+                    lo=1.0, hi=1.0, Rr=2, interpret=False,
+                    from_identity=False, k1=None):
     """CFL-substepped RK3 characteristic trace with each substep's three MAC
     velocity stages fused into ONE window kernel (the trace loop of
     GPU_kernel.cu:92-125). Positions stay in padded block-multiple grid
@@ -1520,10 +1647,12 @@ def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
         for o in offs
     )
     P = Rr + 2
-    gx = px / h - off0[0] + P
-    gy = py / h - off0[1] + P
-    gz = pz / h - off0[2] + FRONT_Z
-    gx, gy, gz = _pad_positions_rim(gx, gy, gz, P, _by(Rr))
+    use_ident = from_identity and k1 is not None
+    if not use_ident:
+        gx = px / h - off0[0] + P
+        gy = py / h - off0[1] + P
+        gz = pz / h - off0[2] + FRONT_Z
+        gx, gy, gz = _pad_positions_rim(gx, gy, gz, P, _by(Rr))
 
     # world clamp [lo*h, L-hi*h] per axis in padded channel-0 coords
     ni, nj, nk = grid_n
@@ -1572,9 +1701,29 @@ def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
             g2 = _rerim(g2)
         return (t + sub, g2)
 
-    _, g = jax.lax.while_loop(
-        cond, body, (jnp.float32(0.0), jnp.stack([gx, gy, gz]))
-    )
+    if use_ident:
+        # identity-start peel (per-frame-reinit mode): substep 1 runs with
+        # STATIC window origins and a precomputed stage-1 velocity — no
+        # position arrays, no rim pad, no origins prepass for it
+        pads = [(0, 0)] + [
+            (0, _ceil(s, m) - s)
+            for s, m in zip(k1.shape[1:], (BX, _by(Rr), 128))
+        ]
+        k1p = (jnp.pad(k1, pads, mode="edge")
+               if any(p[1] for p in pads) else k1)
+        sub0 = jnp.minimum(cfldt, total)
+        g0_ = _rk3_padded_ident(
+            packed, k1p, (sign * sub0 / h).astype(jnp.float32),
+            jnp.float32(h), Rr=Rr, P=P, interpret=interpret, deltas=deltas,
+            clamp=clamp,
+            off0=(float(off0[0]), float(off0[1]), float(off0[2])),
+        )
+        if has_rim:
+            g0_ = _rerim(g0_)
+        carry0 = (sub0, g0_)
+    else:
+        carry0 = (jnp.float32(0.0), jnp.stack([gx, gy, gz]))
+    _, g = jax.lax.while_loop(cond, body, carry0)
     sl = np.s_[: out_shape[0], : out_shape[1], : out_shape[2]]
     return (
         (g[0][sl] - P + off0[0]) * h,

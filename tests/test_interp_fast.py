@@ -806,3 +806,49 @@ def test_mac2_fast_matches_exact(rng):
                                rtol=1e-3, atol=1e-4)
     # the zero-out-of-band semantics were actually exercised
     assert (np.asarray(wu) == 0).any() and (np.asarray(wv) == 0).any()
+
+
+def test_trace_rk3_fused_identity_peel_matches_regular(rng):
+    """The identity-start peel (static-origin kernel, precomputed stage-1
+    velocity, no position arrays) must reproduce the regular fused trace
+    bit-closely when the input positions ARE the identity lattice — the
+    per-frame-reinit forward-map march (smoke3d reinit_mode='always').
+    Covers block-multiple and rim geometries."""
+    from gpufluidsimulation_tpu.core import interp as ci
+
+    for (ni, nj, nk) in [(16, 16, 128), (24, 18, 130)]:
+        h = 0.2 / ni
+        u = jnp.asarray(rng.normal(0, 1, (ni + 1, nj, nk)).astype(np.float32))
+        v = jnp.asarray(rng.normal(0, 1, (ni, nj + 1, nk)).astype(np.float32))
+        w = jnp.asarray(rng.normal(0, 1, (ni, nj, nk + 1)).astype(np.float32))
+        ii = jnp.arange(ni, dtype=jnp.float32) * h
+        jj = jnp.arange(nj, dtype=jnp.float32) * h
+        kk = jnp.arange(nk, dtype=jnp.float32) * h
+        px = jnp.broadcast_to(ii[:, None, None], (ni, nj, nk))
+        py = jnp.broadcast_to(jj[None, :, None], (ni, nj, nk))
+        pz = jnp.broadcast_to(kk[None, None, :], (ni, nj, nk))
+        packed = interp.mac_pack_3d(u, v, w, (ni, nj, nk))
+        if packed is None:  # CPU default: force the fast-path pack
+            packed = jnp.stack([
+                jnp.pad(u, ((0, 0), (0, 1), (0, 1)), mode="edge"),
+                jnp.pad(v, ((0, 1), (0, 0), (0, 1)), mode="edge"),
+                jnp.pad(w, ((0, 1), (0, 1), (0, 0)), mode="edge"),
+            ])
+            packed = interp_fast.pad_fields(packed, (ni, nj, nk), 2)
+        maxv = max(float(jnp.max(jnp.abs(f))) for f in (u, v, w))
+        cfldt = h / maxv
+        dt = 2.5 * cfldt  # 3 substeps: peel + 2 regular
+        k1 = jnp.stack([0.5 * (u[:-1] + u[1:]),
+                        0.5 * (v[:, :-1] + v[:, 1:]),
+                        0.5 * (w[:, :, :-1] + w[:, :, 1:])])
+        a = interp_fast.trace_rk3_fused(
+            packed, px, py, pz, h, cfldt, dt, ci._MAC_OFFS, (ni, nj, nk),
+            Rr=2, interpret=True)
+        b = interp_fast.trace_rk3_fused(
+            packed, px, py, pz, h, cfldt, dt, ci._MAC_OFFS, (ni, nj, nk),
+            Rr=2, interpret=True, from_identity=True, k1=k1)
+        for ch in range(3):
+            # f32 ulp accumulation on O(1.6) world coords over 3 substeps
+            # measures ~1.3e-6; semantics bugs overshoot by orders
+            np.testing.assert_allclose(np.asarray(a[ch]), np.asarray(b[ch]),
+                                       rtol=0, atol=5e-6)
