@@ -65,20 +65,33 @@ def identity_map_2d(grid) -> jnp.ndarray:
     return jnp.stack([x, y])
 
 
-def init_mapping(grid, ndim: int) -> MappingState:
+def init_mapping(grid, ndim: int, with_prev: bool = True,
+                 with_maps: bool = True) -> MappingState:
+    """with_prev=False drops the level-2 bwd_prev buffer (statically dead
+    whenever blend_coeff == 1.0 — the reference default, main.cpp:47);
+    with_maps=False drops fwd/bwd too (a counter-only alias, used when the
+    scalar advector shares the velocity advector's maps under per-frame
+    reinit). None leaves vanish from the pytree: no HBM, no donation
+    copies — at 384^3 the full prev tier alone is ~2.5 GB."""
+    if not with_maps:
+        return MappingState(fwd=None, bwd=None, bwd_prev=None,
+                            reinit_count=jnp.int32(0))
     ident = identity_map_3d(grid) if ndim == 3 else identity_map_2d(grid)
     return MappingState(
-        fwd=ident, bwd=ident, bwd_prev=ident, reinit_count=jnp.int32(0)
+        fwd=ident, bwd=ident, bwd_prev=ident if with_prev else None,
+        reinit_count=jnp.int32(0),
     )
 
 
 def reinitialize(mapping: MappingState, grid) -> MappingState:
+    if mapping.fwd is None:  # counter-only alias (see init_mapping)
+        return mapping.replace(reinit_count=mapping.reinit_count + 1)
     ndim = mapping.fwd.shape[0]
     ident = identity_map_3d(grid) if ndim == 3 else identity_map_2d(grid)
     return MappingState(
         fwd=ident,
         bwd=ident,
-        bwd_prev=mapping.bwd,
+        bwd_prev=mapping.bwd if mapping.bwd_prev is not None else None,
         reinit_count=mapping.reinit_count + 1,
     )
 

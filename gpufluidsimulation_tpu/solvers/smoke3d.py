@@ -206,19 +206,33 @@ class Smoke3DState:
     interp_overflow: jnp.ndarray
 
 
+def _aux_dead(cfg: Smoke3DConfig) -> bool:
+    """True when the two-level blend tier is statically dead: under
+    per-frame reinitialization with blend_coeff == 1.0 (exactly the
+    reference GPU solver's configuration, BimocqGPUSolver.cpp + main.cpp:47)
+    the *_prev buffers and bwd_prev maps carry weight 0 forever, and the
+    scalar advector's maps are bitwise copies of the velocity advector's.
+    Those leaves are elided from the state (None): ~17 field-sized buffers
+    of HBM (1.1 GB at 256^3, 3.9 GB at 384^3) plus their per-step writes."""
+    return (cfg.scheme == Scheme.BIMOCQ and cfg.reinit_mode == "always"
+            and cfg.blend_coeff == 1.0)
+
+
 def init_state(cfg: Smoke3DConfig) -> Smoke3DState:
     g = cfg.grid
     z = g.zeros
+    dead = _aux_dead(cfg)
+    zp = (lambda kind: None) if dead else z
     # counters start so that frame 0 triggers both reinit deadlines
     # (BimocqGPUSolver.h:109-110: vel=-11, scalar=-31)
     state = Smoke3DState(
         u=z("u"), v=z("v"), w=z("w"),
         u_init=z("u"), v_init=z("v"), w_init=z("w"),
-        u_prev=z("u"), v_prev=z("v"), w_prev=z("w"),
-        rho=z("c"), rho_init=z("c"), rho_prev=z("c"),
-        T=z("c"), T_init=z("c"), T_prev=z("c"),
-        vel_map=mp.init_mapping(g, 3),
-        scalar_map=mp.init_mapping(g, 3),
+        u_prev=zp("u"), v_prev=zp("v"), w_prev=zp("w"),
+        rho=z("c"), rho_init=z("c"), rho_prev=zp("c"),
+        T=z("c"), T_init=z("c"), T_prev=zp("c"),
+        vel_map=mp.init_mapping(g, 3, with_prev=not dead),
+        scalar_map=mp.init_mapping(g, 3, with_maps=not dead),
         frame=jnp.int32(0),
         vel_last_reinit=jnp.int32(-11),
         scalar_last_reinit=jnp.int32(-31),
@@ -260,7 +274,7 @@ def _interp_overflow_check(g: Grid3D, vel_map, u=None, v=None, w=None,
     b = vel_map.bwd
     ov = interp_fast.residual_overflow(b[0], b[1], b[2], h, (0, 0, 0), Rr=rr)
     ov2 = jnp.int32(0)
-    if check_level2:
+    if check_level2 and vel_map.bwd_prev is not None:
         # level-2 chain is only sampled when blend_coeff < 1 (the prevs
         # stage is statically skipped otherwise, mapping.bimocq_advect_3d)
         px, py, pz = g.node_coords("c")
@@ -619,11 +633,16 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
             # the same velocity -> they are bitwise identical; march once.
             # (The reference runs two identical MapperBaseGPU updates,
             # BimocqGPUSolver.cpp:138-139 — pure redundancy on TPU.)
-            scalar_map = s.scalar_map.replace(
-                fwd=vel_map.fwd, bwd=vel_map.bwd,
-                bwd_prev=s.scalar_map.bwd_prev,
-                reinit_count=s.scalar_map.reinit_count,
-            )
+            if s.scalar_map.fwd is None:
+                # dieted state (_aux_dead): the scalar advector is a
+                # counter-only alias; sampling uses vel_map directly
+                scalar_map = s.scalar_map
+            else:
+                scalar_map = s.scalar_map.replace(
+                    fwd=vel_map.fwd, bwd=vel_map.bwd,
+                    bwd_prev=s.scalar_map.bwd_prev,
+                    reinit_count=s.scalar_map.reinit_count,
+                )
         else:
             scalar_map = mp.update_mapping_3d(s.scalar_map, g, s.u, s.v,
                                               s.w, cfldt, dt, packed=packed)
@@ -662,10 +681,11 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
             vel_map.bwd, vel_map.bwd_prev, vel_map.fwd, blend_v)
 
         # --- scalar pull-back (rho and T share every map sample) ---
+        smaps = vel_map if scalar_map.fwd is None else scalar_map
         rho, T = mp.bimocq_advect_3d(
             g, "c", [s.rho, s.T], [s.rho_init, s.T_init],
             [s.rho_prev, s.T_prev],
-            scalar_map.bwd, scalar_map.bwd_prev, scalar_map.fwd, blend_s)
+            smaps.bwd, smaps.bwd_prev, smaps.fwd, blend_s)
     overflow = sum(ovf_counts) if ovf_counts else jnp.int32(0)
 
     if cfg.boundaries:
@@ -737,7 +757,10 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     def do_vel_reinit(args):
         vel_map_, u_init_, v_init_, w_init_ = args
         vm = mp.reinitialize(vel_map_, g)
-        u_prev, v_prev, w_prev = u_init_, v_init_, w_init_
+        if s.u_prev is None:  # dieted state: the prev tier stays elided
+            u_prev, v_prev, w_prev = None, None, None
+        else:
+            u_prev, v_prev, w_prev = u_init_, v_init_, w_init_
         # Init <- current velocity, then one more proj accumulation through
         # the (now identity) forward map (BimocqGPUSolver.cpp:220-222,
         # BimocqSolver.cpp:212-214); identity=True skips the sampler
@@ -756,6 +779,8 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     def do_scalar_reinit(args):
         scalar_map_, rho_init_, T_init_ = args
         sm = mp.reinitialize(scalar_map_, g)
+        if s.rho_prev is None:
+            return sm, rho, T, None, None
         return sm, rho, T, rho_init_, T_init_
 
     def no_scalar_reinit(args):
