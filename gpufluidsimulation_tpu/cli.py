@@ -64,22 +64,39 @@ def _run_2d(args):
 
     from gpufluidsimulation_tpu.solvers.smoke2d import max_vel
 
+    # strict contract mode (default): a frame whose fast-interp
+    # displacement contract tripped is recomputed through the exact
+    # engine (Smoke3D/Smoke2D.step_checked) instead of committed clamped
+    retried = [False]
+
+    def _step(st, *a):
+        if args.no_strict_contract:
+            return solver.step(st, *a)
+        st, r = solver.step_checked(st, *a)
+        retried[0] = retried[0] or r
+        return st
+
     for frame in range(frames):
+        retried[0] = False
         if scene.dt is not None:
-            state, ms = timer.time_step(solver.step, state, scene.dt)
+            state, ms = timer.time_step(_step, state, scene.dt)
         else:
             # CFL-driven substepping (Zalesak/VortexBox loops, main.cpp:162-221)
             T = 0.0
             while T < scene.frame_dt:
                 mv = float(max_vel(state.u, state.v))
                 sub = min(scene.cfl_number * g.h / mv, scene.frame_dt - T)
-                state, ms = timer.time_step(solver.step, state, sub)
+                state, ms = timer.time_step(_step, state, sub)
                 T += sub
         print(timing.BLUE + f"{scheme.display_name()} frame {frame} done "
               + timing.RESET + timer.report(frame,
               {"cfl": f"{float(state.cfl):.3f}",
                "proj_iters": int(state.proj_iters),
                "proj_res": f"{float(state.proj_res):.2e}"}))
+        if retried[0]:
+            print(timing.YELLOW + "[contract] fast-interp displacement "
+                  "budget tripped — frame recomputed on the exact path"
+                  + timing.RESET)
         overflow = int(getattr(state, "interp_overflow", 0))
         if overflow:
             print(timing.RED + f"[WARN] fast-interp contract violated in "
@@ -128,9 +145,18 @@ def _run_3d(args):
         print(f"resumed from {args.resume} at frame {start_frame}")
     frames = args.frames or scenes3d.TOTAL_FRAMES
     timer = timing.FrameTimer()
+    retried = [False]
+
+    def _step(st):
+        if args.no_strict_contract:
+            return solver.step(st)
+        st, r = solver.step_checked(st)
+        retried[0] = r
+        return st
+
     for frame in range(start_frame, frames):
         print(f"Frame {frame} Starts !!!")
-        state, ms = timer.time_step(solver.step, state)
+        state, ms = timer.time_step(_step, state)
         print(timing.YELLOW + f"[ CFL number is: {float(state.cfl):.4f} ] "
               + timing.RESET + timer.report(frame,
               {"proj_iters": int(state.proj_iters),
@@ -141,6 +167,10 @@ def _run_3d(args):
             hist = np.asarray(state.proj_res_hist)
             hist = hist[hist >= 0.0]
             print("Residual: " + "   ".join(f"{r:.3e}" for r in hist))
+        if retried[0]:
+            print(timing.YELLOW + "[contract] fast-interp displacement "
+                  "budget tripped — frame recomputed on the exact path"
+                  + timing.RESET)
         overflow = int(getattr(state, "interp_overflow", 0))
         if overflow:
             print(timing.RED + f"[WARN] fast-interp contract violated at "
@@ -164,6 +194,9 @@ def main(argv=None):
                     help="0 Taylor | 1 Leapfrog | 2 RayleighTaylor | 3 Zalesak | 4 VortexBox")
     p2.add_argument("--frames", type=int, default=None)
     p2.add_argument("--out", default="Out")
+    p2.add_argument("--no-strict-contract", action="store_true",
+                    help="warn instead of recomputing frames whose "
+                         "fast-interp displacement contract tripped")
     p2.set_defaults(fn=_run_2d)
 
     p3 = sub.add_parser("sim3d", help="3D solver (bimocq3D parity)")
@@ -180,6 +213,9 @@ def main(argv=None):
     p3.add_argument("--frames", type=int, default=None)
     p3.add_argument("--out", default="Out")
     p3.add_argument("--checkpoint-every", type=int, default=0)
+    p3.add_argument("--no-strict-contract", action="store_true",
+                    help="warn instead of recomputing frames whose "
+                         "fast-interp displacement contract tripped")
     p3.add_argument("--residual-trace", action="store_true",
                     help="print the per-iteration pressure residual trace "
                          "(the reference's scoreboard printout)")

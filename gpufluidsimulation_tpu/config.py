@@ -1,15 +1,81 @@
-"""Global engine configuration knobs.
+"""Engine configuration knobs.
 
 fast_interp: route full-lattice trilinear sampling through the windowed-DMA
 Pallas kernel (ops/interp_fast.py) instead of XLA gather. Default: on for
 TPU backends, off elsewhere (tests/oracles use the exact gather form).
 Override with GFS_FAST_INTERP=0/1. GFS_INTERP_RR sets the residual reach
 (default 3; raise for adaptive-reinit BiMocq configs with long remap gaps).
+
+Two layers:
+
+* ``EngineMode`` — a frozen per-solver mode record carried in
+  ``Smoke2DConfig/Smoke3DConfig.engine_mode`` and entered (``with
+  engine_mode_scope(mode)``) around every trace of that solver's step, so
+  two solvers with different modes coexist in one process without
+  cross-talk. ``None`` fields defer to the process defaults below.
+* Process defaults — env-seeded module state (``GFS_*`` vars) consulted
+  when no scope is active or a mode field is ``None``. The ``set_*``
+  mutators remain for tests/scripts that A/B a knob process-wide.
 """
 
 from __future__ import annotations
 
+import contextlib
+import dataclasses
 import os
+
+@dataclasses.dataclass(frozen=True)
+class EngineMode:
+    """Per-solver engine-mode record (None = defer to process default).
+
+    ``sharded_sampling`` is (mesh, halo) to route full-lattice sampling
+    through the shard_map halo kernels, ``()`` to force it OFF within the
+    scope regardless of process state, or None to defer.
+    """
+
+    fast_interp: bool | None = None
+    interp_rr: int | None = None
+    interp_adaptive: bool | None = None
+    volume_exact: bool | None = None
+    rbgs: bool | None = None
+    interp_bf16: bool | None = None
+    spectral_poisson: bool | None = None
+    pallas_diffuse: bool | None = None
+    interp_interpret: bool | None = None
+    sharded_sampling: tuple | None = None
+
+    def __hash__(self):  # mesh objects in sharded_sampling aren't hashable
+        return hash((self.fast_interp, self.interp_rr, self.interp_adaptive,
+                     self.volume_exact, self.rbgs, self.interp_bf16,
+                     self.spectral_poisson, self.pallas_diffuse,
+                     self.interp_interpret,
+                     self.sharded_sampling is not None
+                     and len(self.sharded_sampling)))
+
+
+_MODE_STACK: list[EngineMode] = []
+
+
+@contextlib.contextmanager
+def engine_mode_scope(mode: EngineMode | None):
+    """Activate `mode` for the duration (typically: around one trace)."""
+    if mode is None:
+        yield
+        return
+    _MODE_STACK.append(mode)
+    try:
+        yield
+    finally:
+        _MODE_STACK.pop()
+
+
+def _mode_field(name: str):
+    for mode in reversed(_MODE_STACK):
+        v = getattr(mode, name)
+        if v is not None:
+            return v
+    return None
+
 
 _FAST_ENV = os.environ.get("GFS_FAST_INTERP")
 # Residual reach: per-(8,8,128)-block in-block displacement variation budget
@@ -23,6 +89,9 @@ _FORCED: bool | None = None if _FAST_ENV is None else _FAST_ENV not in ("0", "fa
 
 
 def use_fast_interp() -> bool:
+    m = _mode_field("fast_interp")
+    if m is not None:
+        return m
     if _FORCED is not None:
         return _FORCED
     import jax
@@ -37,7 +106,8 @@ def set_fast_interp(value: bool | None) -> None:
 
 
 def interp_rr() -> int:
-    return _RR
+    m = _mode_field("interp_rr")
+    return _RR if m is None else m
 
 
 def set_interp_rr(value: int) -> None:
@@ -58,7 +128,8 @@ def interp_adaptive() -> bool:
     Bit-identical results (skipped taps have exactly-zero hat weight);
     typically ~5x fewer VPU ops. GFS_INTERP_ADAPTIVE=0 restores the
     fully-unrolled static form."""
-    return _ADAPTIVE
+    m = _mode_field("interp_adaptive")
+    return _ADAPTIVE if m is None else m
 
 
 def set_interp_adaptive(value: bool) -> None:
@@ -76,7 +147,8 @@ def volume_exact() -> bool:
     strict volume-average parity matters more than speed. The prefilter
     default matches the exact form to ~1-2% at density discontinuities and
     to O(h^2) on smooth fields (tests/test_fidelity3d.py)."""
-    return _VOLUME_EXACT
+    m = _mode_field("volume_exact")
+    return _VOLUME_EXACT if m is None else m
 
 
 def set_volume_exact(value: bool) -> None:
@@ -92,6 +164,9 @@ def use_rbgs() -> bool:
     """Use the blocked Pallas red-black Gauss-Seidel smoother for the MG
     pre/post smoothing (ops/pallas_kernels.py). Default: on for TPU
     backends (where it halves smoother HBM traffic), off elsewhere."""
+    m = _mode_field("rbgs")
+    if m is not None:
+        return m
     if _RBGS is not None:
         return _RBGS
     return use_fast_interp()
@@ -115,7 +190,9 @@ def interp_window_dtype():
     measured speed/drift trade."""
     import jax.numpy as jnp
 
-    return jnp.bfloat16 if _INTERP_BF16 else jnp.float32
+    m = _mode_field("interp_bf16")
+    bf16 = _INTERP_BF16 if m is None else m
+    return jnp.bfloat16 if bf16 else jnp.float32
 
 
 def set_interp_bf16(value: bool) -> None:
@@ -136,6 +213,9 @@ def use_spectral_poisson() -> bool:
     residual, tighter than any iterative exit). Default: on for TPU
     backends, off on CPU (tests/oracles compare against the iterative
     path). Masked/voxelized-boundary projections always use MG-PCG."""
+    m = _mode_field("spectral_poisson")
+    if m is not None:
+        return m
     if _SPECTRAL is not None:
         return _SPECTRAL
     # backend-only default (NOT use_fast_interp(): tests force fast-interp
@@ -162,6 +242,9 @@ def use_pallas_diffuse() -> bool:
     TPU backends — in-step the XLA while-loop runs ~2x slower than the
     same loop standalone (cost-model tiling regression); the Pallas kernel
     holds ~0.37 ms/sweep either way."""
+    m = _mode_field("pallas_diffuse")
+    if m is not None:
+        return m
     if _PALLAS_DIFFUSE is not None:
         return _PALLAS_DIFFUSE
     return use_fast_interp()
@@ -179,6 +262,9 @@ _SHARDED_SAMPLING: tuple | None = None
 
 
 def sharded_sampling():
+    m = _mode_field("sharded_sampling")
+    if m is not None:
+        return m if m else None  # () forces OFF within the scope
     return _SHARDED_SAMPLING
 
 
@@ -196,7 +282,8 @@ _INTERPRET = os.environ.get("GFS_INTERP_INTERPRET", "0") not in ("0", "false")
 def interp_interpret() -> bool:
     """Run the Pallas window kernels in interpreter mode (CPU testing of the
     fast-interp path; see tests/test_fidelity3d.py)."""
-    return _INTERPRET
+    m = _mode_field("interp_interpret")
+    return _INTERPRET if m is None else m
 
 
 def set_interp_interpret(value: bool) -> None:

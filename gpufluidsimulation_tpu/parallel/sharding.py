@@ -18,6 +18,8 @@ semi-Lagrangian gathers reach at most CFL-bounded distances. Two layers:
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -127,22 +129,20 @@ def sharded_step(solver, mesh: Mesh, halo_smoother: bool = True,
     if fast_sampling is None:
         fast_sampling = _jax.default_backend() not in ("cpu",)
 
-    def fn(state):
-        from gpufluidsimulation_tpu import config
+    from gpufluidsimulation_tpu import config
 
-        prev = config._FORCED
-        prev_ss = config.sharded_sampling()
-        config.set_fast_interp(False)
-        if fast_sampling:
-            config.set_sharded_sampling(mesh, halo)
-        try:
+    # scoped engine mode (no process-global mutation): single-chip Pallas
+    # fast-interp OFF — sampling either rides the shard_map halo path or
+    # exact gathers; () force-disables sharded sampling within the scope
+    mode = dataclasses.replace(
+        solver.cfg.engine_mode or config.EngineMode(),
+        fast_interp=False,
+        sharded_sampling=(mesh, halo) if fast_sampling else (),
+    )
+
+    def fn(state):
+        with config.engine_mode_scope(mode):
             return step_fn(solver.cfg, solver.grid, ctx, state)
-        finally:
-            config.set_fast_interp(prev)
-            if prev_ss is None:
-                config.set_sharded_sampling(None)
-            else:
-                config.set_sharded_sampling(prev_ss[0], prev_ss[1])
 
     example = solver.init_state()
     shardings = jax.tree.map(

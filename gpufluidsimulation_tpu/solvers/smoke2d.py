@@ -17,6 +17,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
+from gpufluidsimulation_tpu import config as config_mod
 from gpufluidsimulation_tpu.bimocq import mapping as mp
 from gpufluidsimulation_tpu.core.grids import Grid2D
 from gpufluidsimulation_tpu.ops import advect, forces, poisson
@@ -43,6 +44,8 @@ class Smoke2DConfig:
     vel_remap_gap: int = 8       # BimocqSolver2D.cpp:461
     rho_remap_gap: int = 20      # :462
     flip_ratio: float = 0.99     # :1567
+    # per-solver engine mode (config.EngineMode; None = process defaults)
+    engine_mode: "config_mod.EngineMode | None" = None
 
     @property
     def h(self) -> float:
@@ -455,15 +458,48 @@ class Smoke2D:
         }[cfg.scheme]
 
         def _stepper(state, dt):
-            return step(cfg, self.grid, self.ctx, state, dt)
+            with config_mod.engine_mode_scope(cfg.engine_mode):
+                return step(cfg, self.grid, self.ctx, state, dt)
 
         self._step = jax.jit(_stepper, donate_argnums=0)
+        self._raw_step = step
+        self._fallback_step = None
+        self._copy_state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
 
     def init_state(self) -> Smoke2DState:
         return init_state(self.cfg)
 
     def step(self, state: Smoke2DState, dt: float) -> Smoke2DState:
         return self._step(state, jnp.float32(dt))
+
+    def step_checked(self, state: Smoke2DState, dt: float):
+        """Contract-enforcing step: recompute the frame through the
+        exact-gather engine when the fast-interp displacement contract
+        tripped (see Smoke3D.step_checked). Returns (state, retried)."""
+        with config_mod.engine_mode_scope(self.cfg.engine_mode):
+            fast = config_mod.use_fast_interp()
+        if not fast:
+            return self._step(state, jnp.float32(dt)), False
+        backup = self._copy_state(state)
+        out = self._step(state, jnp.float32(dt))
+        if int(getattr(out, "interp_overflow", 0)) > 0:
+            if self._fallback_step is None:
+                mode = dataclasses.replace(
+                    self.cfg.engine_mode or config_mod.EngineMode(),
+                    fast_interp=False)
+
+                def _scoped_fb(st, dt_):
+                    with config_mod.engine_mode_scope(mode):
+                        return self._raw_step(self.cfg, self.grid, self.ctx,
+                                              st, dt_)
+
+                self._fallback_step = jax.jit(_scoped_fb, donate_argnums=0)
+            for leaf in jax.tree.leaves(out):
+                leaf.delete()
+            return self._fallback_step(backup, jnp.float32(dt)), True
+        for leaf in jax.tree.leaves(backup):
+            leaf.delete()
+        return out, False
 
     # grid <- particles bootstrap for FLIP/APIC/POLYPIC (main.cpp:64,95)
     def sample_particles_from_grid(self, state: Smoke2DState) -> Smoke2DState:

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gpufluidsimulation_tpu import config as config_mod
 from gpufluidsimulation_tpu.bimocq import mapping as mp
 from gpufluidsimulation_tpu.core import interp
 from gpufluidsimulation_tpu.core.grids import Grid3D
@@ -157,6 +158,11 @@ class Smoke3DConfig:
     scalar_reinit_gap: int = 30
     vel_distortion_limit: float = 1.0    # BimocqSolver.cpp:175
     scalar_distortion_limit: float = 5.0
+    # per-solver engine mode (config.EngineMode; None = process defaults).
+    # Entered around every trace of this solver's step, so solvers with
+    # different modes (fast vs exact interp, spectral vs iterative
+    # projection, ...) coexist in one process without global cross-talk.
+    engine_mode: "config_mod.EngineMode | None" = None
 
     @property
     def h(self) -> float:
@@ -843,15 +849,66 @@ class Smoke3D:
         self.grid = cfg.grid
         self.ctx = poisson.MGContext(self.grid.shape_c, cfg.bc)
         step_fn = _STEPS[cfg.scheme]
+
+        def _scoped_step(cfg_, grid_, ctx_, state):
+            # the scope is live exactly when jit traces the body, which is
+            # where every config_mod.* mode read happens; retraces re-enter
+            with config_mod.engine_mode_scope(cfg_.engine_mode):
+                return step_fn(cfg_, grid_, ctx_, state)
+
         self._step = jax.jit(
-            partial(step_fn, cfg, self.grid, self.ctx), donate_argnums=0
+            partial(_scoped_step, cfg, self.grid, self.ctx), donate_argnums=0
         )
+        # lazily-built exact-path twin + device state copier for
+        # step_checked's contract-violation retry
+        self._fallback_step = None
+        self._copy_state = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
 
     def init_state(self) -> Smoke3DState:
         return init_state(self.cfg)
 
     def step(self, state: Smoke3DState) -> Smoke3DState:
         return self._step(state)
+
+    def _fast_interp_active(self) -> bool:
+        with config_mod.engine_mode_scope(self.cfg.engine_mode):
+            return config_mod.use_fast_interp()
+
+    def step_checked(self, state: Smoke3DState):
+        """Contract-ENFORCING step (VERDICT r1 item 7): if the fast-interp
+        displacement contract tripped anywhere in the frame
+        (interp_overflow > 0, monitored on every windowed launch), the
+        frame is recomputed from the saved pre-step state through the
+        exact-gather engine — a correct frame instead of a warn-and-commit
+        of clamped samples. Costs one device-side state copy per frame
+        (~1.5% of a 256^3 step) and a host sync on the counter; the CLI
+        frame loop already syncs per frame for its diagnostics. The exact
+        twin compiles lazily on first violation.
+
+        Returns (state, retried).
+        """
+        if not self._fast_interp_active():
+            return self._step(state), False
+        backup = self._copy_state(state)
+        out = self._step(state)
+        if int(out.interp_overflow) > 0:
+            if self._fallback_step is None:
+                mode = dataclasses.replace(
+                    self.cfg.engine_mode or config_mod.EngineMode(),
+                    fast_interp=False)
+                step_fn = _STEPS[self.cfg.scheme]
+
+                def _scoped_fb(st):
+                    with config_mod.engine_mode_scope(mode):
+                        return step_fn(self.cfg, self.grid, self.ctx, st)
+
+                self._fallback_step = jax.jit(_scoped_fb, donate_argnums=0)
+            for leaf in jax.tree.leaves(out):
+                leaf.delete()
+            return self._fallback_step(backup), True
+        for leaf in jax.tree.leaves(backup):  # free HBM promptly
+            leaf.delete()
+        return out, False
 
     def step_fn(self):
         return self._step

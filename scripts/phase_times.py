@@ -65,9 +65,16 @@ def main(n=256):
         cfldt, dt))
     timeit("  forward map (fused RK3 trace)", fwd_only, s)
 
-    blend = jnp.float32(1.0)
+    # mirror the solver's own level-2 logic (solvers/smoke3d.py): at the
+    # default blend_coeff==1.0 the level-2 pull-back is statically dead —
+    # blend=None marks it, prev buffers are elided (None) in the dieted
+    # state. Passing a live blend here would crash on the None prevs AND
+    # time a path the solver never runs.
+    blend = None if cfg.blend_coeff == 1.0 else jnp.float32(cfg.blend_coeff)
 
     def adv_kind(kind, cur, init, prev, vm):
+        if blend is None:
+            prev = [None] * len(cur)
         return mp.bimocq_advect_3d(g, kind, cur, init, prev,
                                    vm.bwd, vm.bwd_prev, vm.fwd, blend)
 

@@ -1,0 +1,85 @@
+"""Contract-violation enforcement (VERDICT r1 item 7): a flow violent
+enough to break the fast-interp displacement budget must produce a
+CORRECT exact-path frame from step_checked, not a warning plus clamped
+samples."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpufluidsimulation_tpu import config
+from gpufluidsimulation_tpu.scenes.scenes3d import vortex_collision_config
+from gpufluidsimulation_tpu.solvers.schemes import Scheme
+from gpufluidsimulation_tpu.solvers.smoke3d import Emitter3D, Smoke3D
+
+
+def _violent_cfg(n, mode):
+    # dt sized so in-block displacement VARIATION blows the Rr=1 budget
+    # (~7 cells >> 1.5) while total displacement stays interior — a much
+    # larger dt would saturate the position clamp and make displacements
+    # uniform per block, which the contract correctly does NOT flag
+    return vortex_collision_config(
+        ni=n, nj=n, nk=n, scheme=Scheme.BIMOCQ, dt=2.0 / n,
+        emitters=(Emitter3D(center=(0.1, 0.1, 0.1), radius=0.04, sign=1.0),),
+        proj_tol=1e-5, proj_max_iters=60, engine_mode=mode,
+    )
+
+
+def _shear(state, g):
+    # smooth single-mode shear: at 16^3 the backward map marches to ~±3
+    # cells of displacement with >1.5 cells of in-block variation —
+    # squarely past the Rr=1 budget. (Higher frequencies are WORSE here:
+    # DMC's exponential integrator damps displacement as |du/dx| grows,
+    # and a saturating dt clamps positions into per-block uniformity.)
+    shape_u = state.u.shape
+    x = jnp.linspace(-1.0, 1.0, shape_u[0])[:, None, None]
+    y = jnp.linspace(-1.0, 1.0, shape_u[1])[None, :, None]
+    u = 0.35 * jnp.sin(jnp.pi * x) * jnp.cos(jnp.pi * y)
+    u = jnp.broadcast_to(u, shape_u).astype(jnp.float32)
+    return state.replace(u=u, u_init=jnp.array(u))
+
+
+def test_violent_flow_recomputed_exact():
+    n = 16
+    fast_mode = config.EngineMode(fast_interp=True, interp_interpret=True,
+                                  interp_rr=1)
+    fast = Smoke3D(_violent_cfg(n, fast_mode))
+    exact = Smoke3D(_violent_cfg(
+        n, config.EngineMode(fast_interp=False)))
+
+    s_f = _shear(fast.init_state(), fast.grid)
+    s_e = _shear(exact.init_state(), exact.grid)
+
+    # the raw fast step must actually trip the contract (else this test
+    # exercises nothing) — run a throwaway copy through .step()
+    probe = fast._copy_state(s_f)
+    probe_out = fast.step(probe)
+    assert int(probe_out.interp_overflow) > 0, (
+        "flow not violent enough to trip the Rr=1 contract")
+
+    out, retried = fast.step_checked(s_f)
+    assert retried, "step_checked did not retry a violated frame"
+    assert int(out.interp_overflow) == 0  # the committed frame is exact
+
+    ref = exact.step(s_e)
+    np.testing.assert_allclose(np.asarray(out.rho), np.asarray(ref.rho),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               atol=1e-6)
+
+
+def test_clean_flow_not_retried():
+    n = 16
+    fast_mode = config.EngineMode(fast_interp=True, interp_interpret=True,
+                                  interp_rr=2)
+    cfg = vortex_collision_config(
+        ni=n, nj=n, nk=n, scheme=Scheme.BIMOCQ, dt=2.0 / n,
+        emitters=(Emitter3D(center=(0.1, 0.1, 0.1), radius=0.03, sign=1.0),),
+        proj_tol=1e-5, proj_max_iters=60, engine_mode=fast_mode,
+    )
+    solver = Smoke3D(cfg)
+    out, retried = solver.step_checked(solver.init_state())
+    assert not retried
+    assert int(out.interp_overflow) == 0
+    assert solver._fallback_step is None  # exact twin never compiled
