@@ -481,6 +481,14 @@ def update_backward_map_3d(grid, u, v, w, map_xyz, cfldt, dt, packed=None,
         grid_n = (grid.ni, grid.nj, grid.nk)
         mac_packed = (packed if packed is not None
                       else interp.mac_pack_3d(u, v, w, grid.shape_c))
+        rr = _cfg.interp_rr()
+        # NOTE (measured, PERF.md): carrying the PADDED maps across
+        # substeps (interp_fast.dmc_substep_fast_carry — correct because
+        # the interior band freezes the edge-replication ring) LOSES ~6 ms
+        # at 256^3: XLA will not alias the dynamic_update_slice around the
+        # pallas custom call, so the "in-place" interior write becomes a
+        # 10 ms full-buffer copy, more than the ~7.7 ms of per-substep pads
+        # it replaces. Per-substep pads stay.
 
         def cond(carry):
             return carry[0] < dt
@@ -490,7 +498,7 @@ def update_backward_map_3d(grid, u, v, w, map_xyz, cfldt, dt, packed=None,
             sub = jnp.minimum(cfldt, dt - t)
             m2, c2 = interp_fast.dmc_substep_fast(
                 mac_packed, m, sub, grid.h, grid_n,
-                Rr=_cfg.interp_rr(), interpret=_cfg.interp_interpret(),
+                Rr=rr, interpret=_cfg.interp_interpret(),
                 want_count=True,
             )
             return (t + sub, m2, cnt + c2)

@@ -81,6 +81,20 @@ WZ_WIN = 384  # z window lanes DMA'd (3 tiles; rebased to a pow2 256 in-kernel)
 # rule) is the honest accuracy monitor either way.
 _BZ_ENV = os.environ.get("GFS_INTERP_BZ", "auto")
 
+# Static x-tap count of the fused RK3 trace kernels (0 disables): the x
+# (major) axis supports neither dynamic slices nor dynamic rolls, so the
+# narrowing rides the per-block DMA origin instead — _origins shifts each
+# block's x window origin to its live-tap start (stage-1 stats widened by
+# the <1-cell stage-drift bound) and the kernel loops [0, XNT) statically.
+# Blocks whose live range exceeds XNT clamp + renormalize and are counted
+# into the frame's overflow monitor (-> step_checked exact-path retry).
+_RK3_XNT = int(os.environ.get("GFS_RK3_XNT", "6"))
+# The same narrowing in the fused DMC kernel's map gather (5 static taps)
+# measured ~1.5 ms at 256^3 — NOT worth tightening that kernel's
+# documented |d| <= Rr+0.5 displacement contract (a 2.24-cell legal
+# displacement would clamp). Off by default; kept for experiments.
+_DMC_XNT = int(os.environ.get("GFS_DMC_XNT", "0"))
+
 
 def _bz(Z, prefer=128):
     """Sampler z-block extent for a padded (128-multiple) z extent Z."""
@@ -170,7 +184,7 @@ def _overflow_count(stats, Rr):
 
 def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
              dspan=((0.0, 0.0), (0.0, 0.0), (0.0, 0.0)),
-             want_count=False):
+             want_count=False, x_taps=None, x_margin=0, count_x=True):
     """Per-block scalars [ox, oy, sy_slack, ozw, g0, ylo, nyt, zlo, nzt].
 
     ox: x window origin (arbitrary); oy: y origin (floor-8, slack absorbed
@@ -235,11 +249,41 @@ def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
     r_z = (Rr + 1 - s_z).astype(jnp.float32)
     zlo, nzt = taps(mnz + r_z + dspan[2][0], mxz + r_z + dspan[2][1])
 
-    count = _overflow_count([
-        (mnx, mxx, s_x, dspan[0][0], dspan[0][1]),
-        (mny, mxy, s_y, dspan[1][0], dspan[1][1]),
-        (mnz, mxz, s_z, dspan[2][0], dspan[2][1]),
-    ], Rr) if want_count else None
+    count_x_taps = None
+    if x_taps is not None:
+        # STATIC-x-tap mode: shift each block's x window origin to its
+        # live-tap start (x is the leading axis — origins are free, but
+        # neither dynamic slices nor dynamic rolls exist there, so the
+        # narrowing must come from the DMA descriptor itself). The kernel
+        # then loops x taps [0, x_taps) statically — no switch, no
+        # predication — over a window only BX + x_taps - 1 rows tall.
+        # `x_margin` widens the measured live range by whole taps on both
+        # sides (the RK3 kernel's stage-2/3 drift is < 1 cell by the CFL
+        # substep bound). Blocks whose widened range exceeds x_taps lose
+        # the overhanging taps (clamp + renormalize, exactly the window-
+        # edge semantics) and are counted.
+        q_x = (bo_x + P - ox).astype(jnp.float32)
+        xlo_i = jnp.clip(
+            jnp.floor(mnx + q_x + dspan[0][0]).astype(jnp.int32) - x_margin,
+            0, W - 1)
+        xhi_i = jnp.clip(
+            jnp.floor(mxx + q_x + dspan[0][1]).astype(jnp.int32) + 1
+            + x_margin, 0, W - 1)
+        count_x_taps = jnp.sum(xhi_i - xlo_i + 1 > x_taps, dtype=jnp.int32)
+        ox = jnp.clip(ox + xlo_i, 0, fs_xy[0] - (BX + x_taps - 1))
+
+    if not want_count:
+        count = None
+    else:
+        stats = [
+            (mny, mxy, s_y, dspan[1][0], dspan[1][1]),
+            (mnz, mxz, s_z, dspan[2][0], dspan[2][1]),
+        ]
+        if x_taps is None:
+            stats.insert(0, (mnx, mxx, s_x, dspan[0][0], dspan[0][1]))
+        count = _overflow_count(stats, Rr)
+        if count_x_taps is not None and count_x:
+            count = count + count_x_taps
 
     shape3 = (nb[0], nb[1], nb[2])
     packed = jnp.stack(
@@ -581,7 +625,8 @@ def _trilerp_when(win_c, lx, ly, lz, block, Rr, store, nt=None):
         store(_trilerp_sum(win_c, hx, hy, hz, block, Rr))
 
 
-def _trilerp_sum_adaptive(win, lx, ly, lz, taps, block, Rr, x_nx=None):
+def _trilerp_sum_adaptive(win, lx, ly, lz, taps, block, Rr, x_nx=None,
+                          x_static=None):
     """Adaptive trilerp. The x axis cannot use dynamic slices (major-axis
     slices must be static under Mosaic) nor dynamic rolls (non-pow2 dim),
     so per-block live x-tap subranges are dispatched with lax.switch over
@@ -626,6 +671,15 @@ def _trilerp_sum_adaptive(win, lx, ly, lz, taps, block, Rr, x_nx=None):
         out = jax.lax.fori_loop(0, nzt, zbody, jnp.zeros(block, jnp.float32))
         return out, covx
 
+    if x_static is not None:
+        # taps [x0, x0+xn) are a STATIC superset of every element's live
+        # x taps (by origin shift or by construction): one unpredicated
+        # branch, bit-identical (skipped taps have exactly-zero hat
+        # weight; overhangs clamp + renormalize via covx like any window
+        # edge)
+        out, covx = core(*x_static)
+        cov = covx * covy * covz
+        return jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
     nx_cap = X_NX if x_nx is None else x_nx
     if nx_cap is None or nx_cap >= W:
         out, covx = core(0, W)
@@ -1384,7 +1438,8 @@ def _live_taps(rel, W):
     return lo, jnp.maximum(hi - lo + 1, 0)
 
 
-def _sample_mac_stage(win_all, lx, ly, lz, deltas, block, Rr):
+def _sample_mac_stage(win_all, lx, ly, lz, deltas, block, Rr, x_static=None,
+                      want_x_viol=False):
     """The 3 MAC channels at window-local coords (lx,ly,lz) + channel deltas.
 
     Stays on the roll-per-tap adaptive form: routing these stages through
@@ -1394,24 +1449,35 @@ def _sample_mac_stage(win_all, lx, ly, lz, deltas, block, Rr):
     predicated regions per launch defeat Mosaic's pipelining, the opposite
     of the pull-back samplers where the same scheme wins ~15%."""
     W = 2 * Rr + 3
+    a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
     b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
     c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
     outs = []
+    viol = None
     for ch, (dxo, dyo, dzo) in enumerate(deltas):
         lxc, lyc, lzc = lx + dxo, ly + dyo, lz + dzo
         ylo, nyt = _live_taps(lyc - b, W)
         zlo, nzt = _live_taps(lzc - c, W)
+        if want_x_viol and x_static is not None:
+            # EXACT truncation test: element taps {floor(rel), floor+1}
+            # fit the static range [x0, x0+xn) iff rel in [x0, x0+xn-1)
+            relx = lxc - a
+            v = (relx < x_static[0]) | (relx >= x_static[0] + x_static[1] - 1)
+            viol = v if viol is None else (viol | v)
         outs.append(
             _trilerp_sum_adaptive(
-                win_all[ch], lxc, lyc, lzc, (ylo, nyt, zlo, nzt), block, Rr
+                win_all[ch], lxc, lyc, lzc, (ylo, nyt, zlo, nzt), block, Rr,
+                x_static=x_static,
             )
         )
+    if want_x_viol:
+        return outs, viol
     return outs
 
 
 def _kernel_rk3(origin_ref, gx_ref, gy_ref, gz_ref, sh_ref, fields_hbm,
-                out_ref, win_ref, sem, *, Rr, block, win_shape,
-                deltas, clamp):
+                out_ref, cnt_ref, win_ref, sem, *, Rr, block, win_shape,
+                deltas, clamp, x_taps=None):
     blk, slot = _pipeline_window(origin_ref, fields_hbm, win_ref, sem,
                                  win_shape)
     ox, oy, sy, ozw, g0 = _block_scalars(origin_ref, blk)
@@ -1419,15 +1485,31 @@ def _kernel_rk3(origin_ref, gx_ref, gy_ref, gz_ref, sh_ref, fields_hbm,
     win_all = _rebased_window(win_ref.at[slot], sy, g0 - ozw, 2)
     sh = sh_ref[0, 0]  # signed substep dt / h (world velocity -> grid disp)
 
-    u1, v1, w1 = _sample_mac_stage(win_all, lx, ly, lz, deltas, block, Rr)
+    xs = None if x_taps is None else (0, x_taps)
+    wv = x_taps is not None
+    (u1, v1, w1), x_v1 = _sample_mac_stage(
+        win_all, lx, ly, lz, deltas, block, Rr, x_static=xs,
+        want_x_viol=True)
     a = 0.5 * sh
-    u2, v2, w2 = _sample_mac_stage(
-        win_all, lx + a * u1, ly + a * v1, lz + a * w1, deltas, block, Rr
+    (u2, v2, w2), x_v2 = _sample_mac_stage(
+        win_all, lx + a * u1, ly + a * v1, lz + a * w1, deltas, block, Rr,
+        x_static=xs, want_x_viol=True,
     )
     b = 0.75 * sh
-    u3, v3, w3 = _sample_mac_stage(
-        win_all, lx + b * u2, ly + b * v2, lz + b * w2, deltas, block, Rr
+    (u3, v3, w3), x_v3 = _sample_mac_stage(
+        win_all, lx + b * u2, ly + b * v2, lz + b * w2, deltas, block, Rr,
+        x_static=xs, want_x_viol=True,
     )
+    # EXACT static-x-tap truncation count (not the prepass's conservative
+    # worst-case-drift bound): accumulated over the sequential grid like
+    # the DMC kernel's in-kernel contract monitor
+    @pl.when(blk == 0)
+    def _():
+        cnt_ref[0, 0] = 0
+
+    if wv:
+        viol = x_v1 | x_v2 | x_v3
+        cnt_ref[0, 0] += jnp.sum(viol.astype(jnp.int32))
     c1 = (2.0 / 9.0) * sh
     c2 = (3.0 / 9.0) * sh
     c3 = (4.0 / 9.0) * sh
@@ -1444,12 +1526,13 @@ def _kernel_rk3(origin_ref, gx_ref, gy_ref, gz_ref, sh_ref, fields_hbm,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Rr", "P", "interpret", "deltas", "clamp"),
+    static_argnames=("Rr", "P", "interpret", "deltas", "clamp", "x_taps"),
 )
 def _rk3_padded(fields_padded, gx, gy, gz, sh, *, Rr, P, interpret, deltas,
-                clamp):
-    """One fused RK3 substep over padded-coord position lattices; returns the
-    stacked (3, ...) new positions in the same padded channel-0 coords."""
+                clamp, x_taps=None):
+    """One fused RK3 substep over padded-coord position lattices; returns
+    (stacked (3, ...) new positions in the same padded channel-0 coords,
+    contract-violation count of this launch's origins prepass)."""
     C = fields_padded.shape[0]
     nx, ny, Z = gx.shape
     Rk = Rr + 1  # window reach: contract residual + <=0.75-cell stage drift
@@ -1458,9 +1541,31 @@ def _rk3_padded(fields_padded, gx, gy, gz, sh, *, Rr, P, interpret, deltas,
     nb = (nx // BX, ny // BY, Z // bz)
     block = (BX, BY, bz)
     fs = fields_padded.shape[1:]
-    Wx = BX + 2 * Rk + 2
+    # production-geometry gate: a block must be a small fraction of the x
+    # extent for its in-block displacement SPREAD (what the static cap
+    # truncates) to stay at the measured ~3 live taps — on toy grids where
+    # one 16-wide block spans most of the domain, whole-domain velocity
+    # variation lands in a single block and the cap would clip real taps.
+    # nb_x >= 4 keeps every small-grid parity test bit-exact and enables
+    # the narrowing everywhere production runs (>= 64^3).
+    if x_taps and nx // BX < 4:
+        x_taps = None
+    if x_taps:
+        # static-x-tap mode: per-block origins sit at the live-tap start
+        # (stage drift margin 1 tap each side), window only x_taps-1 rows
+        # taller than the block — less DMA and a 2Rk+3 -> x_taps x loop
+        Wx = BX + x_taps - 1
+        # y/z window-fit violations counted in the prepass; x truncation
+        # counted EXACTLY in-kernel per stage (count_x=False drops the
+        # prepass's conservative worst-case-drift x bound)
+        origins, cnt = _origins(gx, gy, gz, fs, Rr=Rk, P=P, nb=nb,
+                                want_count=True, x_taps=x_taps, x_margin=1,
+                                count_x=False)
+    else:
+        Wx = BX + 2 * Rk + 2
+        origins = _origins(gx, gy, gz, fs, Rr=Rk, P=P, nb=nb)
+        cnt = jnp.int32(0)
     win_shape = (C, Wx, WY_WIN, _wz_win(bz))
-    origins = _origins(gx, gy, gz, fs, Rr=Rk, P=P, nb=nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1475,9 +1580,11 @@ def _rk3_padded(fields_padded, gx, gy, gz, sh, *, Rr, P, interpret, deltas,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (C,) + block, lambda i, j, k, o: (0, i, j, k),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec((C,) + block, lambda i, j, k, o: (0, i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j, k, o: (0, 0),
+                         memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((2,) + win_shape, fields_padded.dtype),
@@ -1486,17 +1593,21 @@ def _rk3_padded(fields_padded, gx, gy, gz, sh, *, Rr, P, interpret, deltas,
     )
     kernel = functools.partial(
         _kernel_rk3, Rr=Rk, block=block, win_shape=win_shape, deltas=deltas,
-        clamp=clamp,
+        clamp=clamp, x_taps=x_taps or None,
     )
-    return pl.pallas_call(
+    out, kcnt = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((C,) + gx.shape, jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((C,) + gx.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
         grid_spec=grid_spec,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(origins, gx, gy, gz, sh.reshape(1, 1), fields_padded)
+    return out, cnt + jnp.sum(kcnt)
 
 
 def _kernel_rk3_ident(sh_ref, k1_ref, fields_hbm, out_ref, win_ref, sem, *,
@@ -1558,13 +1669,19 @@ def _kernel_rk3_ident(sh_ref, k1_ref, fields_hbm, out_ref, win_ref, sem, *,
     u1 = k1_ref[0]
     v1 = k1_ref[1]
     w1 = k1_ref[2]
+    # identity positions make the live x taps STATIC by construction:
+    # rel = Rr+1 - off_ch + drift with |off_ch| <= 0.5 and stage drift
+    # < 0.75 cells (CFL substep bound) -> taps [Rr-1, Rr+3], 5 of 2Rr+3
+    xs = (Rr - 1, 5) if _RK3_XNT else None
     aa = 0.5 * sh
     u2, v2, w2 = _sample_mac_stage(
-        win_all, lx + aa * u1, ly + aa * v1, lz + aa * w1, deltas, block, Rr
+        win_all, lx + aa * u1, ly + aa * v1, lz + aa * w1, deltas, block, Rr,
+        x_static=xs,
     )
     bb = 0.75 * sh
     u3, v3, w3 = _sample_mac_stage(
-        win_all, lx + bb * u2, ly + bb * v2, lz + bb * w2, deltas, block, Rr
+        win_all, lx + bb * u2, ly + bb * v2, lz + bb * w2, deltas, block, Rr,
+        x_static=xs,
     )
     c1 = (2.0 / 9.0) * sh
     c2 = (3.0 / 9.0) * sh
@@ -1690,16 +1807,19 @@ def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
     def cond(carry):
         return carry[0] < total
 
+    x_taps = _RK3_XNT or None
+
     def body(carry):
-        t, g = carry
+        t, g, cnt = carry
         sub = jnp.minimum(cfldt, total - t)
-        g2 = _rk3_padded(
+        g2, c2 = _rk3_padded(
             packed, g[0], g[1], g[2], (sign * sub / h).astype(jnp.float32),
             Rr=Rr, P=P, interpret=interpret, deltas=deltas, clamp=clamp,
+            x_taps=x_taps,
         )
         if has_rim:
             g2 = _rerim(g2)
-        return (t + sub, g2)
+        return (t + sub, g2, cnt + c2)
 
     if use_ident:
         # identity-start peel (per-frame-reinit mode): substep 1 runs with
@@ -1720,10 +1840,14 @@ def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
         )
         if has_rim:
             g0_ = _rerim(g0_)
-        carry0 = (sub0, g0_)
+        carry0 = (sub0, g0_, jnp.int32(0))
     else:
-        carry0 = (jnp.float32(0.0), jnp.stack([gx, gy, gz]))
-    _, g = jax.lax.while_loop(cond, body, carry0)
+        carry0 = (jnp.float32(0.0), jnp.stack([gx, gy, gz]), jnp.int32(0))
+    _, g, cnt = jax.lax.while_loop(cond, body, carry0)
+    # static-x-tap truncations self-report through the frame's overflow
+    # sink (clamped + renormalized samples are counted, never silent)
+    if OVERFLOW_SINK is not None:
+        OVERFLOW_SINK.append(cnt)
     sl = np.s_[: out_shape[0], : out_shape[1], : out_shape[2]]
     return (
         (g[0][sl] - P + off0[0]) * h,
@@ -2121,11 +2245,13 @@ def _kernel_dmc(sh_ref, mac_hbm, maps_hbm, out_ref, cnt_ref, win_v, win_m,
     band = ((gi >= 2) & (gi <= ni - 3) & (gj >= 2) & (gj <= nj - 3)
             & (gk >= 2) & (gk <= nk - 3))
 
+    xs = (R1 - 2, 5) if _DMC_XNT else None  # see _DMC_XNT: default off
     for ch in range(3):
         # adaptive (not _trilerp_when): the predicated-region form measured
         # +33 ms on this kernel at 256^3 — see _sample_mac_stage.
         sampled = _trilerp_sum_adaptive(
-            wm[ch], lx, ly, lz, (ylo, nyt, zlo, nzt), block, Rr
+            wm[ch], lx, ly, lz, (ylo, nyt, zlo, nzt), block, Rr,
+            x_static=xs,
         )
         center = wm[ch, R1: R1 + B1, R1: R1 + B2, R1: R1 + B3]
         out_ref[ch] = jnp.where(band, sampled, center)
@@ -2137,7 +2263,12 @@ def _kernel_dmc(sh_ref, mac_hbm, maps_hbm, out_ref, cnt_ref, win_v, win_m,
     # which this byproduct replaces). Band cells only: rim cells keep the
     # old map and never consume a clamped sample.
     reach = Rr + 0.5
-    viol = band & ((jnp.abs(lx - (a_i + R1)) > reach)
+    if _DMC_XNT:
+        # x: exact fit test of the 5-tap static range [R1-2, R1+2)
+        x_viol = (lx - a_i < R1 - 2) | (lx - a_i >= R1 + 2)
+    else:
+        x_viol = jnp.abs(lx - (a_i + R1)) > reach
+    viol = band & (x_viol
                    | (jnp.abs(ly - (b_i + R1)) > reach)
                    | (jnp.abs(lz - (c_i + R1)) > reach))
     # single (1,1) SMEM accumulator with a constant index map: the TPU grid
@@ -2153,10 +2284,11 @@ def _kernel_dmc(sh_ref, mac_hbm, maps_hbm, out_ref, cnt_ref, win_v, win_m,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("Rr", "interpret", "out_shape", "grid_n")
+    jax.jit,
+    static_argnames=("Rr", "interpret", "out_shape", "grid_n", "slice_out"),
 )
 def _dmc_padded(mac_packed, maps_packed, sh, h, *, Rr, interpret, out_shape,
-                grid_n):
+                grid_n, slice_out=True):
     P = Rr + 2
     BY = _by(Rr)
     nx = _ceil(out_shape[0], BX)
@@ -2206,6 +2338,8 @@ def _dmc_padded(mac_packed, maps_packed, sh, h, *, Rr, interpret, out_shape,
         ),
         interpret=interpret,
     )(scalars, mac_packed, maps_packed)
+    if not slice_out:
+        return out, jnp.sum(cnt)
     return (out[:, : out_shape[0], : out_shape[1], : out_shape[2]],
             jnp.sum(cnt))
 
@@ -2225,6 +2359,36 @@ def dmc_substep_fast(mac_packed, maps, sub, h, grid_n, *, Rr=2,
         Rr=Rr, interpret=interpret, out_shape=out_shape, grid_n=grid_n,
     )
     return (out, cnt) if want_count else out
+
+
+def dmc_substep_fast_carry(mac_packed, maps_padded, sub, h, grid_n, *,
+                           out_shape, Rr=2, interpret=False):
+    """One fused DMC substep over an ALREADY-PADDED map carry: returns the
+    (next padded carry, violation count). The caller updates the carry
+    in place (lax.dynamic_update_slice at (P, P, FRONT_Z)) instead of
+    re-materializing a full edge-pad per substep — correct because the
+    DMC interior band freezes the map's boundary cells, so the edge-
+    replication ring is invariant across a frame's substeps. Requires
+    block-multiple out_shape (no rim blocks; rim outputs would overwrite
+    live pad rows).
+
+    PARKED (measured negative, PERF.md): XLA refuses to alias the
+    dynamic_update_slice around the pallas custom call, so the interior
+    write runs as a ~10 ms full-buffer copy at 256^3 — more than the
+    per-substep pads it replaces. Bit-identical to dmc_substep_fast
+    (tested); becomes interesting again only if pallas output aliasing
+    at unaligned offsets lands."""
+    P = Rr + 2
+    assert (out_shape[0] % BX == 0 and out_shape[1] % _by(Rr) == 0
+            and out_shape[2] % 128 == 0)
+    sh = jnp.asarray(sub, jnp.float32) / h
+    out, cnt = _dmc_padded(
+        mac_packed, maps_padded, sh, jnp.float32(h),
+        Rr=Rr, interpret=interpret, out_shape=out_shape, grid_n=grid_n,
+        slice_out=False,
+    )
+    nxt = jax.lax.dynamic_update_slice(maps_padded, out, (0, P, P, FRONT_Z))
+    return nxt, cnt
 
 
 def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False,
