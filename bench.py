@@ -44,7 +44,8 @@ def build(n, scheme_name="bimocq", proj_iters=30):
     from gpufluidsimulation_tpu.solvers.smoke3d import Emitter3D, Smoke3D
 
     scheme = {"bimocq": Scheme.BIMOCQ, "reflection": Scheme.MAC_REFLECTION,
-              "semilag": Scheme.SEMILAG}[scheme_name]
+              "semilag": Scheme.SEMILAG,
+              "maccormack": Scheme.MACCORMACK}[scheme_name]
     # vortex-collision physics scaled into an n^3 box (emitters recentred so
     # the collision happens mid-domain at any resolution); dt scales with h
     # to hold the reference scene's CFL number (~2.6 at 100^3/dt=0.08)

@@ -92,6 +92,8 @@ def _pipeline_tiles(srcs, sems, tx, ty, win):
 
 def _rbgs_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
                  sweeps, win, nx, ny, nz, neumann, from_zero=False):
+    # NOTE nz here is the REAL z extent; the window/launch z may be padded
+    # to a 128 multiple (lane-aligned DMA) — pad lanes are invalid.
     bi = pl.program_id(0)
     bj = pl.program_id(1)
     ox = bi * TX          # window x origin in padded coords (pad = HX)
@@ -105,7 +107,7 @@ def _rbgs_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
     lk = jax.lax.broadcasted_iota(jnp.int32, win, 2)
     gi = ox + li - HX
     gj = oy + lj - HY
-    valid = (gi >= 0) & (gi < nx) & (gj >= 0) & (gj < ny)
+    valid = (gi >= 0) & (gi < nx) & (gj >= 0) & (gj < ny) & (lk < nz)
     # global checkerboard: pads/origins are even, so local parity == global
     red = (li + lj + lk) % 2 == 0
     # The diagonal is STRUCTURAL (poisson._diag): 2*ndim for Dirichlet, the
@@ -151,14 +153,19 @@ def _rbgs_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
                                     "from_zero"))
 def _rbgs_launch(x, b, *, sweeps, neumann, interpret, from_zero=False):
     nx, ny, nz = b.shape
+    # lane (z) axis of window DMA slices must be 128-aligned: round up once
+    # (pad lanes are masked invalid in-kernel — x stays 0 there and the
+    # in-domain stencil never reads them with weight). Lifts the old
+    # nz % 128 == 0 gate (the reference's own default 100x200x200 grid).
+    nzp = -(-nz // 128) * 128
     gx_ = -(-nx // TX)
     gy_ = -(-ny // TY)
-    padw = [(HX, HX + gx_ * TX - nx), (HY, HY + gy_ * TY - ny), (0, 0)]
+    padw = [(HX, HX + gx_ * TX - nx), (HY, HY + gy_ * TY - ny), (0, nzp - nz)]
     bp = jnp.pad(b, padw)
     # from_zero skips the x pad AND the x window DMA (kernel substitutes a
     # zero window); bp stands in as the unused first operand.
     xp = bp if from_zero else jnp.pad(x, padw)
-    win = (TX + 2 * HX, TY + 2 * HY, nz)
+    win = (TX + 2 * HX, TY + 2 * HY, nzp)
 
     kernel = functools.partial(
         _rbgs_kernel, sweeps=sweeps, win=win, nx=nx, ny=ny, nz=nz,
@@ -167,9 +174,10 @@ def _rbgs_launch(x, b, *, sweeps, neumann, interpret, from_zero=False):
         kernel,
         grid=(gx_, gy_),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=pl.BlockSpec((TX, TY, nz), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((TX, TY, nzp), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((gx_ * TX, gy_ * TY, nz), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gx_ * TX, gy_ * TY, nzp),
+                                       jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2,) + win, jnp.float32),
             pltpu.VMEM((2,) + win, jnp.float32),
@@ -180,7 +188,7 @@ def _rbgs_launch(x, b, *, sweeps, neumann, interpret, from_zero=False):
         ),
         interpret=interpret,
     )(xp, bp)
-    return out[:nx, :ny, :]
+    return out[:nx, :ny, :nz]
 
 
 def _jacobi_diffuse_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
@@ -288,6 +296,114 @@ def rbgs_smooth(x, b, *, bc: str, iters: int, interpret: bool = False):
         x = _rbgs_launch(b if from_zero else x, b, sweeps=s,
                          neumann=(bc == "neumann"), interpret=interpret,
                          from_zero=from_zero)
+        from_zero = False
+        remaining -= s
+    return x
+
+
+def _masked_rbgs_kernel(x_hbm, b_hbm, f_hbm, out_ref, xw, bw, fw, sems, *,
+                        sweeps, win, nx, ny, nz, from_zero=False):
+    """Red-black Gauss-Seidel on the MASKED operator (poisson.
+    masked_laplacian): fluid rows update x = (b + sum of fluid-neighbor x)
+    / (# fluid-or-air neighbors); air/solid rows hold 0. Because x is
+    identically 0 on non-fluid cells, the fluid-neighbor sum IS the plain
+    6-point neighbor sum — only the diagonal needs the flags, computed
+    here from a flags window (FLUID=0, AIR=1 count; SOLID=2/OBJECT=3 and
+    out-of-domain don't; the launch pads flags with SOLID)."""
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    ox = bi * TX
+    oy = pl.multiple_of(bj * TY, 8)
+
+    srcs = (((b_hbm, bw), (f_hbm, fw)) if from_zero
+            else ((x_hbm, xw), (b_hbm, bw), (f_hbm, fw)))
+    slot = _pipeline_tiles(srcs, sems, TX, TY, win)
+
+    li = jax.lax.broadcasted_iota(jnp.int32, win, 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, win, 1)
+    lk = jax.lax.broadcasted_iota(jnp.int32, win, 2)
+    gi = ox + li - HX
+    gj = oy + lj - HY
+    valid = (gi >= 0) & (gi < nx) & (gj >= 0) & (gj < ny) & (lk < nz)
+    red = (li + lj + lk) % 2 == 0
+
+    f = fw[slot]
+    fluid = f < 0.5               # FLUID == 0
+    counts = jnp.where(f < 1.5, 1.0, 0.0)  # fluid or air neighbor counts
+    diag = jnp.zeros(win, jnp.float32)
+    for axis in range(3):
+        diag = diag + _shift_zero(counts, 1, axis) + _shift_zero(counts, -1, axis)
+    diag = jnp.maximum(diag, 1.0)  # identity rows / isolated cells: no /0
+
+    upd = valid & fluid
+    x = jnp.zeros(win, bw.dtype) if from_zero else xw[slot]
+    x = jnp.where(upd, x, 0.0)     # enforce the non-fluid x == 0 invariant
+    b = bw[slot]
+
+    def nbr(x):
+        total = jnp.zeros_like(x)
+        for axis in range(3):
+            total = total + _shift_zero(x, 1, axis) + _shift_zero(x, -1, axis)
+        return total
+
+    for _ in range(sweeps):
+        gs = (nbr(x) + b) / diag
+        x = jnp.where(upd & red, gs, x)
+        gs = (nbr(x) + b) / diag
+        x = jnp.where(upd & ~red, gs, x)
+
+    out_ref[...] = x[HX : HX + TX, HY : HY + TY, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sweeps", "interpret", "from_zero"))
+def _masked_rbgs_launch(x, b, flags, *, sweeps, interpret, from_zero=False):
+    nx, ny, nz = b.shape
+    nzp = -(-nz // 128) * 128
+    gx_ = -(-nx // TX)
+    gy_ = -(-ny // TY)
+    padw = [(HX, HX + gx_ * TX - nx), (HY, HY + gy_ * TY - ny), (0, nzp - nz)]
+    bp = jnp.pad(b, padw)
+    fp = jnp.pad(flags.astype(jnp.float32), padw, constant_values=2.0)  # SOLID
+    xp = bp if from_zero else jnp.pad(x, padw)
+    win = (TX + 2 * HX, TY + 2 * HY, nzp)
+
+    kernel = functools.partial(
+        _masked_rbgs_kernel, sweeps=sweeps, win=win, nx=nx, ny=ny, nz=nz,
+        from_zero=from_zero)
+    out = pl.pallas_call(
+        kernel,
+        grid=(gx_, gy_),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec((TX, TY, nzp), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((gx_ * TX, gy_ * TY, nzp),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + win, jnp.float32),
+            pltpu.VMEM((2,) + win, jnp.float32),
+            pltpu.VMEM((2,) + win, jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, bp, fp)
+    return out[:nx, :ny, :nz]
+
+
+def masked_rbgs_smooth(x, b, flags, *, iters: int, interpret: bool = False):
+    """Masked red-black Gauss-Seidel smoother for the boundary-aware MG
+    V-cycle — the Pallas role of RBGS_with_pattern
+    (utils/AlgebraicMultigrid.h:609). `x=None` = exactly-zero initial
+    guess (skips the x window DMA of the first launch)."""
+    remaining = int(iters)
+    from_zero = x is None
+    while remaining > 0:
+        s = min(2, remaining)
+        x = _masked_rbgs_launch(b if from_zero else x, b, flags, sweeps=s,
+                                interpret=interpret, from_zero=from_zero)
         from_zero = False
         remaining -= s
     return x

@@ -260,14 +260,13 @@ class MGContext:
         from gpufluidsimulation_tpu import config as _cfg
 
         shape = self.shapes[level]
-        # 3D fine levels only: natively, Mosaic DMA slice sizes on the lane
-        # (z) dim must be 128-aligned; interpret mode (CPU tests) has no
-        # such constraint. Coarse grids are cheap on XLA Jacobi anyway.
-        # `x=None` = statically-zero initial guess (the pre-smoother): the
-        # RBGS path skips the x pad + window DMA of its first launch.
+        # 3D fine levels only (coarse grids are cheap on XLA Jacobi).
+        # Any z extent: the launch rounds the lane axis up to 128 and
+        # masks the pad lanes invalid in-kernel. `x=None` = statically-
+        # zero initial guess (the pre-smoother): the RBGS path skips the
+        # x pad + window DMA of its first launch.
         if (_cfg.use_rbgs() and iters <= 4 and len(shape) == 3
-                and min(shape) >= 16
-                and ((shape[2] % 128 == 0) or _cfg.interp_interpret())):
+                and min(shape) >= 16):
             from gpufluidsimulation_tpu.ops.pallas_kernels import rbgs_smooth
 
             return rbgs_smooth(
@@ -614,6 +613,26 @@ def masked_jacobi_smooth(x, b, flags, diag, iters, omega=0.8):
     return lax.fori_loop(0, iters, body, x)
 
 
+def _masked_smooth(x, r, flags, diag, iters, omega, shape):
+    """Per-level masked smoother: the blocked Pallas masked red-black
+    Gauss-Seidel (pallas_kernels.masked_rbgs_smooth — the
+    RBGS_with_pattern role, utils/AlgebraicMultigrid.h:609) on fine 3D
+    levels under config.use_rbgs, masked damped Jacobi elsewhere.
+    `x=None` = statically-zero initial guess."""
+    from gpufluidsimulation_tpu import config as _cfg
+
+    if (_cfg.use_rbgs() and iters <= 4 and len(shape) == 3
+            and min(shape) >= 16):
+        from gpufluidsimulation_tpu.ops.pallas_kernels import (
+            masked_rbgs_smooth)
+
+        return masked_rbgs_smooth(x, r, flags, iters=iters,
+                                  interpret=_cfg.interp_interpret())
+    if x is None:
+        x = jnp.zeros_like(r)
+    return masked_jacobi_smooth(x, r, flags, diag, iters, omega)
+
+
 def masked_v_cycle(r, flag_levels, diag_levels, shapes, level=0,
                    n_pre=2, n_post=2, n_coarse=40, omega=0.8):
     """Boundary-aware MG V-cycle on the masked operator — the preconditioner
@@ -628,13 +647,13 @@ def masked_v_cycle(r, flag_levels, diag_levels, shapes, level=0,
         e = jnp.zeros_like(r)
         e = masked_jacobi_smooth(e, r, flags, diag, n_coarse, omega)
         return jnp.where(fluid, e, 0.0)
-    e = masked_jacobi_smooth(jnp.zeros_like(r), r, flags, diag, n_pre, omega)
+    e = _masked_smooth(None, r, flags, diag, n_pre, omega, shapes[level])
     rr = jnp.where(fluid, r - masked_laplacian(e, flags), 0.0)
     rc = 4.0 * restrict_full(rr, shapes[level + 1])
     ec = masked_v_cycle(rc, flag_levels, diag_levels, shapes, level + 1,
                         n_pre, n_post, n_coarse, omega)
     e = e + prolong_linear(ec, shapes[level])
-    e = masked_jacobi_smooth(e, r, flags, diag, n_post, omega)
+    e = _masked_smooth(e, r, flags, diag, n_post, omega, shapes[level])
     return jnp.where(fluid, e, 0.0)
 
 

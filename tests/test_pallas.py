@@ -150,3 +150,105 @@ def test_diffuse_3d_dispatches_to_pallas(rng):
         config.set_pallas_diffuse(None)
         config.set_interp_interpret(False)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_rbgs_nonaligned_z_matches_reference_gs(rng):
+    """z extents that are NOT 128 multiples (e.g. the reference's default
+    100x200x200 grid) run through an in-launch lane pad masked invalid —
+    results must equal the global red-black GS exactly."""
+    shape = (20, 18, 100)
+    b = rng.standard_normal(shape).astype(np.float32)
+    diag = np.asarray(poisson._diag(shape, "dirichlet"))
+    got = np.asarray(rbgs_smooth(
+        jnp.zeros(shape, jnp.float32), jnp.asarray(b),
+        bc="dirichlet", iters=2, interpret=True))
+
+    x = np.zeros(shape, np.float32)
+    ii, jj, kk = np.meshgrid(*[np.arange(n) for n in shape], indexing="ij")
+    red = (ii + jj + kk) % 2 == 0
+
+    def nbr(x):
+        out = np.zeros_like(x)
+        for axis in range(3):
+            pad = [(0, 0)] * 3
+            pad[axis] = (1, 1)
+            pp = np.pad(x, pad)
+            lo = [slice(None)] * 3
+            hi = [slice(None)] * 3
+            lo[axis] = slice(0, -2)
+            hi[axis] = slice(2, None)
+            out += pp[tuple(lo)] + pp[tuple(hi)]
+        return out
+
+    for _ in range(2):
+        x = np.where(red, (nbr(x) + b) / diag, x)
+        x = np.where(~red, (nbr(x) + b) / diag, x)
+    np.testing.assert_allclose(got, x, rtol=1e-5, atol=1e-6)
+
+
+def _np_masked_gs(b, flags, iters):
+    """NumPy reference: red-black GS on poisson.masked_laplacian's
+    operator — fluid rows x = (b + sum of neighbor x) / #(fluid|air
+    neighbors); non-fluid rows 0. Out-of-domain neighbors count as SOLID."""
+    x = np.zeros_like(b)
+    shape = b.shape
+    ii, jj, kk = np.meshgrid(*[np.arange(n) for n in shape], indexing="ij")
+    red = (ii + jj + kk) % 2 == 0
+    fluid = flags == poisson.FLUID
+
+    fp = np.pad(flags, 1, constant_values=poisson.SOLID)
+    diag = np.zeros(shape, np.float32)
+    for axis in range(3):
+        for d in (1, -1):
+            sl = [slice(1, -1)] * 3
+            sl[axis] = slice(1 + d, fp.shape[axis] - 1 + d)
+            nf = fp[tuple(sl)]
+            diag += ((nf == poisson.FLUID) | (nf == poisson.AIR))
+    diag = np.maximum(diag, 1.0).astype(np.float32)
+
+    def nbr(x):
+        out = np.zeros_like(x)
+        for axis in range(3):
+            pad = [(0, 0)] * 3
+            pad[axis] = (1, 1)
+            pp = np.pad(x, pad)
+            lo = [slice(None)] * 3
+            hi = [slice(None)] * 3
+            lo[axis] = slice(0, -2)
+            hi[axis] = slice(2, None)
+            out += pp[tuple(lo)] + pp[tuple(hi)]
+        return out
+
+    for _ in range(iters):
+        x = np.where(fluid & red, (nbr(x) + b) / diag, x)
+        x = np.where(fluid & ~red, (nbr(x) + b) / diag, x)
+    return np.where(fluid, x, 0.0)
+
+
+def test_masked_rbgs_matches_reference_masked_gs(rng):
+    from gpufluidsimulation_tpu.ops.pallas_kernels import masked_rbgs_smooth
+
+    shape = (20, 18, 30)  # off-tile on every axis, z needs the lane pad
+    b = rng.standard_normal(shape).astype(np.float32)
+    flags = rng.choice(
+        [poisson.FLUID, poisson.FLUID, poisson.FLUID, poisson.AIR,
+         poisson.SOLID], size=shape).astype(np.int32)
+    got = np.asarray(masked_rbgs_smooth(
+        jnp.zeros(shape, jnp.float32), jnp.asarray(b), jnp.asarray(flags),
+        iters=2, interpret=True))
+    want = _np_masked_gs(b, flags, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_masked_rbgs_from_zero_matches_explicit_zeros(rng):
+    from gpufluidsimulation_tpu.ops.pallas_kernels import masked_rbgs_smooth
+
+    shape = (36, 20, 16)
+    b = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    flags = jnp.asarray(rng.choice(
+        [poisson.FLUID, poisson.FLUID, poisson.SOLID], size=shape)
+        .astype(np.int32))
+    a = masked_rbgs_smooth(jnp.zeros(shape, jnp.float32), b, flags,
+                           iters=3, interpret=True)
+    c = masked_rbgs_smooth(None, b, flags, iters=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
