@@ -286,6 +286,23 @@ def _use_prefilter():
     return fast and not config.volume_exact()
 
 
+def _volume_mode():
+    """'exact' (9 composed evaluations — exact-gather or GFS_VOLUME_EXACT
+    fast mode), 'dual' (one dual-kernel windowed sample; the default fast
+    mode), or 'prefilter' (the legacy O(h^2) source filter — sharded
+    sampling, non-rebased kernels, or GFS_VOLUME_DUAL=0)."""
+    from gpufluidsimulation_tpu import config
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    if not _use_prefilter():
+        return "exact"
+    if (config.volume_dual() and config.sharded_sampling() is None
+            and config.use_fast_interp() and config.interp_adaptive()
+            and interp_fast.REBASED_NT):
+        return "dual"
+    return "prefilter"
+
+
 def _volume_eval_3d(grid, kind, eval_fn, is_point=False):
     """0.5 * mean(8 corner evals) + 0.5 * center eval at each node of `kind`.
 
@@ -417,10 +434,12 @@ def compensate_3d(grid, kind, field_adv, field_init, fwd, bwd, is_point=False):
     return advect.clamp_extrema_neighborhood(field_adv, out)
 
 
-def _sample_fields_at(grid, kind, fields, positions):
+def _sample_fields_at(grid, kind, fields, positions, dual=False):
     """Sample N same-shape (already prefiltered) fields of `kind` at shared
     world positions: ONE multi-channel window launch on the fast path,
-    shard_map halo windows in sharded mode, exact gathers otherwise."""
+    shard_map halo windows in sharded mode, exact gathers otherwise.
+    dual=True evaluates the 9-point volume blend in-kernel
+    (interp_fast dual sampling) — callers then pass UNfiltered fields."""
     from gpufluidsimulation_tpu import config
 
     mx, my, mz = positions
@@ -447,15 +466,25 @@ def _sample_fields_at(grid, kind, fields, positions):
         # gathers below (GSPMD partitions them correctly)
         return [interp.sample3(f, mx, my, mz, grid.h, off) for f in fields]
     if config.use_fast_interp() and mx.ndim == 3:
-        if len(fields) == 1:
-            return [interp.sample3_lattice(fields[0], mx, my, mz, grid.h,
-                                           off, values=True)]
         from gpufluidsimulation_tpu.ops import interp_fast
 
+        # NOTE: dual's +-0.25 wider per-axis support spends a quarter cell
+        # of the Rr residual budget (the origins dspan accounts for it in
+        # the overflow monitor); widening the window by a full reach unit
+        # instead measured +5 ms for no fewer trips — not worth it
+        rr = config.interp_rr()
+        if len(fields) == 1:
+            if dual:
+                return [interp_fast.sample3_fast(
+                    fields[0], mx, my, mz, grid.h, off, Rr=rr,
+                    interpret=config.interp_interpret(),
+                    dtype=config.interp_window_dtype(), dual=True)]
+            return [interp.sample3_lattice(fields[0], mx, my, mz, grid.h,
+                                           off, values=True)]
         out = interp_fast.sample3_multi(
             jnp.stack(fields), mx, my, mz, grid.h, (off,) * len(fields),
-            Rr=config.interp_rr(), interpret=config.interp_interpret(),
-            dtype=config.interp_window_dtype(),
+            Rr=rr, interpret=config.interp_interpret(),
+            dtype=config.interp_window_dtype(), dual=dual,
         )
         return [out[i] for i in range(len(fields))]
     return [interp.sample3(f, mx, my, mz, grid.h, off) for f in fields]
@@ -493,25 +522,26 @@ def bimocq_advect_3d(grid, kind, fields_cur, fields_init, fields_prev,
     shape = fields_cur[0].shape
     band_adv = _band3(shape, (2 + dim[0], 2 + dim[1], 2 + dim[2]), (3, 3, 3))
     band_c = _band3(shape, (1 + dim[0], 1 + dim[1], 1 + dim[2]), (2, 2, 2))
+    # 'dual': the 9-point volume blend happens IN the sampler (post-map
+    # corners, exact separable identity) — no source prefilter passes;
+    # 'prefilter': the legacy O(h^2) source-filter commutation
+    dual = _volume_mode() == "dual"
+
+    def pre(fs):
+        return fs if dual else [volume_prefilter_3d(f) for f in fs]
 
     # --- advect: pull init back through the backward map ---
     p1 = map_at_lattice_3d(grid, bwd, kind, 1.0, 1.0)
-    advs = _sample_fields_at(
-        grid, kind, [volume_prefilter_3d(f) for f in fields_init], p1
-    )
+    advs = _sample_fields_at(grid, kind, pre(fields_init), p1, dual=dual)
     advs = [jnp.where(band_adv, a, cur) for a, cur in zip(advs, fields_cur)]
 
     # --- compensate: BFECC error correction + 27-pt clamp ---
     p3 = map_at_lattice_3d(grid, fwd, kind, 0.0, 0.0)
-    errs = _sample_fields_at(
-        grid, kind, [volume_prefilter_3d(a) for a in advs], p3
-    )
+    errs = _sample_fields_at(grid, kind, pre(advs), p3, dual=dual)
     errs = [jnp.where(band_c, e - init, 0.0)
             for e, init in zip(errs, fields_init)]
     p4 = map_at_lattice_3d(grid, bwd, kind, 0.0, 0.0)
-    corrs = _sample_fields_at(
-        grid, kind, [volume_prefilter_3d(e) for e in errs], p4
-    )
+    corrs = _sample_fields_at(grid, kind, pre(errs), p4, dual=dual)
     comps = [
         advect.clamp_extrema_neighborhood(
             a, jnp.where(band_c, a - 0.5 * c, a))
@@ -522,9 +552,7 @@ def bimocq_advect_3d(grid, kind, fields_cur, fields_init, fields_prev,
     if blend_coeff is None:  # statically 1.0: zero-weight level-2, skip
         return comps
     p2 = _map_sample_3d(grid, bwd_prev, p1[0], p1[1], p1[2], 1.0, 1.0)
-    prevs = _sample_fields_at(
-        grid, kind, [volume_prefilter_3d(p) for p in fields_prev], p2
-    )
+    prevs = _sample_fields_at(grid, kind, pre(fields_prev), p2, dual=dual)
     return [
         jnp.where(band_adv, x * blend_coeff + (1.0 - blend_coeff) * pv, x)
         for x, pv in zip(comps, prevs)

@@ -37,6 +37,7 @@ class EngineMode:
     interp_rr: int | None = None
     interp_adaptive: bool | None = None
     volume_exact: bool | None = None
+    volume_dual: bool | None = None
     rbgs: bool | None = None
     interp_bf16: bool | None = None
     spectral_poisson: bool | None = None
@@ -46,7 +47,8 @@ class EngineMode:
 
     def __hash__(self):  # mesh objects in sharded_sampling aren't hashable
         return hash((self.fast_interp, self.interp_rr, self.interp_adaptive,
-                     self.volume_exact, self.rbgs, self.interp_bf16,
+                     self.volume_exact, self.volume_dual, self.rbgs,
+                     self.interp_bf16,
                      self.spectral_poisson, self.pallas_diffuse,
                      self.interp_interpret,
                      self.sharded_sampling is not None
@@ -154,6 +156,29 @@ def volume_exact() -> bool:
 def set_volume_exact(value: bool) -> None:
     global _VOLUME_EXACT
     _VOLUME_EXACT = bool(value)
+
+
+_VOLUME_DUAL = os.environ.get("GFS_VOLUME_DUAL", "1") not in ("0", "false")
+
+
+def volume_dual() -> bool:
+    """Evaluate the reference's 9-point volume composition as a DUAL-KERNEL
+    windowed sample — 0.5*prod-of-g + 0.5*prod-of-hat per axis with
+    g(t) = 0.5*(hat(t-1/4)+hat(t+1/4)) — which equals the corner average
+    applied to the MAPPED position exactly (mean_c trilerp(p+c) is
+    separable). One launch, no source prefilter. Approximation vs the
+    reference's pre-map corners (field(M(p+c))): the map Jacobian is taken
+    as identity across the +-0.25h corner cube — measured ~10x closer to
+    the exact composition than the old source-prefilter commutation
+    (FIDELITY_r2.json). GFS_VOLUME_DUAL=0 restores the prefilter.
+    volume_exact wins over this knob."""
+    m = _mode_field("volume_dual")
+    return _VOLUME_DUAL if m is None else m
+
+
+def set_volume_dual(value: bool) -> None:
+    global _VOLUME_DUAL
+    _VOLUME_DUAL = bool(value)
 
 
 _RBGS_ENV = os.environ.get("GFS_RBGS")

@@ -159,6 +159,71 @@ def semilag_3d(grid, kind, field_src, u, v, w, cfldt, dt, packed=None):
     return jnp.where(mask, out, field_src)
 
 
+def semilag_multi_3d(grid, kind, fields, u, v, w, cfldt, dt, packed=None):
+    """semilag_3d over several same-kind fields with ONE shared
+    CFL-substepped trace (the positions depend only on `kind`, not the
+    field): rho and T in the MacCormack/reflection/semilag steps used to
+    trace the identical cell lattice once per field — the trace loop is
+    ~20x the cost of the per-field sample launch it feeds."""
+    px, py, pz = grid.node_coords(kind)
+    bx, by, bz = trace_3d(u, v, w, grid.h, cfldt, dt, px, py, pz, packed)
+    off = grid.off_of(kind)
+    mask = grid.interior_mask(kind, lo=2, hi=3, hi_add_dim=True)
+    return [
+        jnp.where(mask,
+                  interp.sample3_lattice(f, bx, by, bz, grid.h, off,
+                                         values=True),
+                  f)
+        for f in fields
+    ]
+
+
+def maccormack_multi_3d(grid, kind, srcs, u, v, w, cfldt, dt, packed=None):
+    """maccormack_3d over several same-kind fields sharing every trace:
+    one forward trace, one backward trace, and one two-stage clamp
+    backtrace serve all fields (maccormack_3d re-derived all three per
+    field)."""
+    from gpufluidsimulation_tpu import config as _cfg
+
+    px, py, pz = grid.node_coords(kind)
+    if packed is None and _cfg.use_fast_interp():
+        packed = interp.mac_pack_3d(u, v, w, px.shape)
+    fwds = semilag_multi_3d(grid, kind, srcs, u, v, w, cfldt, -dt, packed)
+    backs = semilag_multi_3d(grid, kind, fwds, u, v, w, cfldt, dt, packed)
+
+    h = grid.h
+    off = grid.off_of(kind)
+    # shared two-stage midpoint backtrace (clamp_extrema_kernel,
+    # GPU_kernel.cu:900-911)
+    u1, v1, w1 = interp.mac_velocity_3d(u, v, w, px, py, pz, h, packed)
+    mx_, my_, mz_ = px - 0.5 * dt * u1, py - 0.5 * dt * v1, pz - 0.5 * dt * w1
+    u2, v2, w2 = interp.mac_velocity_3d(u, v, w, mx_, my_, mz_, h, packed)
+    bx, by, bz = px - dt * u2, py - dt * v2, pz - dt * w2
+
+    outs = []
+    for src, fwd, back in zip(srcs, fwds, backs):
+        dst = fwd + 0.5 * (src - back)
+        if _cfg.use_fast_interp():
+            from gpufluidsimulation_tpu.ops import interp_fast
+
+            mn, mx = interp_fast.minmax3_fast(
+                src, bx, by, bz, h, off, Rr=_cfg.interp_rr(),
+                interpret=_cfg.interp_interpret(),
+            )
+        else:
+            gx, gy, gz = bx / h - off[0], by / h - off[1], bz / h - off[2]
+            i0 = jnp.floor(gx).astype(jnp.int32)
+            j0 = jnp.floor(gy).astype(jnp.int32)
+            k0 = jnp.floor(gz).astype(jnp.int32)
+            corners = interp._gather8_3d(src, i0, j0, k0)
+            mn = jnp.min(corners, axis=0)
+            mx = jnp.max(corners, axis=0)
+        fallback = interp.sample3_lattice(src, bx, by, bz, h, off,
+                                          values=True)
+        outs.append(jnp.where((dst < mn) | (dst > mx), fallback, dst))
+    return outs
+
+
 def semilag_2d(grid, kind, field_src, u, v, w_unused, cfldt, dt):
     """2D semiLagAdvect (BimocqSolver2D.cpp:110-123): traces with -dt."""
     del w_unused

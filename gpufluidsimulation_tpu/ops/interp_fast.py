@@ -88,7 +88,11 @@ _BZ_ENV = os.environ.get("GFS_INTERP_BZ", "auto")
 # the <1-cell stage-drift bound) and the kernel loops [0, XNT) statically.
 # Blocks whose live range exceeds XNT clamp + renormalize and are counted
 # into the frame's overflow monitor (-> step_checked exact-path retry).
-_RK3_XNT = int(os.environ.get("GFS_RK3_XNT", "6"))
+# default 7: the cheapest cap with ZERO exact-count truncations through
+# developed bench flows under every volume mode (6 is ~2-7 ms faster but
+# trips a handful of samples per frame at CFL ~2.6+, which the strict
+# CLI mode would then retry on the exact path every frame)
+_RK3_XNT = int(os.environ.get("GFS_RK3_XNT", "7"))
 # The same narrowing in the fused DMC kernel's map gather (5 static taps)
 # measured ~1.5 ms at 256^3 — NOT worth tightening that kernel's
 # documented |d| <= Rr+0.5 displacement contract (a 2.24-cell legal
@@ -129,6 +133,23 @@ def _ceil(a, b):
 
 def _hat(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def _gker(t):
+    """Per-axis weight of the post-map volume corner average:
+    0.5*(hat(t-1/4) + hat(t+1/4)) — sampling with this kernel per axis IS
+    the mean over the 8 (+-0.25h)^3 corner offsets applied to the MAPPED
+    position (the separable identity mean_c trilerp(p+c) = prod_axis
+    pair-mean; support (-1.25, 1.25))."""
+    return 0.5 * (_hat(t - 0.25) + _hat(t + 0.25))
+
+
+def _live_taps_d(rel, W, d):
+    """_live_taps widened by +-d (the dual volume kernel's wider per-axis
+    support): tap dq is live iff g(rel - dq) > 0 for some element."""
+    lo = jnp.clip(jnp.floor(jnp.min(rel) - d).astype(jnp.int32), 0, W - 1)
+    hi = jnp.clip(jnp.floor(jnp.max(rel) + d).astype(jnp.int32) + 1, 0, W - 1)
+    return lo, jnp.maximum(hi - lo + 1, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -488,6 +509,47 @@ def _hats(lx, ly, lz, block, Rr):
     return hx, hy, hz
 
 
+def _trilerp_sum_dual(win, lx, ly, lz, block, Rr):
+    """Static full-W evaluation of the 9-point volume blend
+    0.5*prod(g) + 0.5*prod(hat), each term coverage-renormalized like its
+    single-kernel counterpart (window-clipped taps lose only their own
+    term's mass)."""
+    W = 2 * Rr + 3
+    B1, B2, B3 = block
+    a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
+    b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
+    c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
+    hx = [_hat(lx - (a + dp)) for dp in range(W)]
+    hy = [_hat(ly - (b + dq)) for dq in range(W)]
+    hz = [_hat(lz - (c + dr)) for dr in range(W)]
+    gx = [_gker(lx - (a + dp)) for dp in range(W)]
+    gy = [_gker(ly - (b + dq)) for dq in range(W)]
+    gz = [_gker(lz - (c + dr)) for dr in range(W)]
+    out_h = jnp.zeros(block, jnp.float32)
+    out_g = jnp.zeros(block, jnp.float32)
+    for dr in range(W):
+        winz = win[:, :, dr : dr + B3]
+        acc_yh = jnp.zeros(block, jnp.float32)
+        acc_yg = jnp.zeros(block, jnp.float32)
+        for dq in range(W):
+            winyz = winz[:, dq : dq + B2, :]
+            acc_xh = jnp.zeros(block, jnp.float32)
+            acc_xg = jnp.zeros(block, jnp.float32)
+            for dp in range(W):
+                v = winyz[dp : dp + B1]
+                acc_xh = acc_xh + hx[dp] * v
+                acc_xg = acc_xg + gx[dp] * v
+            acc_yh = acc_yh + hy[dq] * acc_xh
+            acc_yg = acc_yg + gy[dq] * acc_xg
+        out_h = out_h + hz[dr] * acc_yh
+        out_g = out_g + gz[dr] * acc_yg
+    cov_h = sum(hx) * sum(hy) * sum(hz)
+    cov_g = sum(gx) * sum(gy) * sum(gz)
+    rh = jnp.where(cov_h > 1e-6, out_h / jnp.maximum(cov_h, 1e-6), 0.0)
+    rg = jnp.where(cov_g > 1e-6, out_g / jnp.maximum(cov_g, 1e-6), 0.0)
+    return 0.5 * rg + 0.5 * rh
+
+
 def _trilerp_sum(win, hx, hy, hz, block, Rr):
     W = 2 * Rr + 3
     B1, B2, B3 = block
@@ -546,7 +608,8 @@ _XNT_ENV = os.environ.get("GFS_INTERP_XNT", "5")
 REBASED_XNT = 0 if _XNT_ENV in ("", "0", "false") else int(_XNT_ENV)
 
 
-def _trilerp_when(win_c, lx, ly, lz, block, Rr, store, nt=None):
+def _trilerp_when(win_c, lx, ly, lz, block, Rr, store, nt=None,
+                  dual=False):
     """Trilerp one channel window with the rebase-once/static-tile scheme,
     delivering the result via `store(value)` inside predicated regions.
 
@@ -575,19 +638,24 @@ def _trilerp_when(win_c, lx, ly, lz, block, Rr, store, nt=None):
     W = 2 * Rr + 3
     B1, B2, B3 = block
     nt = REBASED_NT if nt is None else nt
+    if dual:
+        nt = nt + 1  # the g kernel's +-0.25 wider support per axis
     a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
     b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
     c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
     y_axis = win_c.ndim - 2
     z_axis = win_c.ndim - 1
 
-    ylo, nyt = _live_taps(ly - b, W)
-    zlo, nzt = _live_taps(lz - c, W)
+    d = 0.25 if dual else 0.0
+    ylo, nyt = _live_taps_d(ly - b, W, d)
+    zlo, nzt = _live_taps_d(lz - c, W, d)
     fits = (nyt <= nt) & (nzt <= nt)
     nx = REBASED_XNT if 0 < REBASED_XNT < W else W
+    if dual and nx < W:
+        nx = nx + 1
     xs = (W - nx) // 2
     if nx < W:
-        xlo, nxt = _live_taps(lx - a, W)
+        xlo, nxt = _live_taps_d(lx - a, W, d)
         fits = fits & (xlo >= xs) & (xlo + nxt <= xs + nx)
 
     @pl.when(fits)
@@ -598,31 +666,60 @@ def _trilerp_when(win_c, lx, ly, lz, block, Rr, store, nt=None):
         lzr = lz - zlo.astype(jnp.float32)
         hx = [_hat(lx - (a + (xs + i))) for i in range(nx)]
         covx = sum(hx)
+        gx = [_gker(lx - (a + (xs + i))) for i in range(nx)] if dual else None
         out = jnp.zeros(block, jnp.float32)
         covy = jnp.zeros(block, jnp.float32)
         covz = jnp.zeros(block, jnp.float32)
+        out_g = jnp.zeros(block, jnp.float32) if dual else None
+        covyg = jnp.zeros(block, jnp.float32) if dual else None
+        covzg = jnp.zeros(block, jnp.float32) if dual else None
         for dr in range(nt):
             hz = _hat(lzr - (c + dr))
             covz = covz + hz
+            if dual:
+                gz = _gker(lzr - (c + dr))
+                covzg = covzg + gz
             wzr = wz[..., dr : dr + B3]
             accy = jnp.zeros(block, jnp.float32)
+            accyg = jnp.zeros(block, jnp.float32) if dual else None
             for dq in range(nt):
                 hy = _hat(lyr - (b + dq))
                 if dr == 0:
                     covy = covy + hy
+                if dual:
+                    gy = _gker(lyr - (b + dq))
+                    if dr == 0:
+                        covyg = covyg + gy
                 wyz = wzr[:, dq : dq + B2, :]
                 accx = jnp.zeros(block, jnp.float32)
+                accxg = jnp.zeros(block, jnp.float32) if dual else None
                 for i in range(nx):
-                    accx = accx + hx[i] * wyz[xs + i : xs + i + B1]
+                    v = wyz[xs + i : xs + i + B1]
+                    accx = accx + hx[i] * v
+                    if dual:
+                        accxg = accxg + gx[i] * v
                 accy = accy + hy * accx
+                if dual:
+                    accyg = accyg + gy * accxg
             out = out + hz * accy
+            if dual:
+                out_g = out_g + gz * accyg
         cov = covx * covy * covz
-        store(jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0))
+        rh = jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
+        if dual:
+            covg = sum(gx) * covyg * covzg
+            rg = jnp.where(covg > 1e-6, out_g / jnp.maximum(covg, 1e-6), 0.0)
+            store(0.5 * rg + 0.5 * rh)
+        else:
+            store(rh)
 
     @pl.when(~fits)
     def _():
-        hx, hy, hz = _hats(lx, ly, lz, block, Rr)
-        store(_trilerp_sum(win_c, hx, hy, hz, block, Rr))
+        if dual:
+            store(_trilerp_sum_dual(win_c, lx, ly, lz, block, Rr))
+        else:
+            hx, hy, hz = _hats(lx, ly, lz, block, Rr)
+            store(_trilerp_sum(win_c, hx, hy, hz, block, Rr))
 
 
 def _trilerp_sum_adaptive(win, lx, ly, lz, taps, block, Rr, x_nx=None,
@@ -789,12 +886,20 @@ def _minmax_adaptive(win, lx, ly, lz, taps, block, Rr):
 
 
 def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
-            sem, *, Rr, block, win_shape, adaptive):
+            sem, *, Rr, block, win_shape, adaptive, dual=False):
     blk, slot = _pipeline_window(origin_ref, field_hbm, win_ref, sem,
                                  win_shape)
     ox, oy, sy, ozw, g0 = _block_scalars(origin_ref, blk)
     lx, ly, lz = _local_coords(gx_ref, gy_ref, gz_ref, ox, oy, sy, g0, Rr)
     win = _rebased_window(win_ref.at[slot], sy, g0 - ozw, 1)
+    if dual:
+        # 9-point volume blend (0.5*prod(g) + 0.5*prod(hat)) in one pass;
+        # dual rides the rebased scheme (callers enforce REBASED_NT)
+        def store(v):
+            out_ref[...] = v
+
+        _trilerp_when(win, lx, ly, lz, block, Rr, store, dual=True)
+        return
     if adaptive:
         if REBASED_NT:
             def store(v):
@@ -812,10 +917,10 @@ def _kernel(origin_ref, gx_ref, gy_ref, gz_ref, field_hbm, out_ref, win_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("Rr", "P", "interpret", "out_shape", "adaptive",
-                     "count_overflow"),
+                     "count_overflow", "dual"),
 )
 def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape,
-                    adaptive=False, count_overflow=False):
+                    adaptive=False, count_overflow=False, dual=False):
     """Positions g are lattice-shaped arrays in PADDED field coordinates
     (x/y: +P, z: +128), pre-padded to (mult8, mult8, mult128).
     count_overflow=True additionally returns the launch's contract-violation
@@ -828,12 +933,14 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape,
     fs = field_padded.shape
     Wx = BX + 2 * Rr + 2
     win_shape = (Wx, WY_WIN, _wz_win(bz))
+    # the dual volume kernel's g weights reach +-0.25 cell further per axis
+    dsp = ((-0.25, 0.25),) * 3 if dual else ((0.0, 0.0),) * 3
     ocount = None
     if count_overflow:
         origins, ocount = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb,
-                                   want_count=True)
+                                   dspan=dsp, want_count=True)
     else:
-        origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb)
+        origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb, dspan=dsp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -855,7 +962,8 @@ def _sample3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape,
         ],
     )
     kernel = functools.partial(
-        _kernel, Rr=Rr, block=block, win_shape=win_shape, adaptive=adaptive
+        _kernel, Rr=Rr, block=block, win_shape=win_shape, adaptive=adaptive,
+        dual=dual,
     )
     out = pl.pallas_call(
         kernel,
@@ -953,7 +1061,7 @@ def _pad_field_positions(field_like, px, py, pz, h, off, Rr, dtype=None):
 
 
 def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False,
-                 adaptive=None, dtype=None):
+                 adaptive=None, dtype=None, dual=False):
     """Drop-in replacement for interp.sample3 (world positions, field offset
     in units of h) under the bounded-displacement contract above.
 
@@ -965,6 +1073,9 @@ def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False,
 
     if adaptive is None:
         adaptive = config.interp_adaptive()
+    if dual and not (adaptive and REBASED_NT):
+        raise ValueError("dual volume sampling requires the adaptive "
+                         "rebased scheme (GFS_INTERP_REBASED > 0)")
     out_shape = px.shape
     fpad, gx, gy, gz, P = _pad_field_positions(field, px, py, pz, h, off, Rr,
                                                dtype=dtype)
@@ -972,7 +1083,7 @@ def sample3_fast(field, px, py, pz, h, off, *, Rr=2, Rz=8, interpret=False,
     out = _sample3_padded(
         fpad, gx, gy, gz,
         Rr=Rr, P=P, interpret=interpret, out_shape=out_shape,
-        adaptive=adaptive, count_overflow=want,
+        adaptive=adaptive, count_overflow=want, dual=dual,
     )
     if want:
         out, ocount = out
@@ -1157,7 +1268,8 @@ def _minmax3_padded(field_padded, gx, gy, gz, *, Rr, P, interpret, out_shape,
 
 
 def _kernel_multi(origin_ref, gx_ref, gy_ref, gz_ref, fields_hbm, out_ref,
-                  win_ref, sem, *, Rr, block, win_shape, deltas, adaptive):
+                  win_ref, sem, *, Rr, block, win_shape, deltas, adaptive,
+                  dual=False):
     C = len(deltas)
     blk, slot = _pipeline_window(origin_ref, fields_hbm, win_ref, sem,
                                  win_shape)
@@ -1165,6 +1277,16 @@ def _kernel_multi(origin_ref, gx_ref, gy_ref, gz_ref, fields_hbm, out_ref,
     lx0, ly0, lz0 = _local_coords(gx_ref, gy_ref, gz_ref, ox, oy, sy, g0, Rr)
     win_all = _rebased_window(win_ref.at[slot], sy, g0 - ozw, 2)
 
+    if dual:
+        for ch in range(C):
+            dxo, dyo, dzo = deltas[ch]
+
+            def store(v, ch=ch):
+                out_ref[ch] = v
+
+            _trilerp_when(win_all[ch], lx0 + dxo, ly0 + dyo, lz0 + dzo,
+                          block, Rr, store, dual=True)
+        return
     if adaptive:
         if REBASED_NT:
             for ch in range(C):
@@ -1211,11 +1333,11 @@ def _dspan(deltas):
 @functools.partial(
     jax.jit,
     static_argnames=("Rr", "P", "interpret", "out_shape", "deltas",
-                     "adaptive", "count_overflow"),
+                     "adaptive", "count_overflow", "dual"),
 )
 def _sample3_padded_multi(fields_padded, gx, gy, gz, *, Rr, P, interpret,
                           out_shape, deltas, adaptive=False,
-                          count_overflow=False):
+                          count_overflow=False, dual=False):
     C = fields_padded.shape[0]
     nx, ny, Z = gx.shape
     BY = _by(Rr)
@@ -1225,13 +1347,15 @@ def _sample3_padded_multi(fields_padded, gx, gy, gz, *, Rr, P, interpret,
     fs = fields_padded.shape[1:]
     Wx = BX + 2 * Rr + 2
     win_shape = (C, Wx, WY_WIN, _wz_win(bz))
+    dsp = _dspan(deltas)
+    if dual:  # widen by the g kernel's +-0.25 support per axis
+        dsp = tuple((lo - 0.25, hi + 0.25) for lo, hi in dsp)
     ocount = None
     if count_overflow:
         origins, ocount = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb,
-                                   dspan=_dspan(deltas), want_count=True)
+                                   dspan=dsp, want_count=True)
     else:
-        origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb,
-                           dspan=_dspan(deltas))
+        origins = _origins(gx, gy, gz, fs, Rr=Rr, P=P, nb=nb, dspan=dsp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -2392,7 +2516,7 @@ def dmc_substep_fast_carry(mac_packed, maps_padded, sub, h, grid_n, *,
 
 
 def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False,
-                  adaptive=None, dtype=None):
+                  adaptive=None, dtype=None, dual=False):
     """Sample C stacked same-shape fields (C, nx, ny, nz) at one position
     lattice with per-channel offsets `offs` (C tuples, units of h). Returns
     (C, *px.shape). One window DMA + one launch for all channels."""
@@ -2411,11 +2535,14 @@ def sample3_multi(fields, px, py, pz, h, offs, *, Rr=2, interpret=False,
     fpad, gx, gy, gz, P = _pad_field_positions(
         fields, px, py, pz, h, off0, Rr, dtype=dtype
     )
+    if dual and not (adaptive and REBASED_NT):
+        raise ValueError("dual volume sampling requires the adaptive "
+                         "rebased scheme (GFS_INTERP_REBASED > 0)")
     want = OVERFLOW_SINK is not None
     out = _sample3_padded_multi(
         fpad, gx, gy, gz,
         Rr=Rr, P=P, interpret=interpret, out_shape=out_shape, deltas=deltas,
-        adaptive=adaptive, count_overflow=want,
+        adaptive=adaptive, count_overflow=want, dual=dual,
     )
     if want:
         out, ocount = out

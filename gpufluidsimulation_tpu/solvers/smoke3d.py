@@ -527,8 +527,8 @@ def _step_semilag(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     dt = cfg.dt
     cfldt = g.h / _max_velocity(s.u, s.v, s.w)
     packed = _vel_pack(g, s.u, s.v, s.w)
-    rho = advect.semilag_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, -dt, packed)
-    T = advect.semilag_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, -dt, packed)
+    rho, T = advect.semilag_multi_3d(
+        g, "c", [s.rho, s.T], s.u, s.v, s.w, cfldt, -dt, packed)
     u, v, w = _semilag_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, -dt, packed)
     u, v, w, rho, T = _forces_and_project(cfg, g, ctx, u, v, w, rho, T, s.frame, dt)
     bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
@@ -545,8 +545,8 @@ def _step_maccormack(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     dt = cfg.dt
     cfldt = g.h / _max_velocity(s.u, s.v, s.w)
     packed = _vel_pack(g, s.u, s.v, s.w)  # one pack for every trace below
-    rho = advect.maccormack_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, dt, packed)
-    T = advect.maccormack_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, dt, packed)
+    rho, T = advect.maccormack_multi_3d(
+        g, "c", [s.rho, s.T], s.u, s.v, s.w, cfldt, dt, packed)
     u, v, w = _maccormack_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, dt,
                               packed)
     u, v, w, rho, T = _forces_and_project(cfg, g, ctx, u, v, w, rho, T, s.frame, dt)
@@ -567,8 +567,10 @@ def _step_reflection(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     dt = cfg.dt
     cfldt = g.h / _max_velocity(s.u, s.v, s.w)
     packed = _vel_pack(g, s.u, s.v, s.w)  # shared by every s.u/v/w trace
-    rho = advect.maccormack_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt, dt, packed)
-    T = advect.maccormack_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, dt, packed)
+    # rho and T share every c-kind trace (fwd, bwd, clamp backtrace):
+    # traces are ~20x the per-field sample launches they feed
+    rho, T = advect.maccormack_multi_3d(
+        g, "c", [s.rho, s.T], s.u, s.v, s.w, cfldt, dt, packed)
 
     # first half-step velocity advection (tracing in the original field)
     u, v, w = _maccormack_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt,
@@ -659,10 +661,8 @@ def _step_bimocq(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
             sl_u, sl_v, sl_w = _semilag_vel(
                 g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, -dt, packed
             )
-            sl_rho = advect.semilag_3d(g, "c", s.rho, s.u, s.v, s.w, cfldt,
-                                       -dt, packed)
-            sl_T = advect.semilag_3d(g, "c", s.T, s.u, s.v, s.w, cfldt, -dt,
-                                     packed)
+            sl_rho, sl_T = advect.semilag_multi_3d(
+                g, "c", [s.rho, s.T], s.u, s.v, s.w, cfldt, -dt, packed)
 
         # --- velocity pull-back + compensation + two-level blend ---
         # (fused per lattice kind: shared static map positions + one window

@@ -34,6 +34,19 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--chunk", type=int, default=10)
     ap.add_argument("--round", type=int, default=2)
+    ap.add_argument("--mode", default="default",
+                    choices=["default", "volexact", "exact", "prefilter",
+                             "dual"],
+                    help="engine volume/interp mode: default = the bench "
+                         "config as-is; volexact = fast windowed interp "
+                         "with the exact 9-point composition; exact = "
+                         "exact gathers; prefilter/dual pin the fast "
+                         "approximation")
+    ap.add_argument("--smooth", action="store_true",
+                    help="no emitters, smooth initial fields (the regime "
+                         "where the 1e-3 pointwise bar is meaningful; the "
+                         "emitter scene decorrelates pointwise by ~100 "
+                         "steps in EVERY f32 mode incl. exact gathers)")
     ap.add_argument("--oracle-only", action="store_true",
                     help="only build/extend the oracle cache (no accelerator)")
     args = ap.parse_args()
@@ -45,17 +58,37 @@ def main():
 
     # --- oracle config mirrors bench.build exactly -----------------------
     dt = 8.0 / n
+    emitters = [] if args.smooth else [
+        dict(center=(0.04, 0.10, 0.10), radius=0.015, sign=1.0,
+             density=1.0, temperature=50.0, emit_frames=10),
+        dict(center=(0.16, 0.101, 0.10), radius=0.015, sign=-1.0,
+             density=1.0, temperature=50.0, emit_frames=10),
+    ]
     ocfg = dict(
         dt=dt, blend_coeff=1.0, alpha=0.0, beta=0.0, viscosity=1e-6,
-        vel_reinit_gap=10, scalar_reinit_gap=30,
-        emitters=[
-            dict(center=(0.04, 0.10, 0.10), radius=0.015, sign=1.0,
-                 density=1.0, temperature=50.0, emit_frames=10),
-            dict(center=(0.16, 0.101, 0.10), radius=0.015, sign=-1.0,
-                 density=1.0, temperature=50.0, emit_frames=10),
-        ],
+        vel_reinit_gap=10, scalar_reinit_gap=30, emitters=emitters,
     )
     og = oc.OGrid(n, n, n, 0.2 / n)
+
+    def smooth_fields():
+        F = np.float64
+        L = n * og.h
+        shp_u = (n + 1, n, n)
+        xi = (np.arange(n + 1)[:, None, None] - 0.5) * og.h
+        yj = (np.arange(n)[None, :, None]) * og.h
+        zk = (np.arange(n)[None, None, :]) * og.h
+        u = (0.08 * np.sin(2 * np.pi * yj / L) *
+             np.cos(2 * np.pi * zk / L) * np.ones_like(xi)).astype(F)
+        u = np.broadcast_to(u, shp_u).copy()
+        v = np.zeros((n, n + 1, n), F)
+        w = np.zeros((n, n, n + 1), F)
+        xc = (np.arange(n)[:, None, None]) * og.h
+        yc = (np.arange(n)[None, :, None]) * og.h
+        zc = (np.arange(n)[None, None, :]) * og.h
+        c0 = 0.5 * L
+        r2 = (xc - c0) ** 2 + (yc - c0) ** 2 + (zc - c0) ** 2
+        rho = np.exp(-r2 / ((0.2 * L) ** 2)).astype(F)
+        return u, v, w, rho
 
     # --- engine: the bench configuration, engine defaults of the backend --
     if not args.oracle_only:
@@ -67,28 +100,60 @@ def main():
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
         except Exception:
             pass
+        import dataclasses as _dc
+
         from bench import build
         from gpufluidsimulation_tpu import config
+        from gpufluidsimulation_tpu.solvers.smoke3d import Smoke3D
 
         solver = build(n)
+        emode = {
+            "default": None,
+            "volexact": config.EngineMode(volume_exact=True),
+            "exact": config.EngineMode(fast_interp=False),
+            "prefilter": config.EngineMode(volume_dual=False),
+            "dual": config.EngineMode(volume_dual=True),
+        }[args.mode]
+        if emode is not None:
+            solver = Smoke3D(_dc.replace(solver.cfg, engine_mode=emode))
         state = solver.init_state()
-        mode = dict(
-            fast_interp=config.use_fast_interp(),
-            volume_exact=config.volume_exact(),
-            spectral=config.use_spectral_poisson(),
-            interp_rr=config.interp_rr(),
-            reinit=solver.cfg.reinit_mode,
-            device=str(jax.devices()[0]),
-        )
+        with config.engine_mode_scope(solver.cfg.engine_mode):
+            mode = dict(
+                requested=args.mode,
+                fast_interp=config.use_fast_interp(),
+                volume_exact=config.volume_exact(),
+                volume_dual=config.volume_dual(),
+                spectral=config.use_spectral_poisson(),
+                interp_rr=config.interp_rr(),
+                reinit=solver.cfg.reinit_mode,
+                device=str(jax.devices()[0]),
+            )
         print(f"engine mode: {mode}", flush=True)
 
     # --- march both in chunks, caching the oracle per chunk ---------------
     ostate = oc.make_state(og)
+    tag = f"bench{n}"
+    if args.smooth:
+        import jax.numpy as jnp
+
+        u0, v0, w0, rho0 = smooth_fields()
+        ostate["u"], ostate["v"], ostate["w"] = u0, v0, w0
+        ostate["rho"] = rho0.copy()
+        ostate["rho_init"] = rho0.copy()
+        ostate["u_init"], ostate["v_init"], ostate["w_init"] = (
+            u0.copy(), v0.copy(), w0.copy())
+        tag = f"smoothb{n}"
+        if not args.oracle_only:
+            f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))
+            state = state.replace(
+                u=f32(u0), v=f32(v0), w=f32(w0), rho=f32(rho0),
+                rho_init=f32(rho0), u_init=f32(u0), v_init=f32(v0),
+                w_init=f32(w0))
     curve = []
     for k in range(steps // chunk):
         t0 = time.time()
         ostate = oc.cached_trajectory(
-            ocfg, og, ostate, chunk, f"bench{n}c{k:02d}", keep="final")[-1]
+            ocfg, og, ostate, chunk, f"{tag}c{k:02d}", keep="final")[-1]
         t_oracle = time.time() - t0
         frame = (k + 1) * chunk
         if args.oracle_only:
@@ -102,15 +167,16 @@ def main():
         rec = dict(
             frame=frame,
             rho_linf=float(np.abs(rho - ostate["rho"]).max()),
+            rho_l1=float(np.abs(rho - ostate["rho"]).mean()),
             u_linf=float(np.abs(u - ostate["u"]).max()),
             rho_max=float(ostate["rho"].max()),
             overflow=int(state.interp_overflow),
         )
         curve.append(rec)
         print(f"frame {frame:4d}: rho_linf {rec['rho_linf']:.3e} "
-              f"u_linf {rec['u_linf']:.3e} rho_max {rec['rho_max']:.3f} "
-              f"overflow {rec['overflow']} (oracle {t_oracle:.0f} s)",
-              flush=True)
+              f"rho_l1 {rec['rho_l1']:.3e} u_linf {rec['u_linf']:.3e} "
+              f"rho_max {rec['rho_max']:.3f} overflow {rec['overflow']} "
+              f"(oracle {t_oracle:.0f} s)", flush=True)
 
     if args.oracle_only:
         return
@@ -126,8 +192,19 @@ def main():
     )
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), f"FIDELITY_r{args.round}.json")
+    # accumulate runs by mode in one artifact
+    book = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            try:
+                book = json.load(f)
+            except Exception:
+                book = {}
+    if "curve" in book:  # legacy single-run format
+        book = {"default": book}
+    book[("smooth-" if args.smooth else "") + args.mode] = out
     with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        json.dump(book, f, indent=1)
     print(f"wrote {path}: final rho_linf {out['final_rho_linf']:.3e} "
           f"passed={out['passed']}")
 

@@ -187,3 +187,29 @@ def test_update_backward_from_identity_matches_unpeeled():
     for g_, w_ in zip(got, want):
         np.testing.assert_allclose(np.asarray(g_), np.asarray(w_),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_semilag_and_maccormack_multi_match_per_field(rng):
+    """semilag_multi_3d / maccormack_multi_3d (one shared trace for all
+    same-kind fields) must be bit-identical to the per-field forms."""
+    n = 12
+    grid = Grid3D(n, n, n, 1.0 / n)
+    u = jnp.asarray(rng.standard_normal(grid.shape_u).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.standard_normal(grid.shape_v).astype(np.float32)) * 0.3
+    w = jnp.asarray(rng.standard_normal(grid.shape_w).astype(np.float32)) * 0.3
+    rho = jnp.asarray(rng.random(grid.shape_c).astype(np.float32))
+    T = jnp.asarray(rng.random(grid.shape_c).astype(np.float32)) * 50
+    cfldt, dt = jnp.float32(0.05), jnp.float32(0.12)
+
+    a = advect.semilag_3d(grid, "c", rho, u, v, w, cfldt, -dt)
+    b = advect.semilag_3d(grid, "c", T, u, v, w, cfldt, -dt)
+    ma, mb = advect.semilag_multi_3d(grid, "c", [rho, T], u, v, w, cfldt, -dt)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(ma))
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(mb))
+
+    a = advect.maccormack_3d(grid, "c", rho, u, v, w, cfldt, dt)
+    b = advect.maccormack_3d(grid, "c", T, u, v, w, cfldt, dt)
+    ma, mb = advect.maccormack_multi_3d(grid, "c", [rho, T], u, v, w,
+                                        cfldt, dt)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(ma))
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(mb))

@@ -55,3 +55,43 @@ def test_prefilter_preserves_constants():
     f = jnp.full((8, 8, 8), 3.25)
     out = np.asarray(mp.volume_prefilter_3d(f))
     np.testing.assert_allclose(out, 3.25, rtol=1e-6)
+
+
+def test_dual_volume_sampling_matches_postmap_corners(rng):
+    """The dual-kernel windowed sample (0.5*prod(g) + 0.5*prod(hat)) must
+    equal the 9-point blend evaluated directly at the MAPPED position:
+    0.5*mean_c trilerp(src, pos + c) + 0.5*trilerp(src, pos) — the
+    separable identity the kernel exploits. Interior positions (no window
+    clipping) so both forms are renormalization-free."""
+    import jax.numpy as jnp
+
+    from gpufluidsimulation_tpu.core import interp
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    n, nz, h = 16, 128, 0.1
+    shape = (n, n, nz)
+    src = jnp.asarray(rng.random(shape).astype(np.float32))
+    # interior positions with sub-cell jitter, ~1.2 cells clear of edges
+    px = (jnp.arange(n)[:, None, None] * jnp.ones(shape)).astype(jnp.float32)
+    py = (jnp.arange(n)[None, :, None] * jnp.ones(shape)).astype(jnp.float32)
+    pz = (jnp.arange(nz)[None, None, :] * jnp.ones(shape)).astype(jnp.float32)
+    jx = jnp.asarray(rng.uniform(-0.45, 0.45, shape).astype(np.float32))
+    jy = jnp.asarray(rng.uniform(-0.45, 0.45, shape).astype(np.float32))
+    jz = jnp.asarray(rng.uniform(-0.45, 0.45, shape).astype(np.float32))
+    px = jnp.clip(px + jx, 1.3, n - 2.3) * h
+    py = jnp.clip(py + jy, 1.3, n - 2.3) * h
+    pz = jnp.clip(pz + jz, 1.3, nz - 2.3) * h
+    off = (0.0, 0.0, 0.0)
+
+    got = interp_fast.sample3_fast(src, px, py, pz, h, off, Rr=2,
+                                   interpret=True, dual=True)
+
+    corners = [(dx, dy, dz) for dx in (-0.25, 0.25) for dy in (-0.25, 0.25)
+               for dz in (-0.25, 0.25)]
+    acc = 0.0
+    for dx, dy, dz in corners:
+        acc = acc + interp.sample3(src, px + dx * h, py + dy * h,
+                                   pz + dz * h, h, off)
+    want = 0.5 * acc / 8.0 + 0.5 * interp.sample3(src, px, py, pz, h, off)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
