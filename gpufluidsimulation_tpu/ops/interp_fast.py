@@ -1380,7 +1380,7 @@ def _sample3_padded_multi(fields_padded, gx, gy, gz, *, Rr, P, interpret,
     )
     kernel = functools.partial(
         _kernel_multi, Rr=Rr, block=block, win_shape=win_shape,
-        deltas=deltas, adaptive=adaptive,
+        deltas=deltas, adaptive=adaptive, dual=dual,
     )
     out = pl.pallas_call(
         kernel,

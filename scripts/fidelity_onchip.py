@@ -202,7 +202,8 @@ def main():
                 book = {}
     if "curve" in book:  # legacy single-run format
         book = {"default": book}
-    book[("smooth-" if args.smooth else "") + args.mode] = out
+    key = ("smooth-" if args.smooth else "") + f"{args.mode}-{steps}"
+    book[key] = out
     with open(path, "w") as f:
         json.dump(book, f, indent=1)
     print(f"wrote {path}: final rho_linf {out['final_rho_linf']:.3e} "

@@ -47,6 +47,7 @@ def test_masked_projection_respects_solid(rng):
     assert np.abs(u2[face_solid_u]).max() == 0.0
 
 
+@pytest.mark.slow
 def test_bimocq_with_moving_boundary_runs():
     cfg = Smoke3DConfig(
         ni=16, nj=16, nk=16, L=0.2, dt=0.02, scheme=Scheme.BIMOCQ,
@@ -105,6 +106,7 @@ def test_masked_preconditioner_iteration_count(rng):
     assert int(iters) <= 30, int(iters)
 
 
+@pytest.mark.slow
 def test_moving_obstacle_scene_runs():
     """The packaged plume + sweeping-sphere scene (scenes3d.SCENES_3D[1])."""
     from gpufluidsimulation_tpu.scenes.scenes3d import make_moving_obstacle

@@ -7,6 +7,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gpufluidsimulation_tpu import config
 from gpufluidsimulation_tpu.scenes.scenes3d import vortex_collision_config
@@ -40,6 +41,7 @@ def _shear(state, g):
     return state.replace(u=u, u_init=jnp.array(u))
 
 
+@pytest.mark.slow
 def test_violent_flow_recomputed_exact():
     n = 16
     fast_mode = config.EngineMode(fast_interp=True, interp_interpret=True,
@@ -69,6 +71,7 @@ def test_violent_flow_recomputed_exact():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_clean_flow_not_retried():
     n = 16
     fast_mode = config.EngineMode(fast_interp=True, interp_interpret=True,

@@ -245,6 +245,7 @@ def test_trace_rk3_fused_matches_exact(rng, nz):
                                    rtol=1e-4, atol=2e-4 * h)
 
 
+@pytest.mark.slow
 def test_pullback_multi_matches_per_kind(rng):
     """bimocq_advect_multi_3d (fused pull-back kernel, positions computed
     in-kernel) == the per-kind bimocq_advect_3d fast path."""
@@ -278,6 +279,9 @@ def test_pullback_multi_matches_per_kind(rng):
     prev_int = config.interp_interpret()
     config.set_fast_interp(True)
     config.set_interp_interpret(True)
+    # the parked fused pull-back kernel implements the PREFILTER volume
+    # form — pin it so the per-kind reference chain doesn't run dual
+    config.set_volume_dual(False)
     try:
         want = []
         for kind, c, i, p in zip(("u", "v", "w"), cur, init, prev):
@@ -289,6 +293,7 @@ def test_pullback_multi_matches_per_kind(rng):
     finally:
         config.set_fast_interp(prev_fast)
         config.set_interp_interpret(prev_int)
+        config.set_volume_dual(True)
     for gk, wk in zip(got, want):
         np.testing.assert_allclose(np.asarray(gk), np.asarray(wk),
                                    rtol=5e-5, atol=5e-5)
@@ -435,6 +440,7 @@ def test_sample3_multi_padded_covering_extent_pack(rng):
     np.testing.assert_allclose(got, want, rtol=0, atol=0)  # bit-identical
 
 
+@pytest.mark.slow
 def test_sample3_fast_property_random_geometry():
     """Property test: randomized field/lattice shapes, staggered offsets and
     contract-respecting smooth displacements — the windowed kernel must
@@ -472,6 +478,7 @@ def test_sample3_fast_property_random_geometry():
     check()
 
 
+@pytest.mark.slow
 def test_trace_rk3_fused_property_random_geometry():
     """Property test for the fused RK3 trace: randomized x/y extents (off
     block multiples), velocity phases and substep fractions vs the
@@ -540,6 +547,7 @@ def test_trace_rk3_fused_property_random_geometry():
     check()
 
 
+@pytest.mark.slow
 def test_bimocq_pullback_property_random_geometry():
     """Property test for the fused BiMocq pull-back pipeline
     (mapping.bimocq_advect_3d fast path: prefilter + static map-at-lattice
@@ -601,12 +609,14 @@ def test_bimocq_pullback_property_random_geometry():
         want = np.asarray(exact_replica(g, kind, cur, init, bwd, fwd))
         config.set_fast_interp(True)
         config.set_interp_interpret(True)
+        config.set_volume_dual(False)  # the replica implements prefilter
         try:
             (got,) = mp.bimocq_advect_3d(g, kind, [cur], [init], [cur],
                                          bwd, None, fwd, None)
         finally:
             config.set_fast_interp(None)
             config.set_interp_interpret(False)
+            config.set_volume_dual(True)
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
                                    atol=2e-4)
 
@@ -748,6 +758,7 @@ def test_minmax3_fast_property_random_geometry():
     check()
 
 
+@pytest.mark.slow
 def test_sample2_fast_matches_gather(rng):
     """The 2D lift (sample2_fast): 2D fields on the 3D window machinery via
     a singleton/batched x plane, vs the exact bilinear gather."""

@@ -6,6 +6,7 @@ import os
 import tempfile
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from gpufluidsimulation_tpu.io_utils import mesh as M
@@ -79,6 +80,7 @@ def test_obj_roundtrip_and_remesh(tmp_path):
     assert abs(float(rad.mean()) - r) < 1.5 * h
 
 
+@pytest.mark.slow
 def test_mesh_boundary_in_simulation():
     """An OBJ-derived moving obstacle runs through the full BiMocq step
     (VERDICT round-1 item 8)."""

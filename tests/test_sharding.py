@@ -137,6 +137,7 @@ def test_sharded_fast_interp_multi_matches_exact(rng):
         np.testing.assert_allclose(got[c], want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_fast_step_matches_single_device_fast():
     """Sharded step with fast_sampling=True: the BiMocq pull-backs run the
     windowed Pallas kernels per shard behind ppermute halo slabs
@@ -183,6 +184,7 @@ def test_sharded_fast_step_matches_single_device_fast():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_sharded_map_marches_match_single_device():
     """update_mapping_3d_sharded: DMC backward + RK3 forward marches with
     z-sharded maps, replicated velocity slabs, per-substep ppermute map

@@ -85,6 +85,11 @@ def test_dual_volume_sampling_matches_postmap_corners(rng):
 
     got = interp_fast.sample3_fast(src, px, py, pz, h, off, Rr=2,
                                    interpret=True, dual=True)
+    # the multi-channel wrapper must route dual identically (it once
+    # dropped the flag before its kernel partial — a silent plain-trilerp)
+    got_multi = interp_fast.sample3_multi(
+        src[None], px, py, pz, h, (off,), Rr=2, interpret=True, dual=True)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got_multi))
 
     corners = [(dx, dy, dz) for dx in (-0.25, 0.25) for dy in (-0.25, 0.25)
                for dz in (-0.25, 0.25)]
