@@ -35,13 +35,22 @@ def main():
     ap.add_argument("--chunk", type=int, default=10)
     ap.add_argument("--round", type=int, default=2)
     ap.add_argument("--mode", default="default",
-                    choices=["default", "volexact", "exact", "prefilter",
-                             "dual"],
+                    choices=["default", "volexact", "exact", "exact-mgpcg",
+                             "prefilter", "dual"],
                     help="engine volume/interp mode: default = the bench "
                          "config as-is; volexact = fast windowed interp "
                          "with the exact 9-point composition; exact = "
                          "exact gathers; prefilter/dual pin the fast "
                          "approximation")
+    ap.add_argument("--proj-tol", type=float, default=None,
+                    help="override the bench config's projection tolerance "
+                         "(the smooth bar comparison uses 1e-8 like "
+                         "tests/test_fidelity3d.py; the bench runs 1e-4)")
+    ap.add_argument("--dt-scale", type=float, default=1.0,
+                    help="scale the bench dt (the smooth bar runs at "
+                         "0.025 like tests/test_fidelity3d.py — at the "
+                         "bench dt the blob crosses the whole box in ~10 "
+                         "steps and the comparison is meaningless)")
     ap.add_argument("--smooth", action="store_true",
                     help="no emitters, smooth initial fields (the regime "
                          "where the 1e-3 pointwise bar is meaningful; the "
@@ -57,7 +66,7 @@ def main():
     assert steps % chunk == 0
 
     # --- oracle config mirrors bench.build exactly -----------------------
-    dt = 8.0 / n
+    dt = 8.0 / n * args.dt_scale
     emitters = [] if args.smooth else [
         dict(center=(0.04, 0.10, 0.10), radius=0.015, sign=1.0,
              density=1.0, temperature=50.0, emit_frames=10),
@@ -71,7 +80,10 @@ def main():
     og = oc.OGrid(n, n, n, 0.2 / n)
 
     def smooth_fields():
-        F = np.float64
+        # f32 values (fed to the f64 oracle verbatim): both sides must
+        # start from IDENTICAL numbers or the init rounding seeds a
+        # divergence that dwarfs everything being measured
+        F = np.float32
         L = n * og.h
         shp_u = (n + 1, n, n)
         xi = (np.arange(n + 1)[:, None, None] - 0.5) * og.h
@@ -107,10 +119,22 @@ def main():
         from gpufluidsimulation_tpu.solvers.smoke3d import Smoke3D
 
         solver = build(n)
+        cfg_new = solver.cfg
+        if args.dt_scale != 1.0:
+            cfg_new = _dc.replace(cfg_new, dt=dt)
+        if args.smooth:  # the oracle side runs emitterless too
+            cfg_new = _dc.replace(cfg_new, emitters=())
+        if args.proj_tol is not None:
+            cfg_new = _dc.replace(cfg_new, proj_tol=args.proj_tol,
+                                  proj_max_iters=400)
+        if cfg_new is not solver.cfg:
+            solver = Smoke3D(cfg_new)
         emode = {
             "default": None,
             "volexact": config.EngineMode(volume_exact=True),
             "exact": config.EngineMode(fast_interp=False),
+            "exact-mgpcg": config.EngineMode(fast_interp=False,
+                                             spectral_poisson=False),
             "prefilter": config.EngineMode(volume_dual=False),
             "dual": config.EngineMode(volume_dual=True),
         }[args.mode]
@@ -142,7 +166,7 @@ def main():
         ostate["rho_init"] = rho0.copy()
         ostate["u_init"], ostate["v_init"], ostate["w_init"] = (
             u0.copy(), v0.copy(), w0.copy())
-        tag = f"smoothb{n}"
+        tag = f"smoothb{n}s{args.dt_scale:g}"
         if not args.oracle_only:
             f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))
             state = state.replace(
@@ -203,6 +227,10 @@ def main():
     if "curve" in book:  # legacy single-run format
         book = {"default": book}
     key = ("smooth-" if args.smooth else "") + f"{args.mode}-{steps}"
+    if args.dt_scale != 1.0:
+        key += f"-dt{args.dt_scale:g}"
+    if args.proj_tol is not None:
+        key += f"-tol{args.proj_tol:g}"
     book[key] = out
     with open(path, "w") as f:
         json.dump(book, f, indent=1)
