@@ -158,6 +158,10 @@ def test_sharded_fast_step_matches_single_device_fast():
     solver = Smoke3D(cfg)
 
     config.set_interp_interpret(True)
+    # pin the prefilter volume form on BOTH sides: sharded sampling always
+    # runs prefilter (dual needs the single-chip window kernels), so the
+    # single-device comparison must too
+    config.set_volume_dual(False)
     try:
         # single-device fast path (windowed kernels + volume prefilter)
         config.set_fast_interp(True)
@@ -176,6 +180,7 @@ def test_sharded_fast_step_matches_single_device_fast():
         config.set_fast_interp(None)
         config.set_interp_interpret(False)
         config.set_sharded_sampling(None)
+        config.set_volume_dual(True)
 
     assert len(s1.rho.sharding.device_set) == 4
     np.testing.assert_allclose(np.asarray(s1.rho), np.asarray(s0.rho),
