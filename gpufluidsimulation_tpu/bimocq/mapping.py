@@ -288,18 +288,24 @@ def _use_prefilter():
 
 def _volume_mode():
     """'exact' (9 composed evaluations — exact-gather or GFS_VOLUME_EXACT
-    fast mode), 'dual' (one dual-kernel windowed sample; the default fast
-    mode), or 'prefilter' (the legacy O(h^2) source filter — sharded
-    sampling, non-rebased kernels, or GFS_VOLUME_DUAL=0)."""
+    fast mode), 'vol9' (ONE windowed launch evaluating the exact 9-position
+    composition with in-kernel mapped corners; the production default),
+    'dual' (separable dual-kernel approximation — post-map corners, map
+    Jacobian taken as identity; GFS_VOLUME_VOL9=0), or 'prefilter' (the
+    legacy O(h^2) source filter — sharded sampling, non-rebased kernels, or
+    GFS_VOLUME_DUAL=0)."""
     from gpufluidsimulation_tpu import config
     from gpufluidsimulation_tpu.ops import interp_fast
 
     if not _use_prefilter():
         return "exact"
-    if (config.volume_dual() and config.sharded_sampling() is None
+    if (config.sharded_sampling() is None
             and config.use_fast_interp() and config.interp_adaptive()
             and interp_fast.REBASED_NT):
-        return "dual"
+        if config.volume_vol9():
+            return "vol9"
+        if config.volume_dual():
+            return "dual"
     return "prefilter"
 
 
@@ -490,6 +496,26 @@ def _sample_fields_at(grid, kind, fields, positions, dual=False):
     return [interp.sample3(f, mx, my, mz, grid.h, off) for f in fields]
 
 
+def _vol9_sampler(grid, kind):
+    """Per-kind closure over interp_fast.sample3_vol9 — the one-launch
+    exact 9-position composed volume evaluation (lists in, lists out)."""
+    from gpufluidsimulation_tpu import config
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    dim = grid.dim_of(kind)
+    gn = (grid.ni, grid.nj, grid.nk)
+    kw = dict(Rr=config.interp_rr(), interpret=config.interp_interpret(),
+              dtype=config.interp_window_dtype())
+
+    def samp(fields, maps, clamp_lo, clamp_hi):
+        out = interp_fast.sample3_vol9(
+            jnp.stack(fields), maps, dim, grid.h, gn, clamp_lo, clamp_hi,
+            **kw)
+        return [out[i] for i in range(len(fields))]
+
+    return samp
+
+
 def bimocq_advect_3d(grid, kind, fields_cur, fields_init, fields_prev,
                      bwd, bwd_prev, fwd, blend_coeff):
     """Fused advect_with_map + compensate + double_advect over N fields of
@@ -522,10 +548,48 @@ def bimocq_advect_3d(grid, kind, fields_cur, fields_init, fields_prev,
     shape = fields_cur[0].shape
     band_adv = _band3(shape, (2 + dim[0], 2 + dim[1], 2 + dim[2]), (3, 3, 3))
     band_c = _band3(shape, (1 + dim[0], 1 + dim[1], 1 + dim[2]), (2, 2, 2))
-    # 'dual': the 9-point volume blend happens IN the sampler (post-map
-    # corners, exact separable identity) — no source prefilter passes;
-    # 'prefilter': the legacy O(h^2) source-filter commutation
-    dual = _volume_mode() == "dual"
+    # 'vol9': the EXACT 9-position composition in one launch (in-kernel
+    # mapped corners — production default); 'dual': the separable post-map
+    # corner approximation (J = I across the cube); 'prefilter': the legacy
+    # O(h^2) source-filter commutation
+    mode = _volume_mode()
+
+    if mode == "vol9":
+        samp = _vol9_sampler(grid, kind)
+
+        # --- advect: pull init back through the backward map ---
+        advs = samp(fields_init, bwd, 1.0, 1.0)
+        advs = [jnp.where(band_adv, a, cur)
+                for a, cur in zip(advs, fields_cur)]
+
+        # --- compensate: BFECC error correction + 27-pt clamp ---
+        errs = samp(advs, fwd, 0.0, 0.0)
+        errs = [jnp.where(band_c, e - init, 0.0)
+                for e, init in zip(errs, fields_init)]
+        corrs = samp(errs, bwd, 0.0, 0.0)
+        comps = [
+            advect.clamp_extrema_neighborhood(
+                a, jnp.where(band_c, a - 0.5 * c, a))
+            for a, c in zip(advs, corrs)
+        ]
+
+        # --- double advect (blend != 1 configs only): the two-level
+        # composition samples bwd_prev at data-dependent points, outside
+        # the vol9 kernel's static-map-window geometry — that stage keeps
+        # the dual evaluation (the reference default blend_coeff == 1.0
+        # never reaches here)
+        if blend_coeff is None:
+            return comps
+        p1 = map_at_lattice_3d(grid, bwd, kind, 1.0, 1.0)
+        p2 = _map_sample_3d(grid, bwd_prev, p1[0], p1[1], p1[2], 1.0, 1.0)
+        prevs = _sample_fields_at(grid, kind, fields_prev, p2, dual=True)
+        return [
+            jnp.where(band_adv,
+                      x * blend_coeff + (1.0 - blend_coeff) * pv, x)
+            for x, pv in zip(comps, prevs)
+        ]
+
+    dual = mode == "dual"
 
     def pre(fs):
         return fs if dual else [volume_prefilter_3d(f) for f in fs]
@@ -691,10 +755,15 @@ def accumulate_multi_3d(grid, kind, groups, fwd, identity=False):
         for change, coeff in pairs[1:]:
             tot = tot + coeff * change
         combined.append(tot)
-    flat = [volume_prefilter_3d(c) for c in combined]
     if identity:
-        deltas = flat
+        # identity forward map: corner positions are EXACTLY node + d, so
+        # the separable S-stencil prefilter IS the exact 9-point volume
+        # average — no kernel in any volume mode
+        deltas = [volume_prefilter_3d(c) for c in combined]
+    elif _volume_mode() == "vol9":
+        deltas = _vol9_sampler(grid, kind)(combined, fwd, 0.0, 0.0)
     else:
+        flat = [volume_prefilter_3d(c) for c in combined]
         p3 = map_at_lattice_3d(grid, fwd, kind, 0.0, 0.0)
         deltas = _sample_fields_at(grid, kind, flat, p3)
     return [

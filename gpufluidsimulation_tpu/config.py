@@ -38,6 +38,7 @@ class EngineMode:
     interp_adaptive: bool | None = None
     volume_exact: bool | None = None
     volume_dual: bool | None = None
+    volume_vol9: bool | None = None
     rbgs: bool | None = None
     interp_bf16: bool | None = None
     spectral_poisson: bool | None = None
@@ -47,7 +48,8 @@ class EngineMode:
 
     def __hash__(self):  # mesh objects in sharded_sampling aren't hashable
         return hash((self.fast_interp, self.interp_rr, self.interp_adaptive,
-                     self.volume_exact, self.volume_dual, self.rbgs,
+                     self.volume_exact, self.volume_dual, self.volume_vol9,
+                     self.rbgs,
                      self.interp_bf16,
                      self.spectral_poisson, self.pallas_diffuse,
                      self.interp_interpret,
@@ -179,6 +181,26 @@ def volume_dual() -> bool:
 def set_volume_dual(value: bool) -> None:
     global _VOLUME_DUAL
     _VOLUME_DUAL = bool(value)
+
+
+_VOLUME_VOL9 = os.environ.get("GFS_VOLUME_VOL9", "1") not in ("0", "false")
+
+
+def volume_vol9() -> bool:
+    """Evaluate the reference's 9-point volume composition EXACTLY in one
+    windowed launch (interp_fast.sample3_vol9): every +-0.25h corner offset
+    is mapped through the map's trilinear interpolation in-kernel (a static
+    ring-1 map window), so the map Jacobian acts on the corner cube — the
+    term the 'dual' separable kernel drops (J taken as identity; measured
+    10x worse at emitter edges, FIDELITY_r2.json). The production default;
+    GFS_VOLUME_VOL9=0 falls back to 'dual'. volume_exact wins over this."""
+    m = _mode_field("volume_vol9")
+    return _VOLUME_VOL9 if m is None else m
+
+
+def set_volume_vol9(value: bool) -> None:
+    global _VOLUME_VOL9
+    _VOLUME_VOL9 = bool(value)
 
 
 _RBGS_ENV = os.environ.get("GFS_RBGS")

@@ -2227,6 +2227,362 @@ def sample3_pullback(maps, fields, dims, h, grid_n, clamp_lo, clamp_hi, *,
 
 
 # ---------------------------------------------------------------------------
+# vol9: the one-launch 9-POSITION composed volume evaluation — the
+# reference's advect_kernel volume average computed EXACTLY on the fast
+# path (GPU_kernel.cu:312-374): each of the 8 (+-0.25h)^3 corner offsets is
+# mapped THROUGH the backward/forward map's trilinear interpolation before
+# the field sample, so the map Jacobian (and its edge discontinuities) acts
+# on the corner cube — the term the 'dual' separable kernel drops (J taken
+# as identity across the cube; measured 10x worse at emitter edges,
+# FIDELITY_r2.json).
+#
+# Geometry per output block:
+#   * The 9 positions are trilinear MAP samples at lattice +- 0.25h — a
+#     STATIC 2-tap-per-axis stencil (per axis: +0.25 -> weights (3/4, 1/4),
+#     -0.25 -> (1/4, 3/4), staggered kinds shift the tap pair) — so the map
+#     is fetched with a static ring-1 window (BX+2, BY+8, bz+128 lanes),
+#     ~2.4x smaller than a full-reach map window, and the corner positions
+#     are pure VPU slice-fma work in VMEM. No position arrays materialize
+#     in HBM (the _origins prepass reads the same stencil lazily, fused
+#     into its reductions).
+#   * The field window uses the usual dynamic per-block origins with the
+#     corner spread folded in as dspan=(-0.25, +0.25), plus the static
+#     x-tap origin narrowing of the RK3 kernels (the x axis can be neither
+#     dynamically sliced nor rolled).
+#   * Each corner is hat-trilerped over one shared (nt, nt, x_taps) static
+#     tap tile after a single per-channel union rebase roll, renormalized
+#     by its own coverage, then blended 0.5*mean(corners) + 0.5*center.
+#   * NO predication: corners whose taps escape the tile clamp +
+#     renormalize (the window-edge semantics) and are counted EXACTLY
+#     per element in the kernel's SMEM accumulator (the DMC pattern) —
+#     the count rides the frame overflow monitor -> step_checked retry.
+# ---------------------------------------------------------------------------
+
+# y/z tap-tile extent of the vol9 kernel (0 -> REBASED_NT + 1: the dual
+# kernel's wider-support default); x static taps (0 -> REBASED_XNT + 1).
+_VOL9_NT = int(os.environ.get("GFS_VOL9_NT", "0"))
+_VOL9_XNT = int(os.environ.get("GFS_VOL9_XNT", "0"))
+
+
+def _vol9_nt(Rr):
+    W = 2 * Rr + 3
+    nt = _VOL9_NT if _VOL9_NT > 0 else (REBASED_NT + 1 if REBASED_NT else 4)
+    nxt = _VOL9_XNT if _VOL9_XNT > 0 else (
+        REBASED_XNT + 1 if REBASED_XNT else W)
+    return min(nt, W), min(nxt, W)
+
+
+# the 8 corner sign patterns + the center (sx, sy, sz, weight)
+_VOL9_STENCIL = tuple(
+    (sx, sy, sz, 1.0 / 16.0)
+    for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
+) + ((0, 0, 0, 0.5),)
+
+
+def _vol9_map_slices(wm_ch, dim, block, P):
+    """The 9 stencil positions of one map channel over the block, from the
+    static ring-1 map window (local cell (a,b,c) = window (a+1, b+P, c+FZR)
+    where FZR = FRONT_Z - bz*k offset folds to a static 124... the window
+    copy puts cell c at lane c + (FRONT_Z - 1) - 122 ... see _kernel_vol9).
+
+    Per axis, the 2-tap trilinear weights of a sample at node +- 0.25h:
+      dim=0 (node on the map lattice): +: (i, i+1) w (3/4, 1/4)
+                                       -: (i-1, i) w (1/4, 3/4)
+                                       0: (i)      w (1)
+      dim=1 (node at i - 0.5):         +: (i-1, i) w (1/4, 3/4)
+                                       -: (i-1, i) w (3/4, 1/4)
+                                       0: (i-1, i) w (1/2, 1/2)
+    Returns {s: array} per axis combo lazily — callers walk corners one at
+    a time to bound VMEM live ranges."""
+    del P
+
+    def taps(d, s):
+        if d == 0:
+            if s == 1:
+                return ((0, 0.75), (1, 0.25))
+            if s == -1:
+                return ((-1, 0.25), (0, 0.75))
+            return ((0, 1.0),)
+        if s == 1:
+            return ((-1, 0.25), (0, 0.75))
+        if s == -1:
+            return ((-1, 0.75), (0, 0.25))
+        return ((-1, 0.5), (0, 0.5))
+
+    B1, B2, B3 = block
+
+    def pos(sx, sy, sz):
+        v = wm_ch
+        for axis, (s, bn) in enumerate(((sx, B1), (sy, B2), (sz, B3))):
+            acc = None
+            for off, wgt in taps(dim[axis], s):
+                idx = [slice(None)] * 3
+                # window base offsets: x rows a+1, y rows b (pre-sliced),
+                # z lanes c (pre-sliced) — callers pass wm_ch already
+                # sliced to the (B1+2, B2+2, B3+2) neighborhood with the
+                # cell at local index +1 per axis
+                idx[axis] = slice(1 + off, 1 + off + bn)
+                t = v[tuple(idx)] * wgt if wgt != 1.0 else v[tuple(idx)]
+                acc = t if acc is None else acc + t
+            v = acc
+        return v
+
+    return pos
+
+
+def _kernel_vol9(origin_ref, maps_hbm, fields_hbm, out_ref, cnt_ref, win_m,
+                 win_f, sem, *, Rr, block, win_m_shape, win_f_shape, P,
+                 dim, clamp, grid_n, out_n, nt, nxt):
+    nb1 = pl.num_programs(1)
+    nb2 = pl.num_programs(2)
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    bk = pl.program_id(2)
+    blk = (bi * nb1 + bj) * nb2 + bk
+    nblk = pl.num_programs(0) * nb1 * nb2
+    slot = jax.lax.rem(blk, 2)
+    B1, B2, B3 = block
+    BY = B2
+
+    def copies(b, sl):
+        k = jax.lax.rem(b, nb2)
+        ij = b // nb2
+        j = jax.lax.rem(ij, nb1)
+        i = ij // nb1
+        # map window: STATIC ring-1 origin. x origin i*BX + P-1 puts cell
+        # a at window row a+1; y origin j*BY (8-aligned, static slack P-1
+        # < 8) puts cell b at row b+P; z origin k*bz (128-aligned since
+        # FRONT_Z-1 = 123 < 128) puts cell c at lane c + FRONT_Z.
+        mcopy = pltpu.make_async_copy(
+            maps_hbm.at[:, pl.ds(i * B1 + (P - 1), win_m_shape[1]),
+                        pl.ds(j * BY, win_m_shape[2]),
+                        pl.ds(k * B3, win_m_shape[3])],
+            win_m.at[sl], sem.at[sl, 0],
+        )
+        ox, oy, _, ozw, _ = _block_scalars(origin_ref, b)
+        fcopy = pltpu.make_async_copy(
+            fields_hbm.at[:, pl.ds(ox, win_f_shape[1]),
+                          pl.ds(oy, win_f_shape[2]),
+                          pl.ds(ozw, win_f_shape[3])],
+            win_f.at[sl], sem.at[sl, 1],
+        )
+        return mcopy, fcopy
+
+    @pl.when(blk == 0)
+    def _():
+        for d in copies(0, 0):
+            d.start()
+
+    @pl.when(blk + 1 < nblk)
+    def _():
+        for d in copies(blk + 1, jax.lax.rem(blk + 1, 2)):
+            d.start()
+
+    for d in copies(blk, slot):
+        d.wait()
+
+    ox, oy, syf, ozw, g0 = _block_scalars(origin_ref, blk)
+    wf = _rebased_window(win_f.at[slot], syf, g0 - ozw, 2)
+
+    C = win_f_shape[0]
+    a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
+    b_ = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
+    c_ = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
+    ni, nj, nk = grid_n
+    clo, chi = clamp
+    W = 2 * Rr + 3
+
+    # the (B1+2, B2+2, B3+2) map neighborhood, cell (a,b,c) at local +1
+    wm = win_m[slot]
+    nbh = [
+        wm[ch, :, P - 1: P + B2 + 1, FRONT_Z - 1: FRONT_Z + B3 + 1]
+        for ch in range(3)
+    ]
+    pos_fns = [_vol9_map_slices(nbh[ch], dim, block, P) for ch in range(3)]
+
+    def local_coords(sx, sy, sz):
+        # mapped position (grid units) -> field-window-local coords
+        px = jnp.clip(pos_fns[0](sx, sy, sz), clo, ni - chi)
+        py = jnp.clip(pos_fns[1](sx, sy, sz), clo, nj - chi)
+        pz = jnp.clip(pos_fns[2](sx, sy, sz), clo, nk - chi)
+        lx = px + (0.5 * dim[0] + P) - ox.astype(jnp.float32)
+        ly = py + (0.5 * dim[1] + P) - (oy + syf).astype(jnp.float32)
+        lz = pz + (0.5 * dim[2] + FRONT_Z) - g0.astype(jnp.float32)
+        return lx, ly, lz
+
+    # content mask: block-lattice rim elements (beyond the kind extent)
+    # read EDGE-REPLICATED map values whose element-relative residuals are
+    # meaningless — they must not poison the union tap range or the count
+    gi = bi * B1 + a
+    gj = bj * B2 + b_
+    gk = bk * B3 + c_
+    content = (gi < out_n[0]) & (gj < out_n[1]) & (gk < out_n[2])
+    big = jnp.float32(1e9)
+
+    # pass 1: union live tap range over the 9 positions (y/z only — x rides
+    # the origin-narrowed static range), content elements only
+    ymn = zmn = None
+    for sx, sy, sz, _w in _VOL9_STENCIL:
+        _, ly, lz = local_coords(sx, sy, sz)
+        ry = jnp.where(content, ly - b_, big)
+        rz = jnp.where(content, lz - c_, big)
+        ymn = ry if ymn is None else jnp.minimum(ymn, ry)
+        zmn = rz if zmn is None else jnp.minimum(zmn, rz)
+    ylo = jnp.clip(jnp.floor(jnp.min(ymn)).astype(jnp.int32), 0, W - 1)
+    zlo = jnp.clip(jnp.floor(jnp.min(zmn)).astype(jnp.int32), 0, W - 1)
+
+    rolled = []
+    for ch in range(C):
+        wy = pltpu.roll(wf[ch], -ylo, 1)
+        rolled.append(pltpu.roll(wy, -zlo, 2))
+
+    # pass 2: accumulate the 9 hat-trilerps (per-corner coverage renorm)
+    accs = [jnp.zeros(block, jnp.float32) for _ in range(C)]
+    viol = None
+    for sx, sy, sz, wgt in _VOL9_STENCIL:
+        lx, ly, lz = local_coords(sx, sy, sz)
+        lyr = ly - ylo.astype(jnp.float32)
+        lzr = lz - zlo.astype(jnp.float32)
+        # exact per-element truncation test: taps {floor(rel), floor+1}
+        # fit the tile iff rel in [lo, lo + n - 1]
+        rx, ry, rz = lx - a, lyr - b_, lzr - c_
+        v = ((rx < 0.0) | (rx > nxt - 1) | (ry < 0.0) | (ry > nt - 1)
+             | (rz < 0.0) | (rz > nt - 1))
+        viol = v if viol is None else viol | v
+        hx = [_hat(lx - (a + i)) for i in range(nxt)]
+        hy = [_hat(lyr - (b_ + q)) for q in range(nt)]
+        hz = [_hat(lzr - (c_ + r)) for r in range(nt)]
+        cov = sum(hx) * sum(hy) * sum(hz)
+        for ch in range(C):
+            wch = rolled[ch]
+            out = jnp.zeros(block, jnp.float32)
+            for dr in range(nt):
+                wz = wch[:, :, dr: dr + B3]
+                accy = jnp.zeros(block, jnp.float32)
+                for dq in range(nt):
+                    wyz = wz[:, dq: dq + B2, :]
+                    accx = jnp.zeros(block, jnp.float32)
+                    for dp in range(nxt):
+                        accx = accx + hx[dp] * wyz[dp: dp + B1]
+                    accy = accy + hy[dq] * accx
+                out = out + hz[dr] * accy
+            val = jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
+            accs[ch] = accs[ch] + wgt * val
+
+    for ch in range(C):
+        out_ref[ch] = accs[ch]
+
+    # exact truncation count over content cells (SMEM accumulator; the TPU
+    # grid is sequential so += across grid steps is safe)
+    @pl.when(blk == 0)
+    def _():
+        cnt_ref[0, 0] = 0
+
+    cnt_ref[0, 0] += jnp.sum((viol & content).astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Rr", "interpret", "out_shape", "dim", "clamp",
+                     "grid_n", "out_n"),
+)
+def _vol9_padded(maps_packed, fields_packed, origins, *, Rr, interpret,
+                 out_shape, dim, clamp, grid_n, out_n):
+    C = fields_packed.shape[0]
+    P = Rr + 2
+    BY = _by(Rr)
+    nb = (out_shape[0] // BX, out_shape[1] // BY, out_shape[2] // 128)
+    block = (BX, BY, 128)
+    nt, nxt = _vol9_nt(Rr)
+    # static ring-1 map window (see _kernel_vol9 copies): x rows BX+2, y
+    # rows BY + static slack (P-1) + ring 2, ceil-8; z lanes bz + 128
+    win_m_shape = (3, BX + 2, _ceil(BY + P + 1, 8), 256)
+    win_f_shape = (C, BX + nxt - 1, WY_WIN, _wz_win(128))
+    kernel = functools.partial(
+        _kernel_vol9, Rr=Rr, block=block, win_m_shape=win_m_shape,
+        win_f_shape=win_f_shape, P=P, dim=dim, clamp=clamp, grid_n=grid_n,
+        out_n=out_n, nt=nt, nxt=nxt,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=nb,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((C,) + block, lambda i, j, k, o: (0, i, j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j, k, o: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + win_m_shape, jnp.float32),
+            pltpu.VMEM((2,) + win_f_shape, fields_packed.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out, cnt = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((C,) + out_shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(origins, maps_packed, fields_packed)
+    return out, jnp.sum(cnt)
+
+
+def sample3_vol9(fields, maps, dim, h, grid_n, clamp_lo, clamp_hi, *, Rr=2,
+                 interpret=False, dtype=None):
+    """Pull C same-kind fields back through `maps` with the EXACT 9-position
+    volume composition (advect_kernel, GPU_kernel.cu:312-374): out[c](node)
+    = 0.5*mean_8(fields[c](clamp(maps(node + corner)))) +
+      0.5*fields[c](clamp(maps(node))), corners = (+-0.25h)^3, every corner
+    mapped through the map's trilinear interpolation.
+
+    `fields`: stacked (C, kx, ky, kz) arrays of one lattice kind `dim`;
+    `maps`: (3, ni, nj, nk) world-coordinate map. Returns (C, kx, ky, kz).
+    Truncated corner samples (taps beyond the tile/window) clamp +
+    renormalize and are counted exactly into OVERFLOW_SINK."""
+    ni, nj, nk = grid_n
+    BY = _by(Rr)
+    out_shape = (_ceil(ni, BX), _ceil(nj, BY), _ceil(nk, 128))
+    kind_shape = fields.shape[1:]
+    fields_packed = pad_fields(fields, (ni, nj, nk), Rr, dtype=dtype)
+    maps_grid = maps / h
+    maps_packed = pad_fields(maps_grid, (ni, nj, nk), Rr)
+    clamp = (float(clamp_lo), float(clamp_hi))
+    P = Rr + 2
+    gx, gy, gz = _prepass_positions_grid(maps_grid, dim, grid_n, clamp, P,
+                                         out_shape)
+    nb = (out_shape[0] // BX, out_shape[1] // BY, out_shape[2] // 128)
+    _, nxt = _vol9_nt(Rr)
+    origins = _origins(
+        gx, gy, gz, fields_packed.shape[1:], Rr=Rr, P=P, nb=nb,
+        dspan=((-0.25, 0.25),) * 3, x_taps=nxt, count_x=False,
+    )
+    out, cnt = _vol9_padded(
+        maps_packed, fields_packed, origins, Rr=Rr, interpret=interpret,
+        out_shape=out_shape, dim=tuple(int(d) for d in dim), clamp=clamp,
+        grid_n=tuple(grid_n), out_n=tuple(kind_shape),
+    )
+    if OVERFLOW_SINK is not None:
+        OVERFLOW_SINK.append(cnt)
+    # slice to the kind lattice; a staggered kind's last face plane (outside
+    # every band guard) is zero-padded when it exceeds the cell block grid
+    o = out[:, : min(kind_shape[0], out.shape[1]),
+            : min(kind_shape[1], out.shape[2]),
+            : min(kind_shape[2], out.shape[3])]
+    pw = [(0, 0)] + [(0, kind_shape[i] - o.shape[1 + i]) for i in range(3)]
+    return jnp.pad(o, pw) if any(p[1] for p in pw) else o
+
+
+# ---------------------------------------------------------------------------
 # Fused DMC backward-map substep: the ENTIRE per-substep pipeline of
 # DMC_backward_kernel (GPU_kernel.cu:169-204 / ops/advect.dmc_backward_step_3d
 # fast path) in one two-window launch: center-lattice MAC velocities and

@@ -100,3 +100,80 @@ def test_dual_volume_sampling_matches_postmap_corners(rng):
     want = 0.5 * acc / 8.0 + 0.5 * interp.sample3(src, px, py, pz, h, off)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-6)
+
+
+def _exact_vol9(grid, kind, field, maps, clo, chi):
+    """Reference: the exact-path 9-position composition (every corner
+    mapped through the map's trilinear interpolation, then sampled with
+    boundedAt gathers) — mirrors mapping._volume_eval_3d's exact branch."""
+    from gpufluidsimulation_tpu.core import interp
+
+    h = grid.h
+    px, py, pz = grid.node_coords(kind)
+    off = grid.off_of(kind)
+    vals = []
+    for dx, dy, dz in list(mp._VOL3) + [(0.0, 0.0, 0.0)]:
+        mx, my, mz = mp._map_sample_3d(
+            grid, maps, px + dx * h, py + dy * h, pz + dz * h, clo, chi)
+        vals.append(interp.sample3(field, mx, my, mz, h, off))
+    acc = vals[0]
+    for v in vals[1:8]:
+        acc = acc + v
+    return 0.5 * (acc / 8.0) + 0.5 * vals[8]
+
+
+def test_vol9_matches_exact_composition(rng):
+    """sample3_vol9 (one launch, in-kernel mapped corners) must equal the
+    exact 9-position composition to f32 association tolerance — on cell AND
+    staggered lattices, including domain-edge nodes (clamped positions)."""
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    grid = Grid3D(24, 24, 24, 1.0 / 24)
+    h = grid.h
+    x, y, z = grid.node_coords("c")
+    bwd = jnp.stack([
+        x + 1.1 * h * jnp.sin(2 * x) * jnp.cos(z),
+        y + 0.8 * h * jnp.cos(2 * y) * jnp.sin(x),
+        z + 1.0 * h * jnp.sin(x + y),
+    ])
+    gn = (grid.ni, grid.nj, grid.nk)
+
+    try:
+        config.set_fast_interp(False)  # exact reference path
+        for kind, (clo, chi) in (("c", (1.0, 1.0)), ("u", (0.0, 0.0)),
+                                 ("w", (1.0, 1.0))):
+            field = jnp.asarray(
+                rng.random(getattr(grid, f"shape_{kind}")).astype(np.float32))
+            want = np.asarray(
+                _exact_vol9(grid, kind, field, bwd, clo, chi))
+            got = np.asarray(interp_fast.sample3_vol9(
+                field[None], bwd, grid.dim_of(kind), h, gn, clo, chi,
+                Rr=2, interpret=True)[0])
+            # staggered kinds: the last face plane is zero-padded when it
+            # exceeds the cell block lattice (outside every band guard)
+            n0 = min(want.shape[0], 24 if grid.dim_of(kind)[0] else 99)
+            np.testing.assert_allclose(
+                got[:n0], want[:n0], rtol=3e-5, atol=3e-6,
+                err_msg=f"kind={kind}")
+    finally:
+        config.set_fast_interp(None)
+
+
+def test_vol9_counts_truncations(rng):
+    """Corner samples whose taps escape the static tile must clamp +
+    renormalize AND be counted exactly into OVERFLOW_SINK."""
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    grid = Grid3D(24, 24, 24, 1.0 / 24)
+    h = grid.h
+    x, y, z = grid.node_coords("c")
+    # displacement jump of ~8 cells across half of one block: blows the
+    # per-block residual budget (Rr=2)
+    jump = jnp.where(x > 0.5, 8.0 * h, 0.0)
+    bwd = jnp.stack([jnp.clip(x + jump, 0.0, grid.ni * h), y, z])
+    field = jnp.asarray(rng.random(grid.shape_c).astype(np.float32))
+    with interp_fast.overflow_sink() as counts:
+        interp_fast.sample3_vol9(
+            field[None], bwd, (0, 0, 0), h, (24, 24, 24), 1.0, 1.0,
+            Rr=2, interpret=True)
+    assert int(sum(counts)) > 0
