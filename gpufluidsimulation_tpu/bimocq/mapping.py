@@ -497,8 +497,12 @@ def _sample_fields_at(grid, kind, fields, positions, dual=False):
 
 
 def _vol9_sampler(grid, kind):
-    """Per-kind closure over interp_fast.sample3_vol9 — the one-launch
-    exact 9-position composed volume evaluation (lists in, lists out)."""
+    """Per-kind closure: the proven dual launch (map_at_lattice positions
+    + the separable dual kernel) followed by the sparse exact fixup
+    (interp_fast.vol9_fixup) on the blocks where dual provably differs
+    from the exact 9-position composition. Map stats (padded pack +
+    per-block corner deviation) are computed once per map and shared
+    across the stages using it. Lists in, lists out."""
     from gpufluidsimulation_tpu import config
     from gpufluidsimulation_tpu.ops import interp_fast
 
@@ -507,13 +511,40 @@ def _vol9_sampler(grid, kind):
     kw = dict(Rr=config.interp_rr(), interpret=config.interp_interpret(),
               dtype=config.interp_window_dtype())
 
-    def samp(fields, maps, clamp_lo, clamp_hi):
-        out = interp_fast.sample3_vol9(
-            jnp.stack(fields), maps, dim, grid.h, gn, clamp_lo, clamp_hi,
-            **kw)
-        return [out[i] for i in range(len(fields))]
+    def samp(fields, map_stats, maps, clamp_lo, clamp_hi, band_lo,
+             band_hi):
+        p1 = map_at_lattice_3d(grid, maps, kind, clamp_lo, clamp_hi)
+        duals = _sample_fields_at(grid, kind, fields, p1, dual=True)
+        band = (band_lo + dim[0], band_lo + dim[1], band_lo + dim[2],
+                band_hi)
+        return interp_fast.vol9_fixup(
+            duals, jnp.stack(fields), map_stats, p1, dim, grid.h, gn,
+            clamp_lo, clamp_hi, band=band, **kw)
 
     return samp
+
+
+# per-trace cache of vol9 map stats keyed by the map array object id —
+# bwd serves both the advect and correction stages of all four kinds in
+# one step trace; fwd serves the error stage (and non-identity
+# accumulates). The cache lives only for the currently-traced step.
+_VOL9_STATS_CACHE: dict = {}
+
+
+def _vol9_map_stats(grid, maps):
+    from gpufluidsimulation_tpu import config
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    key = id(maps)
+    hit = _VOL9_STATS_CACHE.get(key)
+    if hit is not None and hit[0] is maps:
+        return hit[1]
+    stats = interp_fast.vol9_map_stats(
+        maps, grid.h, (grid.ni, grid.nj, grid.nk), Rr=config.interp_rr())
+    if len(_VOL9_STATS_CACHE) > 16:
+        _VOL9_STATS_CACHE.clear()
+    _VOL9_STATS_CACHE[key] = (maps, stats)
+    return stats
 
 
 def bimocq_advect_3d(grid, kind, fields_cur, fields_init, fields_prev,
@@ -553,20 +584,28 @@ def bimocq_advect_3d(grid, kind, fields_cur, fields_init, fields_prev,
     # corner approximation (J = I across the cube); 'prefilter': the legacy
     # O(h^2) source-filter commutation
     mode = _volume_mode()
+    if mode == "vol9":
+        import os
+        scope = os.environ.get("GFS_VOL9_FIELDS", "all")
+        if scope == "scalars" and kind != "c":
+            mode = "dual"  # experiment knob: exact composition scalars-only
 
     if mode == "vol9":
         samp = _vol9_sampler(grid, kind)
 
+        stats_bwd = _vol9_map_stats(grid, bwd)
+        stats_fwd = _vol9_map_stats(grid, fwd)
+
         # --- advect: pull init back through the backward map ---
-        advs = samp(fields_init, bwd, 1.0, 1.0)
+        advs = samp(fields_init, stats_bwd, bwd, 1.0, 1.0, 2, 3)
         advs = [jnp.where(band_adv, a, cur)
                 for a, cur in zip(advs, fields_cur)]
 
         # --- compensate: BFECC error correction + 27-pt clamp ---
-        errs = samp(advs, fwd, 0.0, 0.0)
+        errs = samp(advs, stats_fwd, fwd, 0.0, 0.0, 1, 2)
         errs = [jnp.where(band_c, e - init, 0.0)
                 for e, init in zip(errs, fields_init)]
-        corrs = samp(errs, bwd, 0.0, 0.0)
+        corrs = samp(errs, stats_bwd, bwd, 0.0, 0.0, 1, 2)
         comps = [
             advect.clamp_extrema_neighborhood(
                 a, jnp.where(band_c, a - 0.5 * c, a))
@@ -761,7 +800,8 @@ def accumulate_multi_3d(grid, kind, groups, fwd, identity=False):
         # average — no kernel in any volume mode
         deltas = [volume_prefilter_3d(c) for c in combined]
     elif _volume_mode() == "vol9":
-        deltas = _vol9_sampler(grid, kind)(combined, fwd, 0.0, 0.0)
+        deltas = _vol9_sampler(grid, kind)(
+            combined, _vol9_map_stats(grid, fwd), fwd, 0.0, 0.0, 1, 2)
     else:
         flat = [volume_prefilter_3d(c) for c in combined]
         p3 = map_at_lattice_3d(grid, fwd, kind, 0.0, 0.0)

@@ -2246,30 +2246,42 @@ def sample3_pullback(maps, fields, dims, h, grid_n, clamp_lo, clamp_hi, *,
 #     in HBM (the _origins prepass reads the same stencil lazily, fused
 #     into its reductions).
 #   * The field window uses the usual dynamic per-block origins with the
-#     corner spread folded in as dspan=(-0.25, +0.25), plus the static
-#     x-tap origin narrowing of the RK3 kernels (the x axis can be neither
-#     dynamically sliced nor rolled).
-#   * Each corner is hat-trilerped over one shared (nt, nt, x_taps) static
-#     tap tile after a single per-channel union rebase roll, renormalized
-#     by its own coverage, then blended 0.5*mean(corners) + 0.5*center.
-#   * NO predication: corners whose taps escape the tile clamp +
-#     renormalize (the window-edge semantics) and are counted EXACTLY
-#     per element in the kernel's SMEM accumulator (the DMC pattern) —
-#     the count rides the frame overflow monitor -> step_checked retry.
+#     corner spread folded in as dspan=(-0.25, +0.25).
+#   * ADAPTIVE EXACTNESS (v2): the exact 9-corner evaluation is 9 hat
+#     trilerps per output — measured VPU-fma-bound at ~5x the separable
+#     dual kernel (2088 vs ~400 ops/element: 36-56 ms/launch at 256^3,
+#     i.e. +450 ms/step run everywhere). But the dual form IS the exact
+#     composition whenever the map is locally affine-identity across the
+#     corner cube: the difference is bounded by dev * |grad f| * h, where
+#     dev = max corner deviation |M(node+d) - M(node) - d| in cells. So
+#     each block evaluates dual ALWAYS (cheap), then overwrites with the
+#     exact 9-corner tile only where dev_blk * rough_ch > tol * scale_ch
+#     (rough = the block's max neighbor jump, scale = the field's global
+#     max — i.e. the bound says dual would differ from exact by more than
+#     tol * scale there). tol = GFS_VOL9_TOL (cells * relative-jump units;
+#     0 forces exact everywhere). Smooth velocity blocks and empty density
+#     blocks stay at dual cost; emitter edges and vortex cores get the
+#     exact composition.
+#   * Blocks whose union tap range does not fit the static tile take a
+#     per-corner roll-adaptive exact fallback (third predicated region) —
+#     no silent truncation. Window-level escapes (residual beyond the
+#     window itself) are counted per block from the in-kernel union stats
+#     (corner deviations included — stricter than the center-only prepass
+#     count) and ride the frame overflow monitor -> step_checked retry.
 # ---------------------------------------------------------------------------
 
 # y/z tap-tile extent of the vol9 kernel (0 -> REBASED_NT + 1: the dual
-# kernel's wider-support default); x static taps (0 -> REBASED_XNT + 1).
+# kernel's wider-support default).
 _VOL9_NT = int(os.environ.get("GFS_VOL9_NT", "0"))
-_VOL9_XNT = int(os.environ.get("GFS_VOL9_XNT", "0"))
+# adaptive-exactness threshold: a block goes exact when dev_blk * rough_ch
+# > tol * scale_ch (see header). 0 = exact wherever the tile fits.
+_VOL9_TOL = float(os.environ.get("GFS_VOL9_TOL", "2e-3"))
 
 
 def _vol9_nt(Rr):
     W = 2 * Rr + 3
     nt = _VOL9_NT if _VOL9_NT > 0 else (REBASED_NT + 1 if REBASED_NT else 4)
-    nxt = _VOL9_XNT if _VOL9_XNT > 0 else (
-        REBASED_XNT + 1 if REBASED_XNT else W)
-    return min(nt, W), min(nxt, W)
+    return min(nt, W)
 
 
 # the 8 corner sign patterns + the center (sx, sy, sz, weight)
@@ -2330,178 +2342,474 @@ def _vol9_map_slices(wm_ch, dim, block, P):
     return pos
 
 
-def _kernel_vol9(origin_ref, maps_hbm, fields_hbm, out_ref, cnt_ref, win_m,
-                 win_f, sem, *, Rr, block, win_m_shape, win_f_shape, P,
-                 dim, clamp, grid_n, out_n, nt, nxt):
+_NSC9_BASE = 10  # per-block scalars before the C branch codes
+
+
+def _corner_pos_grid(maps_grid, dim, sx, sy, sz, grid_n, clamp, P,
+                     out_shape):
+    """Field-window coords of the (sx,sy,sz)*0.25h corner's mapped
+    positions, lazily (feeds the prepass reductions; XLA fuses the stencil
+    chains over one read of the map). s=0 is the center (the staggered
+    average)."""
+    ni, nj, nk = grid_n
+    clo, chi = clamp
+
+    def ax_op(m, axis, d, s):
+        if d == 0 and s == 0:
+            return m
+        if d == 0:
+            taps = (((0, 0.75), (1, 0.25)) if s == 1
+                    else ((-1, 0.25), (0, 0.75)))
+        else:
+            taps = {1: ((-1, 0.25), (0, 0.75)),
+                    -1: ((-1, 0.75), (0, 0.25)),
+                    0: ((-1, 0.5), (0, 0.5))}[s]
+        n = m.shape[axis]
+        # staggered axes emit the FULL n+1 node lattice (both boundary
+        # faces via the edge pad = boundedAt tap clamping)
+        out_n = n + d
+        min_o = min(o for o, _ in taps)
+        max_o = max(o for o, _ in taps)
+        padw = [(0, 0)] * 3
+        padw[axis] = (max(0, -min_o), max(0, out_n + max_o - n))
+        q = jnp.pad(m, padw, mode="edge")
+        acc = None
+        for off, wgt in taps:
+            idx = [slice(None)] * 3
+            idx[axis] = slice(off + max(0, -min_o),
+                              off + max(0, -min_o) + out_n)
+            t = q[tuple(idx)] * wgt
+            acc = t if acc is None else acc + t
+        return acc
+
+    out = []
+    bounds = (ni, nj, nk)
+    signs = (sx, sy, sz)
+    for ch in range(3):
+        m = maps_grid[ch]
+        for axis in range(3):
+            m = ax_op(m, axis, dim[axis], signs[axis])
+        m = jnp.clip(m, clo, bounds[ch] - chi)
+        base = 0.5 * dim[ch] + (FRONT_Z if ch == 2 else P)
+        g = m + base
+        # a staggered kind's last face plane can exceed the cell block
+        # grid (n % BX == 0): it is outside every band guard and gets
+        # zero-padded by the caller — drop it here
+        g = g[tuple(slice(0, min(g.shape[i], out_shape[i]))
+                    for i in range(3))]
+        pw = [(0, out_shape[i] - g.shape[i]) for i in range(3)]
+        if any(p[1] for p in pw):
+            node = jax.lax.broadcasted_iota(jnp.float32, g.shape, ch) + (
+                128 if ch == 2 else P)
+            dd = jnp.pad(g - node, pw, mode="edge")
+            node2 = jax.lax.broadcasted_iota(jnp.float32, dd.shape, ch) + (
+                128 if ch == 2 else P)
+            g = node2 + dd
+        out.append(g)
+    return tuple(out)
+
+
+def _vol9_bz(Z):
+    return 256 if Z % 256 == 0 else 128
+
+
+def vol9_map_stats(maps, h, grid_n, *, Rr=2, interpret=False):
+    """Once-per-map statistics for the vol9 fixup: the padded map pack and
+    the per-block corner-deviation estimate dev_blk.
+
+    dev ~ max_s |0.25 sum_b E^{s_b}_b M_ch - 0.25 s_ch| from the six
+    one-sided map differences (the first-order expansion of the corner
+    trilerp product — exact to second differences, and maps are smooth
+    marched fields, so the dropped cross terms are O(dt^2 grad^2 u);
+    clamp-induced deviation near the domain faces is added separately in
+    _origins_vol9 from the center positions). Computed on the cell
+    lattice and dilated one block each way so every kind/stage sharing
+    this map can reuse it."""
+    del interpret
+    ni, nj, nk = grid_n
+    BY = _by(Rr)
+    out_shape = (_ceil(ni, BX), _ceil(nj, BY), _ceil(nk, 128))
+    bz = _vol9_bz(out_shape[2])
+    nb = (out_shape[0] // BX, out_shape[1] // BY, out_shape[2] // bz)
+    maps_grid = maps / h
+    maps_packed = pad_fields(maps_grid, (ni, nj, nk), Rr)
+
+    # six one-sided diffs per channel on the interior; identity-corrected
+    dev_e = None
+    for ch in range(3):
+        m = maps_grid[ch]
+        dpos = []
+        dneg = []
+        for b in range(3):
+            lo = [slice(1, -1)] * 3
+            hi = [slice(1, -1)] * 3
+            lo[b] = slice(0, -2)
+            hi[b] = slice(2, None)
+            mid = [slice(1, -1)] * 3
+            dpos.append(m[tuple(hi)] - m[tuple(mid)]
+                        - (1.0 if b == ch else 0.0))
+            dneg.append(-(m[tuple(mid)] - m[tuple(lo)])
+                        + (1.0 if b == ch else 0.0))
+        # max over the 8 sign combos of |sum_b chosen diff| = sum_b
+        # max(|d+|, |d-|)? NO — signs couple the terms; evaluate the 8
+        # combos exactly (cheap elementwise tree)
+        for sx in (0, 1):
+            for sy in (0, 1):
+                for sz in (0, 1):
+                    t = ((dpos[0] if sx else dneg[0])
+                         + (dpos[1] if sy else dneg[1])
+                         + (dpos[2] if sz else dneg[2]))
+                    t = 0.25 * jnp.abs(t)
+                    dev_e = t if dev_e is None else jnp.maximum(dev_e, t)
+    # back to the full cell lattice (interior values; edge ring absorbed
+    # by the block dilation)
+    dev_e = jnp.pad(dev_e, [(1, out_shape[i] - dev_e.shape[i] - 1)
+                            for i in range(3)])
+    r = dev_e.reshape(nb[0], BX, nb[1], BY, nb[2], bz).max(
+        axis=(1, 3, 5))
+    for ax in range(3):
+        pads = [(1, 1) if i == ax else (0, 0) for i in range(3)]
+        q = jnp.pad(r, pads, mode="edge")
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[ax] = slice(0, -2)
+        hi[ax] = slice(2, None)
+        r = jnp.maximum(r, jnp.maximum(q[tuple(lo)], q[tuple(hi)]))
+    return maps_packed, r
+
+
+def _origins_vol9(p1, fields, dev_blk, dim, clamp, grid_n, fs, *, Rr, P,
+                  nb, tol, nt, out_shape, band):
+    """Prepass of the vol9 fixup launch, from REUSED inputs: `p1` = the
+    dual path's world center positions (already materialized by
+    map_at_lattice), `dev_blk` = vol9_map_stats' per-block corner
+    deviation. Computes per-block branch codes + window origins for the
+    flagged blocks as a handful of fused reductions.
+
+    Statistics are masked to `band` (the cells the consuming stage
+    actually updates). Branch codes per (block, channel): 0 = keep dual,
+    1 = exact 9-corner static tile, 2 = union exceeds the tile ->
+    per-corner adaptive. esc counts blocks whose corner union escapes the
+    window itself."""
+    C = fields.shape[0]
+    W = 2 * Rr + 3
+    BY = _by(Rr)
+    bz = out_shape[2] // nb[2]
+    nx_fast = min(REBASED_XNT + 1 if REBASED_XNT else W, W)
+    big = jnp.float32(1e9)
+    h = None  # positions arrive in grid units below
+
+    if band is not None:
+        lo0, lo1, lo2, hib = band
+        kind_n = tuple(grid_n[i] + dim[i] for i in range(3))
+        ii = jax.lax.broadcasted_iota(jnp.int32, out_shape, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, out_shape, 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, out_shape, 2)
+        bmask = ((ii > lo0) & (ii < kind_n[0] - hib)
+                 & (jj > lo1) & (jj < kind_n[1] - hib)
+                 & (kk > lo2) & (kk < kind_n[2] - hib))
+    else:
+        bmask = None
+
+    def blockify(d, fill):
+        d = d[tuple(slice(0, min(d.shape[i], out_shape[i]))
+                    for i in range(3))]
+        pw = [(0, out_shape[i] - d.shape[i]) for i in range(3)]
+        if any(p[1] for p in pw):
+            d = jnp.pad(d, pw, constant_values=fill)
+        if bmask is not None:
+            d = jnp.where(bmask, d, fill)
+        return d.reshape(nb[0], BX, nb[1], BY, nb[2], bz)
+
+    def bmin(d):
+        return blockify(d, big).min(axis=(1, 3, 5))
+
+    def bmax(d, neutral=0.0):
+        return blockify(d, neutral).max(axis=(1, 3, 5))
+
+    # center positions in grid units + clamp-induced corner deviation
+    # (clipped corners deviate from center +- 0.25 near the domain faces)
+    ni, nj, nk = grid_n
+    clo, chi = clamp
+    gpos = [p1[ax] for ax in range(3)]  # grid units (caller divides by h)
+    clampdev = None
+    for ax, n_ax in ((0, ni), (1, nj), (2, nk)):
+        g = gpos[ax]
+        d = jnp.maximum(jnp.maximum(clo - (g - 0.25), 0.0),
+                        jnp.maximum((g + 0.25) - (n_ax - chi), 0.0))
+        d = jnp.minimum(d, 0.25)
+        clampdev = d if clampdev is None else jnp.maximum(clampdev, d)
+    dev_full = dev_blk + bmax(clampdev)
+    half = 0.25 + dev_full
+
+    mn = []
+    mx = []
+    iot_base = (P, P, FRONT_Z)
+    for ax in range(3):
+        i_ = jax.lax.broadcasted_iota(jnp.float32, gpos[ax].shape, ax)
+        d = gpos[ax] + (0.5 * dim[ax]) - i_
+        mn.append(bmin(d) - half)
+        mx.append(bmax(d, neutral=-big) + half)
+
+    # window origins from the union midpoints (padded coords)
+    s_x = jnp.round(0.5 * (mn[0] + mx[0])).astype(jnp.int32)
+    s_y = jnp.round(0.5 * (mn[1] + mx[1])).astype(jnp.int32)
+    s_z = jnp.clip(jnp.round(0.5 * (mn[2] + mx[2])).astype(jnp.int32),
+                   -(112 - Rr), 112 - Rr)
+    Wx = BX + 2 * Rr + 2
+    bo_x = (jnp.arange(nb[0], dtype=jnp.int32) * BX)[:, None, None]
+    bo_y = (jnp.arange(nb[1], dtype=jnp.int32) * BY)[None, :, None]
+    bo_z = (jnp.arange(nb[2], dtype=jnp.int32) * bz)[None, None, :]
+    ox = jnp.clip(bo_x + P + s_x - (Rr + 1), 0, fs[0] - Wx)
+    oy_ideal = jnp.clip(bo_y + P + s_y - (Rr + 1), 0,
+                        fs[1] - (BY + 2 * Rr + 2))
+    oy = jnp.minimum((oy_ideal // 8) * 8, fs[1] - WY_WIN)
+    slack = oy_ideal - oy
+    g0 = FRONT_Z + bo_z + s_z - (Rr + 1)
+    ozw = jnp.clip((g0 // 128) * 128, 0, fs[2] - _wz_win(bz))
+
+    # union live taps in window coords: the position d above is relative
+    # to each element's own lattice index; in-window rel = d - s + (Rr+1)
+    lo_x = jnp.floor(mn[0] - s_x.astype(jnp.float32) + (Rr + 1)).astype(
+        jnp.int32)
+    hi_x = jnp.floor(mx[0] - s_x.astype(jnp.float32) + (Rr + 1)).astype(
+        jnp.int32) + 1
+    lo_y = jnp.floor(mn[1] - s_y.astype(jnp.float32) + (Rr + 1)).astype(
+        jnp.int32)
+    hi_y = jnp.floor(mx[1] - s_y.astype(jnp.float32) + (Rr + 1)).astype(
+        jnp.int32) + 1
+    lo_z = jnp.floor(mn[2] - s_z.astype(jnp.float32) + (Rr + 1)).astype(
+        jnp.int32)
+    hi_z = jnp.floor(mx[2] - s_z.astype(jnp.float32) + (Rr + 1)).astype(
+        jnp.int32) + 1
+    # the escape monitor keeps the established center +-0.25 condition
+    # (the dual kernel's dspan semantics): the dev term stays in the
+    # ROUTING (fits/branch C evaluates wide unions without truncation;
+    # its window is centered on the dev-inclusive union midpoint, so
+    # corners stay covered far beyond the monitored envelope)
+    def tapless(v, s):
+        return jnp.floor(v - s.astype(jnp.float32) + (Rr + 1))
+
+    esc = None
+    for ax, s_ax in ((0, s_x), (1, s_y), (2, s_z)):
+        lo_m = tapless(mn[ax] + dev_full, s_ax).astype(jnp.int32)
+        hi_m = tapless(mx[ax] - dev_full, s_ax).astype(jnp.int32) + 1
+        e = (lo_m < 0) | (hi_m > W - 1)
+        esc = e if esc is None else esc | e
+    esc_count = jnp.sum(esc, dtype=jnp.int32)
+    ylo = jnp.clip(lo_y, 0, W - 1)
+    zlo = jnp.clip(lo_z, 0, W - 1)
+    nyt = jnp.clip(hi_y, 0, W - 1) - ylo + 1
+    nzt = jnp.clip(hi_z, 0, W - 1) - zlo + 1
+    fits = ((nyt <= nt) & (nzt <= nt)
+            & (lo_x >= 0) & (hi_x <= nx_fast - 1))
+
+    # per-channel roughness (block max |neighbor diff|, dilated one block)
+    shape3 = (nb[0], nb[1], nb[2])
+    codes = []
+    n_exact = jnp.int32(0)
+    for ch in range(C):
+        f = fields[ch]
+        r = None
+        for ax in range(3):
+            lo = [slice(None)] * 3
+            hi = [slice(None)] * 3
+            lo[ax] = slice(0, -1)
+            hi[ax] = slice(1, None)
+            d = jnp.abs(f[tuple(hi)] - f[tuple(lo)])
+            dm = bmax(d)
+            r = dm if r is None else jnp.maximum(r, dm)
+        for ax in range(3):
+            pads = [(1, 1) if i == ax else (0, 0) for i in range(3)]
+            q = jnp.pad(r, pads, mode="edge")
+            lo = [slice(None)] * 3
+            hi = [slice(None)] * 3
+            lo[ax] = slice(0, -2)
+            hi[ax] = slice(2, None)
+            r = jnp.maximum(r, jnp.maximum(q[tuple(lo)], q[tuple(hi)]))
+        scale = jnp.max(jnp.abs(f))
+        if tol <= 0.0:
+            need = jnp.ones(shape3, bool)
+        else:
+            need = dev_full * r > tol * scale
+        code = jnp.where(fits, jnp.where(need, 1, 0), 2).astype(jnp.int32)
+        codes.append(code)
+        n_exact = n_exact + jnp.sum((code > 0).astype(jnp.int32))
+
+    has_exact = jnp.zeros(shape3, jnp.int32)
+    for code in codes:
+        has_exact = jnp.maximum(has_exact, jnp.minimum(code, 1))
+
+    cols = [ox, oy, slack, ozw, g0, ylo, nyt, zlo, nzt, has_exact] + codes
+    packed = jnp.stack(
+        [jnp.broadcast_to(v, shape3).reshape(-1) for v in cols], axis=-1,
+    ).reshape(-1)
+    return packed, jnp.stack(codes), esc_count, n_exact
+
+
+def _kernel_vol9fix(origin_ref, maps_hbm, fields_hbm, out_hbm, win_m,
+                    win_f, out_s, sem, *, Rr, block, win_m_shape,
+                    win_f_shape, P, dim, clamp, grid_n, nt):
+    """The sparse exact-composition FIXUP: blocks with no flagged channel
+    do NOTHING (the output lives in ANY space and is written only by
+    flagged blocks via an explicit DMA — VMEM-blocked outputs copy back
+    every block, and lax.cond around the launch measured ~30 ms per cond
+    at 256^3). Flagged blocks fetch the static ring-1 map window + the
+    union-origin field window, evaluate the exact 9-corner composition
+    for their flagged channels into a VMEM scratch, and write that block
+    out. Unflagged channels of a flagged block carry scratch garbage —
+    the caller's where-merge keeps the dual value wherever code == 0."""
     nb1 = pl.num_programs(1)
     nb2 = pl.num_programs(2)
     bi = pl.program_id(0)
     bj = pl.program_id(1)
     bk = pl.program_id(2)
     blk = (bi * nb1 + bj) * nb2 + bk
-    nblk = pl.num_programs(0) * nb1 * nb2
-    slot = jax.lax.rem(blk, 2)
     B1, B2, B3 = block
-    BY = B2
+    C = win_f_shape[0]
+    nsc = _NSC9_BASE + C
 
-    def copies(b, sl):
-        k = jax.lax.rem(b, nb2)
-        ij = b // nb2
-        j = jax.lax.rem(ij, nb1)
-        i = ij // nb1
-        # map window: STATIC ring-1 origin. x origin i*BX + P-1 puts cell
-        # a at window row a+1; y origin j*BY (8-aligned, static slack P-1
-        # < 8) puts cell b at row b+P; z origin k*bz (128-aligned since
-        # FRONT_Z-1 = 123 < 128) puts cell c at lane c + FRONT_Z.
+    def sc(i):
+        return origin_ref[blk * nsc + i]
+
+    @pl.when(sc(9) > 0)
+    def _():
+        ox = sc(0)
+        oy = pl.multiple_of(sc(1), 8)
+        syf = sc(2)
+        ozw = pl.multiple_of(sc(3), 128)
+        g0 = sc(4)
+        ylo = sc(5)
+        zlo = sc(7)
         mcopy = pltpu.make_async_copy(
-            maps_hbm.at[:, pl.ds(i * B1 + (P - 1), win_m_shape[1]),
-                        pl.ds(j * BY, win_m_shape[2]),
-                        pl.ds(k * B3, win_m_shape[3])],
-            win_m.at[sl], sem.at[sl, 0],
+            maps_hbm.at[:, pl.ds(bi * B1 + (P - 1), win_m_shape[1]),
+                        pl.ds(bj * B2, win_m_shape[2]),
+                        pl.ds(bk * B3, win_m_shape[3])],
+            win_m, sem.at[0],
         )
-        ox, oy, _, ozw, _ = _block_scalars(origin_ref, b)
         fcopy = pltpu.make_async_copy(
             fields_hbm.at[:, pl.ds(ox, win_f_shape[1]),
                           pl.ds(oy, win_f_shape[2]),
                           pl.ds(ozw, win_f_shape[3])],
-            win_f.at[sl], sem.at[sl, 1],
+            win_f, sem.at[1],
         )
-        return mcopy, fcopy
+        mcopy.start()
+        fcopy.start()
+        mcopy.wait()
+        fcopy.wait()
 
-    @pl.when(blk == 0)
-    def _():
-        for d in copies(0, 0):
-            d.start()
+        a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(
+            jnp.float32)
+        b_ = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(
+            jnp.float32)
+        c_ = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(
+            jnp.float32)
+        ni, nj, nk = grid_n
+        clo, chi = clamp
+        W = 2 * Rr + 3
+        nxf = min(REBASED_XNT + 1 if REBASED_XNT else W, W)
+        wf = _rebased_window(win_f, syf, g0 - ozw, 2)
 
-    @pl.when(blk + 1 < nblk)
-    def _():
-        for d in copies(blk + 1, jax.lax.rem(blk + 1, 2)):
-            d.start()
+        wm = win_m[...]
+        pos_fns = [
+            _vol9_map_slices(
+                wm[ch, :, P - 1: P + B2 + 1,
+                   FRONT_Z - 1: FRONT_Z + B3 + 1], dim, block, P)
+            for ch in range(3)
+        ]
 
-    for d in copies(blk, slot):
-        d.wait()
+        def local_coords(sx, sy, sz):
+            px = jnp.clip(pos_fns[0](sx, sy, sz), clo, ni - chi)
+            py = jnp.clip(pos_fns[1](sx, sy, sz), clo, nj - chi)
+            pz = jnp.clip(pos_fns[2](sx, sy, sz), clo, nk - chi)
+            lx = px + (0.5 * dim[0] + P) - ox.astype(jnp.float32)
+            ly = py + (0.5 * dim[1] + P) - (oy + syf).astype(jnp.float32)
+            lz = pz + (0.5 * dim[2] + FRONT_Z) - g0.astype(jnp.float32)
+            return lx, ly, lz
 
-    ox, oy, syf, ozw, g0 = _block_scalars(origin_ref, blk)
-    wf = _rebased_window(win_f.at[slot], syf, g0 - ozw, 2)
-
-    C = win_f_shape[0]
-    a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
-    b_ = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
-    c_ = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
-    ni, nj, nk = grid_n
-    clo, chi = clamp
-    W = 2 * Rr + 3
-
-    # the (B1+2, B2+2, B3+2) map neighborhood, cell (a,b,c) at local +1
-    wm = win_m[slot]
-    nbh = [
-        wm[ch, :, P - 1: P + B2 + 1, FRONT_Z - 1: FRONT_Z + B3 + 1]
-        for ch in range(3)
-    ]
-    pos_fns = [_vol9_map_slices(nbh[ch], dim, block, P) for ch in range(3)]
-
-    def local_coords(sx, sy, sz):
-        # mapped position (grid units) -> field-window-local coords
-        px = jnp.clip(pos_fns[0](sx, sy, sz), clo, ni - chi)
-        py = jnp.clip(pos_fns[1](sx, sy, sz), clo, nj - chi)
-        pz = jnp.clip(pos_fns[2](sx, sy, sz), clo, nk - chi)
-        lx = px + (0.5 * dim[0] + P) - ox.astype(jnp.float32)
-        ly = py + (0.5 * dim[1] + P) - (oy + syf).astype(jnp.float32)
-        lz = pz + (0.5 * dim[2] + FRONT_Z) - g0.astype(jnp.float32)
-        return lx, ly, lz
-
-    # content mask: block-lattice rim elements (beyond the kind extent)
-    # read EDGE-REPLICATED map values whose element-relative residuals are
-    # meaningless — they must not poison the union tap range or the count
-    gi = bi * B1 + a
-    gj = bj * B2 + b_
-    gk = bk * B3 + c_
-    content = (gi < out_n[0]) & (gj < out_n[1]) & (gk < out_n[2])
-    big = jnp.float32(1e9)
-
-    # pass 1: union live tap range over the 9 positions (y/z only — x rides
-    # the origin-narrowed static range), content elements only
-    ymn = zmn = None
-    for sx, sy, sz, _w in _VOL9_STENCIL:
-        _, ly, lz = local_coords(sx, sy, sz)
-        ry = jnp.where(content, ly - b_, big)
-        rz = jnp.where(content, lz - c_, big)
-        ymn = ry if ymn is None else jnp.minimum(ymn, ry)
-        zmn = rz if zmn is None else jnp.minimum(zmn, rz)
-    ylo = jnp.clip(jnp.floor(jnp.min(ymn)).astype(jnp.int32), 0, W - 1)
-    zlo = jnp.clip(jnp.floor(jnp.min(zmn)).astype(jnp.int32), 0, W - 1)
-
-    rolled = []
-    for ch in range(C):
-        wy = pltpu.roll(wf[ch], -ylo, 1)
-        rolled.append(pltpu.roll(wy, -zlo, 2))
-
-    # pass 2: accumulate the 9 hat-trilerps (per-corner coverage renorm)
-    accs = [jnp.zeros(block, jnp.float32) for _ in range(C)]
-    viol = None
-    for sx, sy, sz, wgt in _VOL9_STENCIL:
-        lx, ly, lz = local_coords(sx, sy, sz)
-        lyr = ly - ylo.astype(jnp.float32)
-        lzr = lz - zlo.astype(jnp.float32)
-        # exact per-element truncation test: taps {floor(rel), floor+1}
-        # fit the tile iff rel in [lo, lo + n - 1]
-        rx, ry, rz = lx - a, lyr - b_, lzr - c_
-        v = ((rx < 0.0) | (rx > nxt - 1) | (ry < 0.0) | (ry > nt - 1)
-             | (rz < 0.0) | (rz > nt - 1))
-        viol = v if viol is None else viol | v
-        hx = [_hat(lx - (a + i)) for i in range(nxt)]
-        hy = [_hat(lyr - (b_ + q)) for q in range(nt)]
-        hz = [_hat(lzr - (c_ + r)) for r in range(nt)]
-        cov = sum(hx) * sum(hy) * sum(hz)
         for ch in range(C):
-            wch = rolled[ch]
-            out = jnp.zeros(block, jnp.float32)
-            for dr in range(nt):
-                wz = wch[:, :, dr: dr + B3]
-                accy = jnp.zeros(block, jnp.float32)
-                for dq in range(nt):
-                    wyz = wz[:, dq: dq + B2, :]
-                    accx = jnp.zeros(block, jnp.float32)
-                    for dp in range(nxt):
-                        accx = accx + hx[dp] * wyz[dp: dp + B1]
-                    accy = accy + hy[dq] * accx
-                out = out + hz[dr] * accy
-            val = jnp.where(cov > 1e-6, out / jnp.maximum(cov, 1e-6), 0.0)
-            accs[ch] = accs[ch] + wgt * val
+            @pl.when(sc(_NSC9_BASE + ch) == 1)
+            def _(ch=ch):
+                wch = pltpu.roll(pltpu.roll(wf[ch], -ylo, 1), -zlo, 2)
+                acc = jnp.zeros(block, jnp.float32)
+                for sx, sy, sz, wgt in _VOL9_STENCIL:
+                    lx, ly, lz = local_coords(sx, sy, sz)
+                    lyr = ly - ylo.astype(jnp.float32)
+                    lzr = lz - zlo.astype(jnp.float32)
+                    hx = [_hat(lx - (a + i)) for i in range(nxf)]
+                    hy = [_hat(lyr - (b_ + q)) for q in range(nt)]
+                    hz = [_hat(lzr - (c_ + r)) for r in range(nt)]
+                    cov = sum(hx) * sum(hy) * sum(hz)
+                    out = jnp.zeros(block, jnp.float32)
+                    for dr in range(nt):
+                        wz = wch[:, :, dr: dr + B3]
+                        accy = jnp.zeros(block, jnp.float32)
+                        for dq in range(nt):
+                            wyz = wz[:, dq: dq + B2, :]
+                            accx = jnp.zeros(block, jnp.float32)
+                            for dp in range(nxf):
+                                accx = accx + hx[dp] * wyz[dp: dp + B1]
+                            accy = accy + hy[dq] * accx
+                        out = out + hz[dr] * accy
+                    val = jnp.where(cov > 1e-6,
+                                    out / jnp.maximum(cov, 1e-6), 0.0)
+                    acc = acc + wgt * val
+                out_s[ch] = acc
 
-    for ch in range(C):
-        out_ref[ch] = accs[ch]
+            @pl.when(sc(_NSC9_BASE + ch) == 2)
+            def _(ch=ch):
+                wch = wf[ch]
+                acc = jnp.zeros(block, jnp.float32)
+                for sx, sy, sz, wgt in _VOL9_STENCIL:
+                    lx, ly, lz = local_coords(sx, sy, sz)
+                    cylo, cnyt = _live_taps(ly - b_, W)
+                    czlo, cnzt = _live_taps(lz - c_, W)
+                    val = _trilerp_sum_adaptive(
+                        wch, lx, ly, lz, (cylo, cnyt, czlo, cnzt), block,
+                        Rr)
+                    acc = acc + wgt * val
+                out_s[ch] = acc
 
-    # exact truncation count over content cells (SMEM accumulator; the TPU
-    # grid is sequential so += across grid steps is safe)
-    @pl.when(blk == 0)
-    def _():
-        cnt_ref[0, 0] = 0
+        # write the block out: scratch -> HBM
+        def out_copy():
+            return pltpu.make_async_copy(
+                out_s,
+                out_hbm.at[:, pl.ds(bi * B1, B1), pl.ds(bj * B2, B2),
+                           pl.ds(bk * B3, B3)],
+                sem.at[2],
+            )
 
-    cnt_ref[0, 0] += jnp.sum((viol & content).astype(jnp.int32))
+        out_copy().start()
+        out_copy().wait()
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("Rr", "interpret", "out_shape", "dim", "clamp",
-                     "grid_n", "out_n"),
+                     "grid_n", "tol", "band"),
 )
-def _vol9_padded(maps_packed, fields_packed, origins, *, Rr, interpret,
-                 out_shape, dim, clamp, grid_n, out_n):
+def _vol9_fixup_padded(maps_packed, fields_packed, gx, gy, gz, fields,
+                       dev_blk, *, Rr, interpret, out_shape, dim, clamp,
+                       grid_n, tol, band):
     C = fields_packed.shape[0]
     P = Rr + 2
     BY = _by(Rr)
-    nb = (out_shape[0] // BX, out_shape[1] // BY, out_shape[2] // 128)
-    block = (BX, BY, 128)
-    nt, nxt = _vol9_nt(Rr)
-    # static ring-1 map window (see _kernel_vol9 copies): x rows BX+2, y
-    # rows BY + static slack (P-1) + ring 2, ceil-8; z lanes bz + 128
-    win_m_shape = (3, BX + 2, _ceil(BY + P + 1, 8), 256)
-    win_f_shape = (C, BX + nxt - 1, WY_WIN, _wz_win(128))
+    # 256-lane fixup blocks: halves the per-block iteration overhead of
+    # the (mostly-skipping) sparse launch
+    bz = _vol9_bz(out_shape[2])
+    nb = (out_shape[0] // BX, out_shape[1] // BY, out_shape[2] // bz)
+    block = (BX, BY, bz)
+    nt = _vol9_nt(Rr)
+    fs = fields_packed.shape[1:]
+    origins, codes, esc_count, n_exact = _origins_vol9(
+        (gx, gy, gz), fields, dev_blk, dim, clamp, grid_n, fs, Rr=Rr, P=P,
+        nb=nb, tol=tol, nt=nt, out_shape=out_shape, band=band)
+    win_m_shape = (3, BX + 2, _ceil(BY + P + 1, 8), bz + 128)
+    win_f_shape = (C, BX + 2 * Rr + 2, WY_WIN, _wz_win(bz))
     kernel = functools.partial(
-        _kernel_vol9, Rr=Rr, block=block, win_m_shape=win_m_shape,
+        _kernel_vol9fix, Rr=Rr, block=block, win_m_shape=win_m_shape,
         win_f_shape=win_f_shape, P=P, dim=dim, clamp=clamp, grid_n=grid_n,
-        out_n=out_n, nt=nt, nxt=nxt,
+        nt=nt,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -2510,76 +2818,129 @@ def _vol9_padded(maps_packed, fields_packed, origins, *, Rr, interpret,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec((C,) + block, lambda i, j, k, o: (0, i, j, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j, k, o: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2,) + win_m_shape, jnp.float32),
-            pltpu.VMEM((2,) + win_f_shape, fields_packed.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM(win_m_shape, jnp.float32),
+            pltpu.VMEM(win_f_shape, fields_packed.dtype),
+            pltpu.VMEM((C,) + block, jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
-    out, cnt = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((C,) + out_shape, jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((C,) + out_shape, jnp.float32),
         grid_spec=grid_spec,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
     )(origins, maps_packed, fields_packed)
-    return out, jnp.sum(cnt)
+    return out, codes, esc_count, n_exact
 
 
-def sample3_vol9(fields, maps, dim, h, grid_n, clamp_lo, clamp_hi, *, Rr=2,
-                 interpret=False, dtype=None):
-    """Pull C same-kind fields back through `maps` with the EXACT 9-position
-    volume composition (advect_kernel, GPU_kernel.cu:312-374): out[c](node)
-    = 0.5*mean_8(fields[c](clamp(maps(node + corner)))) +
-      0.5*fields[c](clamp(maps(node))), corners = (+-0.25h)^3, every corner
-    mapped through the map's trilinear interpolation.
+# per-step telemetry sink for the adaptive-exactness branch counts (list
+# of (exact_block_channels, total_block_channels) per launch when active)
+VOL9_ECOUNT_SINK = None
 
-    `fields`: stacked (C, kx, ky, kz) arrays of one lattice kind `dim`;
-    `maps`: (3, ni, nj, nk) world-coordinate map. Returns (C, kx, ky, kz).
-    Truncated corner samples (taps beyond the tile/window) clamp +
-    renormalize and are counted exactly into OVERFLOW_SINK."""
+
+def vol9_fixup(dual_outs, fields, map_stats, p1, dim, h, grid_n, clamp_lo,
+               clamp_hi, *, band=None, Rr=2, interpret=False, dtype=None,
+               tol=None):
+    """Overwrite the dual launch's outputs with the EXACT 9-position
+    composition (advect_kernel, GPU_kernel.cu:312-374) on the blocks where
+    the separable dual form is NOT provably within tol * max|f| of it —
+    the sparse second pass of the adaptive-exactness scheme.
+
+    `dual_outs`: list of C per-kind arrays from the dual evaluation;
+    `fields`: the C SOURCE fields (stacked); `map_stats` = vol9_map_stats'
+    (maps_packed, dev_blk), computed once per map per step; `p1`: the dual
+    path's world-coordinate center positions (map_at_lattice output,
+    reused — no new stencil work). Returns the merged list. Window-escape
+    block counts go to OVERFLOW_SINK; (exact, total) block-channel counts
+    to VOL9_ECOUNT_SINK."""
+    maps_packed, dev_blk = map_stats
     ni, nj, nk = grid_n
+    P = Rr + 2
     BY = _by(Rr)
     out_shape = (_ceil(ni, BX), _ceil(nj, BY), _ceil(nk, 128))
     kind_shape = fields.shape[1:]
     fields_packed = pad_fields(fields, (ni, nj, nk), Rr, dtype=dtype)
-    maps_grid = maps / h
-    maps_packed = pad_fields(maps_grid, (ni, nj, nk), Rr)
     clamp = (float(clamp_lo), float(clamp_hi))
-    P = Rr + 2
-    gx, gy, gz = _prepass_positions_grid(maps_grid, dim, grid_n, clamp, P,
-                                         out_shape)
-    nb = (out_shape[0] // BX, out_shape[1] // BY, out_shape[2] // 128)
-    _, nxt = _vol9_nt(Rr)
-    origins = _origins(
-        gx, gy, gz, fields_packed.shape[1:], Rr=Rr, P=P, nb=nb,
-        dspan=((-0.25, 0.25),) * 3, x_taps=nxt, count_x=False,
-    )
-    out, cnt = _vol9_padded(
-        maps_packed, fields_packed, origins, Rr=Rr, interpret=interpret,
-        out_shape=out_shape, dim=tuple(int(d) for d in dim), clamp=clamp,
-        grid_n=tuple(grid_n), out_n=tuple(kind_shape),
+    sl = tuple(slice(0, min(out_shape[i], kind_shape[i])) for i in range(3))
+    gx, gy, gz = (p1[0][sl] / h, p1[1][sl] / h, p1[2][sl] / h)
+    gx, gy, gz = _pad_positions_rim(gx, gy, gz, P, BY)
+    out, codes, esc_count, n_exact = _vol9_fixup_padded(
+        maps_packed, fields_packed, gx, gy, gz, fields, dev_blk, Rr=Rr,
+        interpret=interpret, out_shape=out_shape,
+        dim=tuple(int(d) for d in dim), clamp=clamp, grid_n=tuple(grid_n),
+        tol=_VOL9_TOL if tol is None else float(tol),
+        band=band,
     )
     if OVERFLOW_SINK is not None:
-        OVERFLOW_SINK.append(cnt)
-    # slice to the kind lattice; a staggered kind's last face plane (outside
-    # every band guard) is zero-padded when it exceeds the cell block grid
-    o = out[:, : min(kind_shape[0], out.shape[1]),
-            : min(kind_shape[1], out.shape[2]),
-            : min(kind_shape[2], out.shape[3])]
-    pw = [(0, 0)] + [(0, kind_shape[i] - o.shape[1 + i]) for i in range(3)]
-    return jnp.pad(o, pw) if any(p[1] for p in pw) else o
+        OVERFLOW_SINK.append(esc_count)
+    if VOL9_ECOUNT_SINK is not None:
+        nblk = (out_shape[0] // BX) * (out_shape[1] // BY) * (
+            out_shape[2] // 128) * fields.shape[0]
+        VOL9_ECOUNT_SINK.append((n_exact, nblk))
+    merged = []
+    for ch, dual_out in enumerate(dual_outs):
+        o = out[ch, : min(kind_shape[0], out.shape[1]),
+                : min(kind_shape[1], out.shape[2]),
+                : min(kind_shape[2], out.shape[3])]
+        pw = [(0, kind_shape[i] - o.shape[i]) for i in range(3)]
+        if any(p[1] for p in pw):
+            o = jnp.pad(o, pw)
+        # expand the per-block code to elements lazily (fuses into the
+        # select)
+        bz = out_shape[2] // codes.shape[3]
+        ce = jnp.broadcast_to(
+            codes[ch][:, None, :, None, :, None],
+            (codes.shape[1], BX, codes.shape[2], BY, codes.shape[3], bz),
+        ).reshape(out_shape)
+        ce = ce[tuple(slice(0, min(out_shape[i], kind_shape[i]))
+                      for i in range(3))]
+        pwc = [(0, kind_shape[i] - ce.shape[i]) for i in range(3)]
+        if any(p[1] for p in pwc):
+            ce = jnp.pad(ce, pwc)
+        merged.append(jnp.where(ce > 0, o, dual_out))
+    return merged
+
+
+def sample3_vol9(fields, maps, dim, h, grid_n, clamp_lo, clamp_hi, *, Rr=2,
+                 interpret=False, dtype=None, tol=None, band=None):
+    """The 9-position volume composition as (dual launch + sparse exact
+    fixup) — see vol9_fixup. This convenience form runs the dual
+    evaluation and the map stats internally; the solver path shares the
+    map stats across stages (mapping.bimocq_advect_3d)."""
+    off = tuple(-0.5 * d for d in dim)
+    maps_grid = maps / h
+    ni, nj, nk = grid_n
+    out_shape = (_ceil(ni, BX), _ceil(nj, _by(Rr)), _ceil(nk, 128))
+    P = Rr + 2
+    ctr = _corner_pos_grid(maps_grid, dim, 0, 0, 0, grid_n,
+                           (float(clamp_lo), float(clamp_hi)), P, out_shape)
+    kind_shape = fields.shape[1:]
+    px = (ctr[0] - (0.5 * dim[0] + P)) * h
+    py = (ctr[1] - (0.5 * dim[1] + P)) * h
+    pz = (ctr[2] - (0.5 * dim[2] + FRONT_Z)) * h
+    sl = tuple(slice(0, min(out_shape[i], kind_shape[i])) for i in range(3))
+    pads = [(0, kind_shape[i] - min(out_shape[i], kind_shape[i]))
+            for i in range(3)]
+
+    def to_kind(arr):
+        arr = arr[sl]
+        return jnp.pad(arr, pads, mode="edge") if any(
+            p[1] for p in pads) else arr
+
+    px, py, pz = to_kind(px), to_kind(py), to_kind(pz)
+    duals = sample3_multi(fields, px, py, pz, h, (off,) * fields.shape[0],
+                          Rr=Rr, interpret=interpret, dtype=dtype,
+                          dual=True)
+    stats = vol9_map_stats(maps, h, grid_n, Rr=Rr)
+    return jnp.stack(vol9_fixup(
+        [duals[c] for c in range(fields.shape[0])], fields, stats,
+        (px, py, pz), dim, h, grid_n, clamp_lo, clamp_hi, band=band, Rr=Rr,
+        interpret=interpret, dtype=dtype, tol=tol))
 
 
 # ---------------------------------------------------------------------------

@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--round", type=int, default=2)
     ap.add_argument("--mode", default="default",
                     choices=["default", "volexact", "exact", "exact-mgpcg",
-                             "prefilter", "dual"],
+                             "prefilter", "dual", "vol9"],
                     help="engine volume/interp mode: default = the bench "
                          "config as-is; volexact = fast windowed interp "
                          "with the exact 9-point composition; exact = "
@@ -135,8 +135,10 @@ def main():
             "exact": config.EngineMode(fast_interp=False),
             "exact-mgpcg": config.EngineMode(fast_interp=False,
                                              spectral_poisson=False),
-            "prefilter": config.EngineMode(volume_dual=False),
-            "dual": config.EngineMode(volume_dual=True),
+            "prefilter": config.EngineMode(volume_vol9=False,
+                                           volume_dual=False),
+            "dual": config.EngineMode(volume_vol9=False, volume_dual=True),
+            "vol9": config.EngineMode(volume_vol9=True),
         }[args.mode]
         if emode is not None:
             solver = Smoke3D(_dc.replace(solver.cfg, engine_mode=emode))

@@ -13,6 +13,12 @@ g++ -O3 -march=native -std=c++17 -DNDEBUG \
     "$HERE/main_bench.cpp" "$REF/bimocq2D/BimocqSolver2D.cpp" "$REF/utils/writeBMP.cpp" \
     -o "$OUT/ref2d_bench" -ltbb 2> "$OUT/build.log" || { cat "$OUT/build.log"; exit 1; }
 
-for scheme in "${@:-6}"; do
+g++ -O3 -march=native -std=c++17 -DNDEBUG \
+    -I"$HERE" -I"$REF/bimocq2D" \
+    "$HERE/main_dump.cpp" "$REF/bimocq2D/BimocqSolver2D.cpp" "$REF/utils/writeBMP.cpp" \
+    -o "$OUT/ref2d_dump" -ltbb 2>> "$OUT/build.log" || { cat "$OUT/build.log"; exit 1; }
+
+# default 7 = BIMOCQ (BimocqSolver2D.h:18) — the advertised baseline scheme
+for scheme in "${@:-7}"; do
     "$OUT/ref2d_bench" "$scheme" 2 20
 done

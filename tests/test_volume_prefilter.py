@@ -148,7 +148,7 @@ def test_vol9_matches_exact_composition(rng):
                 _exact_vol9(grid, kind, field, bwd, clo, chi))
             got = np.asarray(interp_fast.sample3_vol9(
                 field[None], bwd, grid.dim_of(kind), h, gn, clo, chi,
-                Rr=2, interpret=True)[0])
+                Rr=2, interpret=True, tol=0.0)[0])
             # staggered kinds: the last face plane is zero-padded when it
             # exceeds the cell block lattice (outside every band guard)
             n0 = min(want.shape[0], 24 if grid.dim_of(kind)[0] else 99)
@@ -177,3 +177,32 @@ def test_vol9_counts_truncations(rng):
             field[None], bwd, (0, 0, 0), h, (24, 24, 24), 1.0, 1.0,
             Rr=2, interpret=True)
     assert int(sum(counts)) > 0
+
+
+def test_vol9_adaptive_dual_branch_matches_dual(rng):
+    """With tol=inf every fitting block takes the always-on dual branch —
+    the result must match the standalone dual evaluation (the separable
+    post-map corner identity) to fp-association tolerance."""
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    grid = Grid3D(24, 24, 24, 1.0 / 24)
+    h = grid.h
+    x, y, z = grid.node_coords("c")
+    bwd = jnp.stack([
+        x + 0.9 * h * jnp.sin(2 * x), y + 0.7 * h * jnp.cos(2 * y),
+        z + 0.8 * h * jnp.sin(x + y)])
+    field = jnp.asarray(rng.random(grid.shape_c).astype(np.float32))
+    got = np.asarray(interp_fast.sample3_vol9(
+        field[None], bwd, (0, 0, 0), h, (24, 24, 24), 1.0, 1.0,
+        Rr=2, interpret=True, tol=1e9)[0])
+
+    config.set_fast_interp(False)
+    try:
+        p1 = mp.map_at_lattice_3d(grid, bwd, "c", 1.0, 1.0)
+        config.set_fast_interp(True)
+        want = np.asarray(interp_fast.sample3_fast(
+            field, p1[0], p1[1], p1[2], h, (0.0, 0.0, 0.0), Rr=2,
+            interpret=True, dual=True))
+    finally:
+        config.set_fast_interp(None)
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
