@@ -26,6 +26,8 @@ anti-aliasing of the pulled-back fields (GPU_kernel.cu:371,432,492).
 
 from __future__ import annotations
 
+import contextlib
+import os
 from typing import Tuple
 
 import flax.struct
@@ -288,12 +290,17 @@ def _use_prefilter():
 
 def _volume_mode():
     """'exact' (9 composed evaluations — exact-gather or GFS_VOLUME_EXACT
-    fast mode), 'vol9' (ONE windowed launch evaluating the exact 9-position
-    composition with in-kernel mapped corners; the production default),
-    'dual' (separable dual-kernel approximation — post-map corners, map
-    Jacobian taken as identity; GFS_VOLUME_VOL9=0), or 'prefilter' (the
-    legacy O(h^2) source filter — sharded sampling, non-rebased kernels, or
-    GFS_VOLUME_DUAL=0)."""
+    fast mode), 'vol9' (dual launch + sparse exact fixup evaluating the
+    exact 9-position composition with in-kernel mapped corners; the
+    production default), 'dual' (separable dual-kernel approximation —
+    post-map corners, map Jacobian taken as identity; GFS_VOLUME_VOL9=0),
+    or 'prefilter' (the legacy O(h^2) source filter — sharded sampling,
+    non-rebased kernels, or GFS_VOLUME_DUAL=0).
+
+    vol9 is built ON the dual launch (its fixup overwrites dual's blocks),
+    so GFS_VOLUME_DUAL=0 disables BOTH tiers and restores the prefilter —
+    scripts that used that knob to reach the prefilter path keep working
+    unchanged."""
     from gpufluidsimulation_tpu import config
     from gpufluidsimulation_tpu.ops import interp_fast
 
@@ -301,11 +308,10 @@ def _volume_mode():
         return "exact"
     if (config.sharded_sampling() is None
             and config.use_fast_interp() and config.interp_adaptive()
-            and interp_fast.REBASED_NT):
+            and interp_fast.REBASED_NT and config.volume_dual()):
         if config.volume_vol9():
             return "vol9"
-        if config.volume_dual():
-            return "dual"
+        return "dual"
     return "prefilter"
 
 
@@ -524,11 +530,29 @@ def _vol9_sampler(grid, kind):
     return samp
 
 
+# experiment knob (read ONCE at import like GFS_VOL9_TOL — reading it at
+# trace time made it invisible to the jit cache key): restrict the vol9
+# exact fixup to the scalar (c-kind) stages, velocity stays dual.
+_VOL9_FIELDS = os.environ.get("GFS_VOL9_FIELDS", "all")
+
 # per-trace cache of vol9 map stats keyed by the map array object id —
 # bwd serves both the advect and correction stages of all four kinds in
 # one step trace; fwd serves the error stage (and non-identity
-# accumulates). The cache lives only for the currently-traced step.
+# accumulates). The cache holds TRACERS, so it must not outlive the trace
+# that created them: production steps clear it via vol9_stats_cache_scope
+# (solvers/smoke3d._scoped_step); direct callers (tests/scripts) fall back
+# to the size-16 eviction + the `is` identity guard.
 _VOL9_STATS_CACHE: dict = {}
+
+
+@contextlib.contextmanager
+def vol9_stats_cache_scope():
+    """Clear the per-trace vol9 map-stats cache on exit (tracer hygiene:
+    entries are JAX tracers valid only inside the trace that made them)."""
+    try:
+        yield
+    finally:
+        _VOL9_STATS_CACHE.clear()
 
 
 def _vol9_map_stats(grid, maps):
@@ -584,11 +608,8 @@ def bimocq_advect_3d(grid, kind, fields_cur, fields_init, fields_prev,
     # corner approximation (J = I across the cube); 'prefilter': the legacy
     # O(h^2) source-filter commutation
     mode = _volume_mode()
-    if mode == "vol9":
-        import os
-        scope = os.environ.get("GFS_VOL9_FIELDS", "all")
-        if scope == "scalars" and kind != "c":
-            mode = "dual"  # experiment knob: exact composition scalars-only
+    if mode == "vol9" and _VOL9_FIELDS == "scalars" and kind != "c":
+        mode = "dual"  # experiment knob: exact composition scalars-only
 
     if mode == "vol9":
         samp = _vol9_sampler(grid, kind)

@@ -1004,6 +1004,15 @@ def pad_fields(field_like, out_shape, Rr, dtype=None):
     xpad = P + max(0, _ceil(out_shape[0], BX) - spatial[0])
     ypad = max(P + max(0, _ceil(out_shape[1], BY) - spatial[1]),
                WY_WIN - spatial[1] + 1)
+    # round the padded y extent UP to a sublane multiple: the window-origin
+    # top clamp is fs_y - WY_WIN, and every kernel asserts
+    # pl.multiple_of(oy, 8) — an odd fs_y (y-staggered kinds: spatial[1] =
+    # nj+1) made the clamp value non-8-aligned, so top-y blocks DMA'd
+    # their window through a FALSE alignment hint (silently corrupted
+    # sublane copies on hardware; interpret mode ignores the hint, which
+    # is why CPU tests never saw it). Measured: v-kind vol9 pull-back
+    # L_inf 3.9e-4 vs exact at 64^3 before, ~1e-6 after.
+    ypad += (-(P + spatial[1] + ypad)) % 8
     padw = [(P, xpad), (P, ypad), (FRONT_Z, ZP - FRONT_Z - spatial[2])]
     if field_like.ndim == 4:
         padw = [(0, 0)] + padw
@@ -2632,7 +2641,16 @@ def _origins_vol9(p1, fields, dev_blk, dim, clamp, grid_n, fs, *, Rr, P,
             need = jnp.ones(shape3, bool)
         else:
             need = dev_full * r > tol * scale
-        code = jnp.where(fits, jnp.where(need, 1, 0), 2).astype(jnp.int32)
+        # routing: blocks whose dual value is provably within tol stay
+        # dual (code 0) REGARDLESS of tile fit; only needing blocks pick
+        # exact-static (1) vs exact-adaptive (2). The previous form
+        # `where(fits, where(need, 1, 0), 2)` sent every fits-false block
+        # exact — and `fits` is almost never true in production (the tap
+        # union is taken over full-depth 128/256-lane z blocks), so the
+        # "adaptive" scheme degenerated to exact-everywhere: the entire
+        # 2.2x step cost / 14x compile regression of BENCH_r03, with tol
+        # having no effect at all (VERDICT r3: tol=0 was bit-identical).
+        code = jnp.where(need, jnp.where(fits, 1, 2), 0).astype(jnp.int32)
         codes.append(code)
         n_exact = n_exact + jnp.sum((code > 0).astype(jnp.int32))
 
@@ -2880,7 +2898,7 @@ def vol9_fixup(dual_outs, fields, map_stats, p1, dim, h, grid_n, clamp_lo,
         OVERFLOW_SINK.append(esc_count)
     if VOL9_ECOUNT_SINK is not None:
         nblk = (out_shape[0] // BX) * (out_shape[1] // BY) * (
-            out_shape[2] // 128) * fields.shape[0]
+            out_shape[2] // _vol9_bz(out_shape[2])) * fields.shape[0]
         VOL9_ECOUNT_SINK.append((n_exact, nblk))
     merged = []
     for ch, dual_out in enumerate(dual_outs):

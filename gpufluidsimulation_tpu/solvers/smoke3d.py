@@ -853,7 +853,8 @@ class Smoke3D:
         def _scoped_step(cfg_, grid_, ctx_, state):
             # the scope is live exactly when jit traces the body, which is
             # where every config_mod.* mode read happens; retraces re-enter
-            with config_mod.engine_mode_scope(cfg_.engine_mode):
+            with config_mod.engine_mode_scope(cfg_.engine_mode), \
+                    mp.vol9_stats_cache_scope():
                 return step_fn(cfg_, grid_, ctx_, state)
 
         self._step = jax.jit(
