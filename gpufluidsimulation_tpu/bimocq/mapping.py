@@ -306,12 +306,19 @@ def _volume_mode():
 
     if not _use_prefilter():
         return "exact"
-    if (config.sharded_sampling() is None
-            and config.use_fast_interp() and config.interp_adaptive()
-            and interp_fast.REBASED_NT and config.volume_dual()):
-        if config.volume_vol9():
-            return "vol9"
-        return "dual"
+    if (config.interp_adaptive() and interp_fast.REBASED_NT
+            and config.volume_dual()):
+        if config.sharded_sampling() is not None:
+            # sharded runs the SAME dual volume form (windowed kernels per
+            # shard behind ppermute halos; gather-dual for z-staggered
+            # kinds) — the multi-chip step uses the production numerics.
+            # vol9's fixup launch is not sharded; volume_exact covers the
+            # exact-composition need there.
+            return "dual"
+        if config.use_fast_interp():
+            if config.volume_vol9():
+                return "vol9"
+            return "dual"
     return "prefilter"
 
 
@@ -446,6 +453,20 @@ def compensate_3d(grid, kind, field_adv, field_init, fwd, bwd, is_point=False):
     return advect.clamp_extrema_neighborhood(field_adv, out)
 
 
+def _dual_gather_3d(grid, f, mx, my, mz, off):
+    """The dual volume form via exact gathers: 0.5 * mean over the 8
+    (+-0.25h)^3 corner offsets applied at the MAPPED position + 0.5 *
+    center sample (the separable identity the dual kernel evaluates
+    in-window). Used where the windowed kernels don't apply (z-staggered
+    kinds under sharded sampling)."""
+    h = grid.h
+    acc = None
+    for dx, dy, dz in _VOL3:
+        t = interp.sample3(f, mx + dx * h, my + dy * h, mz + dz * h, h, off)
+        acc = t if acc is None else acc + t
+    return 0.5 * (acc / 8.0) + 0.5 * interp.sample3(f, mx, my, mz, h, off)
+
+
 def _sample_fields_at(grid, kind, fields, positions, dual=False):
     """Sample N same-shape (already prefiltered) fields of `kind` at shared
     world positions: ONE multi-channel window launch on the fast path,
@@ -466,7 +487,7 @@ def _sample_fields_at(grid, kind, fields, positions, dual=False):
 
             kw = dict(halo=halo, Rr=config.interp_rr(),
                       interpret=config.interp_interpret(),
-                      dtype=config.interp_window_dtype())
+                      dtype=config.interp_window_dtype(), dual=dual)
             if len(fields) == 1:
                 return [sharded_interp.sample3_fast_sharded(
                     fields[0], mx, my, mz, grid.h, off, mesh, **kw)]
@@ -475,7 +496,12 @@ def _sample_fields_at(grid, kind, fields, positions, dual=False):
                 (off,) * len(fields), mesh, **kw)
             return [out[i] for i in range(len(fields))]
         # z-staggered kinds (nk+1 lanes) don't divide the mesh: exact
-        # gathers below (GSPMD partitions them correctly)
+        # gathers below (GSPMD partitions them correctly). dual=True keeps
+        # the volume form by evaluating the post-map 9-point corner blend
+        # directly (identical semantics to the windowed dual kernel).
+        if dual:
+            return [_dual_gather_3d(grid, f, mx, my, mz, off)
+                    for f in fields]
         return [interp.sample3(f, mx, my, mz, grid.h, off) for f in fields]
     if config.use_fast_interp() and mx.ndim == 3:
         from gpufluidsimulation_tpu.ops import interp_fast

@@ -172,8 +172,9 @@ def volume_dual() -> bool:
     reference's pre-map corners (field(M(p+c))): the map Jacobian is taken
     as identity across the +-0.25h corner cube — measured ~10x closer to
     the exact composition than the old source-prefilter commutation
-    (FIDELITY_r2.json). GFS_VOLUME_DUAL=0 restores the prefilter.
-    volume_exact wins over this knob."""
+    (FIDELITY_r2.json). The production default. GFS_VOLUME_DUAL=0 restores
+    the prefilter (disabling vol9 too — the vol9 fixup overlays the dual
+    launch). volume_exact and volume_vol9 win over this knob."""
     m = _mode_field("volume_dual")
     return _VOLUME_DUAL if m is None else m
 
@@ -183,17 +184,25 @@ def set_volume_dual(value: bool) -> None:
     _VOLUME_DUAL = bool(value)
 
 
-_VOLUME_VOL9 = os.environ.get("GFS_VOLUME_VOL9", "1") not in ("0", "false")
+_VOLUME_VOL9 = os.environ.get("GFS_VOLUME_VOL9", "0") not in ("0", "false")
 
 
 def volume_vol9() -> bool:
-    """Evaluate the reference's 9-point volume composition EXACTLY in one
-    windowed launch (interp_fast.sample3_vol9): every +-0.25h corner offset
-    is mapped through the map's trilinear interpolation in-kernel (a static
-    ring-1 map window), so the map Jacobian acts on the corner cube — the
-    term the 'dual' separable kernel drops (J taken as identity; measured
-    10x worse at emitter edges, FIDELITY_r2.json). The production default;
-    GFS_VOLUME_VOL9=0 falls back to 'dual'. volume_exact wins over this."""
+    """Evaluate the reference's 9-point volume composition EXACTLY as a
+    dual launch + sparse exact fixup (interp_fast.vol9_fixup): every
+    +-0.25h corner offset is mapped through the map's trilinear
+    interpolation in-kernel (a static ring-1 map window), so the map
+    Jacobian acts on the corner cube — the term the 'dual' separable
+    kernel drops (J taken as identity). OFF by default (GFS_VOLUME_VOL9=1
+    enables): the adaptive dual/exact routing operates on
+    16x16xfull-depth-z blocks, and on developed flows (map corner
+    deviation ~0.3-1 cell at CFL 2.6) every active block exceeds any
+    useful tolerance, so vol9 degenerates to exact-everywhere — measured
+    470 ms/step & 294 s compile vs dual's 213 ms & 23 s at 256^3, for a
+    ~3x emitter-edge density-fidelity gain (FIDELITY_r4.json). Use it
+    when volume-composition exactness matters more than speed; it is
+    cheaper than GFS_VOLUME_EXACT's 9 separate windowed evaluations.
+    volume_exact wins over this; requires volume_dual."""
     m = _mode_field("volume_vol9")
     return _VOLUME_VOL9 if m is None else m
 

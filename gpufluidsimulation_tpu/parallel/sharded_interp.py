@@ -73,13 +73,15 @@ def _check_geometry(nz: int, mesh: Mesh, halo: int, what: str):
 
 
 def sample3_fast_sharded(field, px, py, pz, h, off, mesh: Mesh, *,
-                         halo: int = 8, Rr=2, interpret=False, dtype=None):
+                         halo: int = 8, Rr=2, interpret=False, dtype=None,
+                         dual=False):
     """sample3_fast with `field` and the position lattices sharded along z.
 
     Every array is a GLOBAL jax array (sharded or not — jit/GSPMD reshards
     to P(None, None, 'z') at the shard_map boundary). Element (i, j, k)
     samples near global lattice site (i, j, k); z displacement bounded by
-    `halo` cells."""
+    `halo` cells (minus 0.25 with dual=True — the volume kernel's wider
+    per-axis support)."""
     from gpufluidsimulation_tpu.ops import interp_fast
 
     _check_geometry(px.shape[2], mesh, halo, "sample3_fast_sharded")
@@ -99,7 +101,7 @@ def sample3_fast_sharded(field, px, py, pz, h, off, mesh: Mesh, *,
         try:
             return interp_fast.sample3_fast(
                 f_ext, px_l, py_l, pz_local, hh, off,
-                Rr=Rr, interpret=interpret, dtype=dtype,
+                Rr=Rr, interpret=interpret, dtype=dtype, dual=dual,
             )
         finally:
             interp_fast.OVERFLOW_SINK = prev
@@ -113,7 +115,8 @@ def sample3_fast_sharded(field, px, py, pz, h, off, mesh: Mesh, *,
 
 
 def sample3_multi_sharded(fields, px, py, pz, h, offs, mesh: Mesh, *,
-                          halo: int = 8, Rr=2, interpret=False, dtype=None):
+                          halo: int = 8, Rr=2, interpret=False, dtype=None,
+                          dual=False):
     """sample3_multi (C stacked same-shape fields, one window launch) with
     everything sharded along z. Returns (C, *px.shape)."""
     from gpufluidsimulation_tpu.ops import interp_fast
@@ -131,7 +134,7 @@ def sample3_multi_sharded(fields, px, py, pz, h, offs, mesh: Mesh, *,
         try:
             return interp_fast.sample3_multi(
                 f_ext, px_l, py_l, pz_local, hh, offs,
-                Rr=Rr, interpret=interpret, dtype=dtype,
+                Rr=Rr, interpret=interpret, dtype=dtype, dual=dual,
             )
         finally:
             interp_fast.OVERFLOW_SINK = prev

@@ -179,6 +179,117 @@ def test_vol9_counts_truncations(rng):
     assert int(sum(counts)) > 0
 
 
+def test_vol9_code2_fallback_matches_exact(rng):
+    """Value-test the third predicated region (code==2: union taps exceed
+    the static tile but stay inside the window — the per-corner
+    roll-adaptive fallback). A z-displacement varying +-2.2 cells across
+    the block makes the block z-union ~6 taps > nt=4, forcing code 2 at
+    tol=0; the values must still match the exact composition."""
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    grid = Grid3D(24, 24, 24, 1.0 / 24)
+    h = grid.h
+    x, y, z = grid.node_coords("c")
+    bwd = jnp.stack([
+        x + 0.6 * h * jnp.sin(2 * x),
+        y + 0.5 * h * jnp.cos(2 * y),
+        # rough z map: +-2.2-cell displacement across the (one) z block
+        z + 2.2 * h * jnp.sin(5.0 * z + x),
+    ])
+    gn = (grid.ni, grid.nj, grid.nk)
+    field = jnp.asarray(rng.random(grid.shape_c).astype(np.float32))
+
+    try:
+        config.set_fast_interp(False)
+        want = np.asarray(_exact_vol9(grid, "c", field, bwd, 1.0, 1.0))
+        got = np.asarray(interp_fast.sample3_vol9(
+            field[None], bwd, (0, 0, 0), h, gn, 1.0, 1.0,
+            Rr=2, interpret=True, tol=0.0)[0])
+
+        # confirm the routing actually lands in code 2 (the fallback, not
+        # the static tile): recompute the prepass codes directly
+        Rr, P = 2, 4
+        BY = interp_fast._by(2)
+        out_shape = (interp_fast._ceil(24, interp_fast.BX),
+                     interp_fast._ceil(24, BY), interp_fast._ceil(24, 128))
+        bz = interp_fast._vol9_bz(out_shape[2])
+        nb = (out_shape[0] // interp_fast.BX, out_shape[1] // BY,
+              out_shape[2] // bz)
+        _, dev_blk = interp_fast.vol9_map_stats(bwd, h, gn, Rr=Rr)
+        p1 = mp.map_at_lattice_3d(grid, bwd, "c", 1.0, 1.0)
+        gx, gy, gz = (p1[0] / h, p1[1] / h, p1[2] / h)
+        gx, gy, gz = interp_fast._pad_positions_rim(gx, gy, gz, P, BY)
+        fs = interp_fast.pad_fields(field[None], gn, Rr).shape[1:]
+        _, codes, _, _ = interp_fast._origins_vol9(
+            (gx, gy, gz), field[None], dev_blk, (0, 0, 0), (1.0, 1.0),
+            gn, fs, Rr=Rr, P=P, nb=nb, tol=0.0,
+            nt=interp_fast._vol9_nt(Rr), out_shape=out_shape, band=None)
+        assert (np.asarray(codes) == 2).any(), "map did not trigger code 2"
+    finally:
+        config.set_fast_interp(None)
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+
+
+def test_vol9_step_level_matches_exact(rng):
+    """STEP-LEVEL vol9 test (round-3 verdict Weak #2): the fused
+    advect+compensate chain of bimocq_advect_3d under the production vol9
+    mode must match the exact-gather chain to f32 association tolerance
+    when the fixup is exact-everywhere (tol=0), and to the adaptive bound
+    at the production tolerance. Uses a staggered kind (v) — the y window
+    alignment defect this test pins lived ONLY on y-staggered lattices."""
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    grid = Grid3D(24, 24, 24, 1.0 / 24)
+    h = grid.h
+    x, y, z = grid.node_coords("c")
+    bwd = jnp.stack([
+        x + 1.1 * h * jnp.sin(2 * x) * jnp.cos(z),
+        y + 0.9 * h * jnp.cos(2 * y) * jnp.sin(x),
+        z + 1.8 * h * jnp.sin(4.0 * z + y),
+    ])
+    fwd = jnp.stack([
+        x - 1.0 * h * jnp.sin(2 * x) * jnp.cos(z),
+        y - 0.9 * h * jnp.cos(2 * y) * jnp.sin(x),
+        z - 1.7 * h * jnp.sin(4.0 * z + y),
+    ])
+
+    for kind in ("v", "c"):
+        shape = getattr(grid, f"shape_{kind}")
+        init = jnp.asarray(rng.random(shape).astype(np.float32))
+        cur = jnp.asarray(rng.random(shape).astype(np.float32))
+
+        with config.engine_mode_scope(config.EngineMode(fast_interp=False)):
+            xarr = mp.advect_with_map_3d(grid, kind, cur, init, bwd)
+            want = np.asarray(
+                mp.compensate_3d(grid, kind, xarr, init, fwd, bwd))
+
+        emode = config.EngineMode(fast_interp=True, interp_interpret=True,
+                                  volume_vol9=True, volume_dual=True)
+        old_tol = interp_fast._VOL9_TOL
+        try:
+            interp_fast._VOL9_TOL = 0.0
+            with config.engine_mode_scope(emode):
+                (got,) = mp.bimocq_advect_3d(
+                    grid, kind, [cur], [init], [None], bwd, None, fwd, None)
+        finally:
+            interp_fast._VOL9_TOL = old_tol
+        got = np.asarray(got)
+        dim = grid.dim_of(kind)
+        inner = tuple(slice(2 + d, -3) for d in dim)
+        np.testing.assert_allclose(got[inner], want[inner], rtol=5e-5,
+                                   atol=5e-6, err_msg=f"kind={kind} tol=0")
+
+        # production adaptive tolerance: dual blocks may deviate from the
+        # exact composition by ~tol * max|f| (first-order bound; allow 5x)
+        with config.engine_mode_scope(emode):
+            (gota,) = mp.bimocq_advect_3d(
+                grid, kind, [cur], [init], [None], bwd, None, fwd, None)
+        gota = np.asarray(gota)
+        bound = 5.0 * interp_fast._VOL9_TOL * float(np.abs(init).max()) + 5e-6
+        assert np.abs(gota[inner] - want[inner]).max() < bound, (
+            kind, np.abs(gota[inner] - want[inner]).max(), bound)
+
+
 def test_vol9_adaptive_dual_branch_matches_dual(rng):
     """With tol=inf every fitting block takes the always-on dual branch —
     the result must match the standalone dual evaluation (the separable
