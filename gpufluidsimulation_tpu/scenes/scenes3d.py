@@ -53,13 +53,26 @@ def moving_obstacle_config(
     nj: int = 128,
     nk: int = 128,
     scheme: Scheme = Scheme.BIMOCQ,
-    dt: float = 0.08,
+    dt: float | None = None,
     **overrides,
 ) -> Smoke3DConfig:
     """A plume emitter + a rigid sphere sweeping through it — the moving
     `Boundary` workflow of the reference (BimocqSolver.h:61-80,
     updateBoundary/blendBoundary/clearBoundary) as a ready scene; the
-    obstacle oscillates across the plume with a closed-form trans(frame)."""
+    obstacle oscillates across the plume with a closed-form trans(frame).
+
+    dt defaults to 1.6/ni: the sustained buoyant plume accelerates
+    without bound early on (continuous emitter + buoyancy), so the vortex
+    scene's 8/ni dt drove CFL past 20 by frame 10 — no displacement
+    budget absorbs a 20-cell/frame map jump at a solid boundary, and the
+    physics at that CFL is mush for every scheme (the reference's own
+    default scene runs CFL ~2.6; the r2 obstacle rows' contract
+    violations were exactly this). 1.6/ni holds the developed flow at
+    CFL ~1-3: measured 0 violations over 30 frames at 128^3 with the
+    standard Rr=2 reach (GFS_INTERP_RR=3 remains the escape hatch for
+    rougher obstacle configs)."""
+    if dt is None:
+        dt = 1.6 / ni
     L = 0.2
     h = L / ni
     ly = nj * h

@@ -54,8 +54,11 @@ def bench_3d(scheme_name, n=None, shape=None, steps=6, scene="vortex"):
             solver = build(n, scheme_name)
             ni = nj = nk = n
     else:  # moving obstacle (masked projection)
+        # scene-default dt (1.6/n: CFL ~1-3 on the developed plume — the
+        # old 8/n drove CFL past 20 by frame 10 and with it the r2 rows'
+        # contract violations) and scene-default engine mode
         cfg = scenes3d.moving_obstacle_config(
-            ni=n, nj=n, nk=n, scheme=scheme, dt=8.0 / n,
+            ni=n, nj=n, nk=n, scheme=scheme,
             proj_tol=1e-4, proj_max_iters=40)
         solver = Smoke3D(cfg)
         ni = nj = nk = n
