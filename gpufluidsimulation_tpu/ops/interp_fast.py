@@ -1686,7 +1686,14 @@ def _rk3_padded(fields_padded, gx, gy, gz, sh, *, Rr, P, interpret, deltas,
     if x_taps:
         # static-x-tap mode: per-block origins sit at the live-tap start
         # (stage drift margin 1 tap each side), window only x_taps-1 rows
-        # taller than the block — less DMA and a 2Rk+3 -> x_taps x loop
+        # taller than the block — less DMA and a 2Rk+3 -> x_taps x loop.
+        # NOTE (advisor r2): x_margin=1 covers the <=0.75-cell stage-2/3
+        # drift ONLY; the per-channel MAC deltas (+-0.5) are NOT folded
+        # into the stage-1 live-range stats and ride the empirical
+        # headroom of x_taps (default 6; measured 0 truncations through
+        # CFL ~2.6). Flows that do exceed it are never silent: the
+        # in-kernel per-stage count below feeds the frame overflow
+        # monitor -> step_checked's exact-path retry.
         Wx = BX + x_taps - 1
         # y/z window-fit violations counted in the prepass; x truncation
         # counted EXACTLY in-kernel per stage (count_x=False drops the

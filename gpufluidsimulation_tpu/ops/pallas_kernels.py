@@ -91,7 +91,8 @@ def _pipeline_tiles(srcs, sems, tx, ty, win):
 
 
 def _rbgs_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
-                 sweeps, win, nx, ny, nz, neumann, from_zero=False):
+                 sweeps, win, nx, ny, nz, neumann, from_zero=False,
+                 reverse=False):
     # NOTE nz here is the REAL z extent; the window/launch z may be padded
     # to a 128 multiple (lane-aligned DMA) — pad lanes are invalid.
     bi = pl.program_id(0)
@@ -139,19 +140,24 @@ def _rbgs_kernel(x_hbm, b_hbm, out_ref, xw, bw, sems, *,
             total = total + _shift_zero(x, 1, axis) + _shift_zero(x, -1, axis)
         return total
 
+    # reverse=True sweeps black-then-red (the post-smoother order that
+    # makes the V-cycle a SYMMETRIC preconditioner for the outer CG —
+    # red-then-red of the transpose; advisor r2 finding)
+    colors = (~red, red) if reverse else (red, ~red)
     for _ in range(sweeps):
         gs = (nbr(x) + b) / diag
-        x = jnp.where(valid & red, gs, x)
+        x = jnp.where(valid & colors[0], gs, x)
         gs = (nbr(x) + b) / diag
-        x = jnp.where(valid & ~red, gs, x)
+        x = jnp.where(valid & colors[1], gs, x)
 
     out_ref[...] = x[HX : HX + TX, HY : HY + TY, :]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("sweeps", "neumann", "interpret",
-                                    "from_zero"))
-def _rbgs_launch(x, b, *, sweeps, neumann, interpret, from_zero=False):
+                                    "from_zero", "reverse"))
+def _rbgs_launch(x, b, *, sweeps, neumann, interpret, from_zero=False,
+                 reverse=False):
     nx, ny, nz = b.shape
     # lane (z) axis of window DMA slices must be 128-aligned: round up once
     # (pad lanes are masked invalid in-kernel — x stays 0 there and the
@@ -169,7 +175,7 @@ def _rbgs_launch(x, b, *, sweeps, neumann, interpret, from_zero=False):
 
     kernel = functools.partial(
         _rbgs_kernel, sweeps=sweeps, win=win, nx=nx, ny=ny, nz=nz,
-        neumann=neumann, from_zero=from_zero)
+        neumann=neumann, from_zero=from_zero, reverse=reverse)
     out = pl.pallas_call(
         kernel,
         grid=(gx_, gy_),
@@ -278,7 +284,8 @@ def jacobi_diffuse(x, b, *, iters, coef, interpret: bool = False):
     return x[..., :nz]
 
 
-def rbgs_smooth(x, b, *, bc: str, iters: int, interpret: bool = False):
+def rbgs_smooth(x, b, *, bc: str, iters: int, interpret: bool = False,
+                reverse: bool = False):
     """Red-black Gauss-Seidel: `iters` full red+black sweeps of
     L x = b with L as in ops.poisson.laplacian (x_new = (nbr_sum + b)/diag
     per color; the structural diagonal for `bc` is computed in-kernel).
@@ -295,14 +302,15 @@ def rbgs_smooth(x, b, *, bc: str, iters: int, interpret: bool = False):
         s = min(2, remaining)
         x = _rbgs_launch(b if from_zero else x, b, sweeps=s,
                          neumann=(bc == "neumann"), interpret=interpret,
-                         from_zero=from_zero)
+                         from_zero=from_zero, reverse=reverse)
         from_zero = False
         remaining -= s
     return x
 
 
 def _masked_rbgs_kernel(x_hbm, b_hbm, f_hbm, out_ref, xw, bw, fw, sems, *,
-                        sweeps, win, nx, ny, nz, from_zero=False):
+                        sweeps, win, nx, ny, nz, from_zero=False,
+                        reverse=False):
     """Red-black Gauss-Seidel on the MASKED operator (poisson.
     masked_laplacian): fluid rows update x = (b + sum of fluid-neighbor x)
     / (# fluid-or-air neighbors); air/solid rows hold 0. Because x is
@@ -346,18 +354,21 @@ def _masked_rbgs_kernel(x_hbm, b_hbm, f_hbm, out_ref, xw, bw, fw, sems, *,
             total = total + _shift_zero(x, 1, axis) + _shift_zero(x, -1, axis)
         return total
 
+    colors = (~red, red) if reverse else (red, ~red)
     for _ in range(sweeps):
         gs = (nbr(x) + b) / diag
-        x = jnp.where(upd & red, gs, x)
+        x = jnp.where(upd & colors[0], gs, x)
         gs = (nbr(x) + b) / diag
-        x = jnp.where(upd & ~red, gs, x)
+        x = jnp.where(upd & colors[1], gs, x)
 
     out_ref[...] = x[HX : HX + TX, HY : HY + TY, :]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sweeps", "interpret", "from_zero"))
-def _masked_rbgs_launch(x, b, flags, *, sweeps, interpret, from_zero=False):
+                   static_argnames=("sweeps", "interpret", "from_zero",
+                                    "reverse"))
+def _masked_rbgs_launch(x, b, flags, *, sweeps, interpret, from_zero=False,
+                        reverse=False):
     nx, ny, nz = b.shape
     nzp = -(-nz // 128) * 128
     gx_ = -(-nx // TX)
@@ -370,7 +381,7 @@ def _masked_rbgs_launch(x, b, flags, *, sweeps, interpret, from_zero=False):
 
     kernel = functools.partial(
         _masked_rbgs_kernel, sweeps=sweeps, win=win, nx=nx, ny=ny, nz=nz,
-        from_zero=from_zero)
+        from_zero=from_zero, reverse=reverse)
     out = pl.pallas_call(
         kernel,
         grid=(gx_, gy_),
@@ -393,7 +404,8 @@ def _masked_rbgs_launch(x, b, flags, *, sweeps, interpret, from_zero=False):
     return out[:nx, :ny, :nz]
 
 
-def masked_rbgs_smooth(x, b, flags, *, iters: int, interpret: bool = False):
+def masked_rbgs_smooth(x, b, flags, *, iters: int, interpret: bool = False,
+                       reverse: bool = False):
     """Masked red-black Gauss-Seidel smoother for the boundary-aware MG
     V-cycle — the Pallas role of RBGS_with_pattern
     (utils/AlgebraicMultigrid.h:609). `x=None` = exactly-zero initial
@@ -403,7 +415,8 @@ def masked_rbgs_smooth(x, b, flags, *, iters: int, interpret: bool = False):
     while remaining > 0:
         s = min(2, remaining)
         x = _masked_rbgs_launch(b if from_zero else x, b, flags, sweeps=s,
-                                interpret=interpret, from_zero=from_zero)
+                                interpret=interpret, from_zero=from_zero,
+                                reverse=reverse)
         from_zero = False
         remaining -= s
     return x

@@ -249,7 +249,7 @@ class MGContext:
                 for fs, cs in zip(self.shapes[:-1], self.shapes[1:])
             ]
 
-    def _smooth(self, x, b, level, iters, omega):
+    def _smooth(self, x, b, level, iters, omega, reverse=False):
         """Per-level smoother hook. On TPU (config.use_rbgs) the pre/post
         smoothing runs the blocked Pallas red-black Gauss-Seidel kernel —
         one HBM round-trip per 2 sweeps and ~2x the smoothing power of
@@ -271,7 +271,7 @@ class MGContext:
 
             return rbgs_smooth(
                 x, b, bc=self.bc, iters=iters,
-                interpret=_cfg.interp_interpret(),
+                interpret=_cfg.interp_interpret(), reverse=reverse,
             )
         if x is None:
             x = jnp.zeros_like(b)
@@ -298,7 +298,10 @@ class MGContext:
             e = e + _apply_axis_mats(ec, pmats[level])
         else:
             e = e + prolong_linear(ec, self.shapes[level])
-        return self._smooth(e, r, level, n_post, omega)
+        # black-then-red post sweeps: the V-cycle then equals its own
+        # transpose (Jacobi levels are symmetric already), keeping the
+        # outer PCG's SPD-preconditioner assumption honest
+        return self._smooth(e, r, level, n_post, omega, reverse=True)
 
 
 # ---------------------------------------------------------------------------
@@ -613,7 +616,7 @@ def masked_jacobi_smooth(x, b, flags, diag, iters, omega=0.8):
     return lax.fori_loop(0, iters, body, x)
 
 
-def _masked_smooth(x, r, flags, diag, iters, omega, shape):
+def _masked_smooth(x, r, flags, diag, iters, omega, shape, reverse=False):
     """Per-level masked smoother: the blocked Pallas masked red-black
     Gauss-Seidel (pallas_kernels.masked_rbgs_smooth — the
     RBGS_with_pattern role, utils/AlgebraicMultigrid.h:609) on fine 3D
@@ -627,7 +630,8 @@ def _masked_smooth(x, r, flags, diag, iters, omega, shape):
             masked_rbgs_smooth)
 
         return masked_rbgs_smooth(x, r, flags, iters=iters,
-                                  interpret=_cfg.interp_interpret())
+                                  interpret=_cfg.interp_interpret(),
+                                  reverse=reverse)
     if x is None:
         x = jnp.zeros_like(r)
     return masked_jacobi_smooth(x, r, flags, diag, iters, omega)
@@ -653,7 +657,8 @@ def masked_v_cycle(r, flag_levels, diag_levels, shapes, level=0,
     ec = masked_v_cycle(rc, flag_levels, diag_levels, shapes, level + 1,
                         n_pre, n_post, n_coarse, omega)
     e = e + prolong_linear(ec, shapes[level])
-    e = _masked_smooth(e, r, flags, diag, n_post, omega, shapes[level])
+    e = _masked_smooth(e, r, flags, diag, n_post, omega, shapes[level],
+                       reverse=True)
     return jnp.where(fluid, e, 0.0)
 
 
