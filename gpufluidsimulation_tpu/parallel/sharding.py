@@ -78,7 +78,11 @@ class ShardedMGContext:
         self.diags = self._base.diags
         self.mesh = mesh
 
-    def _smooth(self, x, b, level, iters, omega):
+    def _smooth(self, x, b, level, iters, omega, reverse=False):
+        # `reverse` (black-then-red post sweeps) is an RBGS ordering knob;
+        # the sharded smoother is damped Jacobi, which is symmetric — the
+        # flag is accepted for interface parity and has nothing to do
+        del reverse
         from gpufluidsimulation_tpu.ops import poisson
         from gpufluidsimulation_tpu.parallel import halo
 
