@@ -72,6 +72,32 @@ def _check_geometry(nz: int, mesh: Mesh, halo: int, what: str):
         )
 
 
+def _halo_contract_count(pz, h, off_zs, halo, dual):
+    """z halo-contract prepass OUTSIDE the shard_map scope (r4 advisor):
+    inside the body OVERFLOW_SINK is forced to None — tracers created
+    under shard_map cannot escape to the outer consumer — so the
+    in-kernel displacement monitor is blind under a mesh. This global
+    elementwise prepass counts samples whose z displacement from their
+    lattice site exceeds the halo margin (minus the dual kernel's extra
+    0.25-cell per-axis support) and reports through the SAME sink the
+    single-chip monitor feeds, so multi-chip runs keep an enforced — not
+    just documented — displacement contract (step_checked's exact-retry
+    gate sees these counts like any other launch's)."""
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    if interp_fast.OVERFLOW_SINK is None:
+        return
+    k = jax.lax.broadcasted_iota(jnp.float32, pz.shape, 2)
+    zl = pz / jnp.float32(h)
+    worst = None
+    for oz in off_zs:
+        d = jnp.abs(zl - jnp.float32(oz) - k)
+        worst = d if worst is None else jnp.maximum(worst, d)
+    margin = jnp.float32(halo - (0.25 if dual else 0.0))
+    cnt = jnp.sum((worst > margin).astype(jnp.int32))
+    interp_fast.OVERFLOW_SINK.append(cnt)
+
+
 def sample3_fast_sharded(field, px, py, pz, h, off, mesh: Mesh, *,
                          halo: int = 8, Rr=2, interpret=False, dtype=None,
                          dual=False):
@@ -85,6 +111,7 @@ def sample3_fast_sharded(field, px, py, pz, h, off, mesh: Mesh, *,
     from gpufluidsimulation_tpu.ops import interp_fast
 
     _check_geometry(px.shape[2], mesh, halo, "sample3_fast_sharded")
+    _halo_contract_count(pz, h, (off[2],), halo, dual)
     nz_local = px.shape[2] // mesh.size
     hh = jnp.float32(h)
 
@@ -122,6 +149,7 @@ def sample3_multi_sharded(fields, px, py, pz, h, offs, mesh: Mesh, *,
     from gpufluidsimulation_tpu.ops import interp_fast
 
     _check_geometry(px.shape[2], mesh, halo, "sample3_multi_sharded")
+    _halo_contract_count(pz, h, tuple(o[2] for o in offs), halo, dual)
     nz_local = px.shape[2] // mesh.size
     hh = jnp.float32(h)
 
