@@ -1,21 +1,38 @@
-"""Fidelity vs the ACTUAL reference binary (round-2 verdict Missing #1).
+"""Fidelity vs the ACTUAL reference binary (round-2 Missing #1; round-4
+Next #1 — well-posed comparisons).
 
 Builds and runs the UNMODIFIED reference 2D solver (BimocqSolver2D, via
-scripts/refbaseline/main_dump.cpp) on a density-carrying example, dumps its
-raw float32 u/v/rho at checkpoint frames, then marches OUR 2D solver on the
-same scene/scheme and records L-inf / L1 difference curves — the first
-fidelity artifact whose comparator is the reference binary itself rather
-than our own NumPy oracle.
+scripts/refbaseline/main_dump.cpp) on an example, dumps its raw float32
+u/v/rho at checkpoint frames, then marches OUR 2D solver on the same
+scene/scheme and records L-inf / L1 difference curves.
 
-Examples: 2 = Rayleigh-Taylor (256x1280, dt=0.01, the reference's own
-outputDensity scene, main.cpp:108-132); 0 = Taylor vortex (velocity only).
+Examples (main.cpp:40-223):
+  0 = Taylor vortex (velocity only)
+  1 = vortex leapfrogging — adds a vortex-core count per side (the BiMocq
+      paper's qualitative separation metric) from connected components of
+      the node curl field
+  2 = Rayleigh-Taylor (256x1280, dt=0.01) — CHAOTIC: an L-inf bar here
+      measures decorrelation, not solver quality; pair with --noise-floor
+  3 = Zalesak's disk (200^2, rigid rotation, levelset) — DETERMINISTIC and
+      non-chaotic: the canonical shape-preservation test where an
+      L-inf-class bar is well-posed. Reports levelset L-inf (full field and
+      a |phi|<3h interface band) and disk area loss over the revolution.
 
-Usage: python scripts/fidelity_ref2d.py [--example 2] [--frames 100]
-       [--modes exact,default] [--round 3]
-Writes FIDELITY_REF2D_r{round}.json at the repo root.
+--noise-floor DIR_A DIR_B: skip our engine entirely and difference two
+reference dump directories against each other (e.g. the reference binary
+vs itself with a 1-ulp initial velocity perturbation, main_dump.cpp's
+[perturb] argument) — the reference's OWN self-divergence curve, i.e. the
+comparison noise floor any cross-implementation diff must be read against.
+
+Usage: python scripts/fidelity_ref2d.py [--example 3] [--frames 315]
+       [--modes exact,default] [--round 5] [--skip-reference]
+       [--noise-floor /tmp/refdump_ex2 /tmp/refdump_ex2p]
+Writes FIDELITY_REF2D_EX{example}_r{round}.json at the repo root
+(--noise-floor writes FIDELITY_NOISEFLOOR_r{round}.json).
 """
 
 import argparse
+import glob
 import json
 import os
 import subprocess
@@ -27,7 +44,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-DUMP_FRAMES = (1, 2, 5, 10, 20, 50, 100)
 
 
 def run_reference(example: int, frames: int, outdir: str):
@@ -43,6 +59,13 @@ def run_reference(example: int, frames: int, outdir: str):
           flush=True)
 
 
+def dumped_frames(outdir: str):
+    return sorted(
+        int(os.path.basename(p)[1:5])
+        for p in glob.glob(os.path.join(outdir, "f*_rho.bin"))
+    )
+
+
 def load_ref(outdir: str, frame: int, shape):
     ni, nj = shape
     out = {}
@@ -55,19 +78,114 @@ def load_ref(outdir: str, frame: int, shape):
     return out
 
 
+def disk_area(sdf, h):
+    """Area of {phi < 0} with a linear sub-cell correction at the
+    interface: fraction 0.5 - phi/(2h) clipped to [0,1] per cell."""
+    frac = np.clip(0.5 - sdf / (2.0 * h), 0.0, 1.0)
+    return float(frac.sum()) * h * h
+
+
+def node_curl(u, v, h):
+    """Node curl dv/dx - du/dy on the (ni+1, nj+1) corner lattice
+    (calculateCurl, BimocqSolver2D.cpp)."""
+    ni, nj = u.shape[0] - 1, v.shape[1] - 1
+    c = np.zeros((ni + 1, nj + 1), np.float32)
+    c[1:ni, 1:nj] = (
+        (v[1:ni, 1:nj] - v[: ni - 1, 1:nj])
+        - (u[1:ni, 1:nj] - u[1:ni, : nj - 1])
+    ) / h
+    return c
+
+
+def vortex_cores(u, v, h, thresh_frac=0.3, min_cells=4):
+    """(positive_cores, negative_cores): connected components of
+    curl > +t / curl < -t with t = thresh_frac * max|curl|. The leapfrog
+    scene starts with 2 cores per sign; schemes that diffuse the pairs
+    merge them (count drops to 1) — the BiMocq paper's separation claim."""
+    from scipy import ndimage
+
+    c = node_curl(u, v, h)
+    t = thresh_frac * float(np.abs(c).max())
+    counts = []
+    for mask in (c > t, c < -t):
+        lab, n = ndimage.label(mask)
+        sizes = ndimage.sum(mask, lab, range(1, n + 1)) if n else []
+        counts.append(int(np.sum(np.asarray(sizes) >= min_cells)))
+    return counts
+
+
+def compare(ours, ref, h, levelset: bool):
+    u, rho = ours
+    rec = dict(
+        u_linf=float(np.abs(u - ref["u"]).max()),
+        u_l1=float(np.abs(u - ref["u"]).mean()),
+        rho_linf=float(np.abs(rho - ref["rho"]).max()),
+        rho_l1=float(np.abs(rho - ref["rho"]).mean()),
+        rho_scale=float(np.abs(ref["rho"]).max()),
+    )
+    if levelset:
+        band = np.abs(ref["rho"]) < 3.0 * h
+        rec["ls_band_linf"] = float(
+            np.abs((rho - ref["rho"])[band]).max()) if band.any() else 0.0
+        rec["area_ref"] = disk_area(ref["rho"], h)
+        rec["area_ours"] = disk_area(rho, h)
+    return rec
+
+
+def run_noise_floor(args):
+    dir_a, dir_b = args.noise_floor
+    frames = sorted(set(dumped_frames(dir_a)) & set(dumped_frames(dir_b)))
+    # infer shape from example 2 (the RT scene is the intended use)
+    ni, nj = 256, 1280
+    curve = []
+    for f in frames:
+        a = load_ref(dir_a, f, (ni, nj))
+        b = load_ref(dir_b, f, (ni, nj))
+        rec = dict(
+            frame=f,
+            rho_linf=float(np.abs(a["rho"] - b["rho"]).max()),
+            rho_l1=float(np.abs(a["rho"] - b["rho"]).mean()),
+            u_linf=float(np.abs(a["u"] - b["u"]).max()),
+        )
+        curve.append(rec)
+        print(f"[noise-floor] frame {f:4d}: rho_linf {rec['rho_linf']:.3e} "
+              f"rho_l1 {rec['rho_l1']:.3e} u_linf {rec['u_linf']:.3e}",
+              flush=True)
+    out = dict(
+        comparator="unmodified reference binary vs ITSELF with a 1-ulp-"
+                   "class initial velocity perturbation (main_dump.cpp "
+                   "[perturb]) — the self-divergence / noise floor of any "
+                   "cross-implementation L-inf comparison on this scene",
+        dirs=[dir_a, dir_b],
+        scene="2D_RayleighTaylor",
+        curve=curve,
+    )
+    path = os.path.join(os.path.dirname(HERE),
+                        f"FIDELITY_NOISEFLOOR_r{args.round}.json")
+    with open(path, "w") as fp:
+        json.dump(out, fp, indent=1)
+    print(f"wrote {path}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--example", type=int, default=2, choices=[0, 2])
+    ap.add_argument("--example", type=int, default=2, choices=[0, 1, 2, 3])
     ap.add_argument("--frames", type=int, default=100)
     ap.add_argument("--modes", default="exact,default")
-    ap.add_argument("--round", type=int, default=3)
+    ap.add_argument("--round", type=int, default=5)
     ap.add_argument("--skip-reference", action="store_true",
                     help="reuse an existing dump directory")
+    ap.add_argument("--noise-floor", nargs=2, metavar="DIR",
+                    help="difference two reference dump dirs; no JAX run")
     args = ap.parse_args()
+
+    if args.noise_floor:
+        return run_noise_floor(args)
 
     outdir = f"/tmp/refdump_ex{args.example}"
     if not args.skip_reference:
         run_reference(args.example, args.frames, outdir)
+    ref_frames = [f for f in dumped_frames(outdir) if f > 0]
 
     import jax
 
@@ -83,11 +201,14 @@ def main():
 
     from gpufluidsimulation_tpu import config
     from gpufluidsimulation_tpu.scenes import scenes2d
-    from gpufluidsimulation_tpu.solvers.smoke2d import Scheme, Smoke2D
+    from gpufluidsimulation_tpu.solvers.smoke2d import (Scheme, Smoke2D,
+                                                        max_vel)
 
     scene = scenes2d.make_scene_2d(args.example, Scheme.BIMOCQ)
     shape = (scene.cfg.ni, scene.cfg.nj)
+    h = scene.cfg.L / scene.cfg.ni
     ref0 = load_ref(outdir, 0, shape)
+    levelset = scene.output == "levelset"
 
     results = {}
     for mode_name in args.modes.split(","):
@@ -111,27 +232,52 @@ def main():
               flush=True)
         curve = []
         t0 = time.time()
-        for f in range(1, args.frames + 1):
-            state = solver.step(state, jnp.float32(scene.dt))
-            if f in DUMP_FRAMES and f <= args.frames:
-                ref = load_ref(outdir, f, shape)
-                u = np.asarray(state.u)
-                rho = np.asarray(state.rho)
-                rec = dict(
-                    frame=f,
-                    u_linf=float(np.abs(u - ref["u"]).max()),
-                    u_l1=float(np.abs(u - ref["u"]).mean()),
-                    rho_linf=float(np.abs(rho - ref["rho"]).max()),
-                    rho_l1=float(np.abs(rho - ref["rho"]).mean()),
-                    rho_scale=float(np.abs(ref["rho"]).max()),
-                )
-                curve.append(rec)
-                print(f"[{mode_name}] frame {f:4d}: "
-                      f"rho_linf {rec['rho_linf']:.3e} "
-                      f"rho_l1 {rec['rho_l1']:.3e} "
-                      f"u_linf {rec['u_linf']:.3e}", flush=True)
-        results[mode_name] = dict(init_linf=init_err, curve=curve,
-                                  seconds=time.time() - t0)
+        last = max(ref_frames) if ref_frames else args.frames
+
+        def record(f, state):
+            if f not in ref_frames:
+                return
+            ref = load_ref(outdir, f, shape)
+            rec = compare((np.asarray(state.u), np.asarray(state.rho)),
+                          ref, h, levelset)
+            rec["frame"] = f
+            if args.example == 1:
+                rec["cores_ours"] = vortex_cores(
+                    np.asarray(state.u), np.asarray(state.v), h)
+                rec["cores_ref"] = vortex_cores(ref["u"], ref["v"], h)
+            curve.append(rec)
+            msg = (f"[{mode_name}] frame {f:4d}: "
+                   f"rho_linf {rec['rho_linf']:.3e} "
+                   f"rho_l1 {rec['rho_l1']:.3e} "
+                   f"u_linf {rec['u_linf']:.3e}")
+            if levelset:
+                msg += (f" band {rec['ls_band_linf']:.3e}"
+                        f" area {rec['area_ours']:.5f}/{rec['area_ref']:.5f}")
+            if args.example == 1:
+                msg += f" cores {rec['cores_ours']}/{rec['cores_ref']}"
+            print(msg, flush=True)
+
+        if args.example == 3:
+            # main.cpp:159-172 (mirrored by main_dump.cpp): substep from
+            # maxVel ONCE per frame, inner loop clips the last substep
+            for f in range(1, last + 1):
+                frame_dt, T = 2.0, 0.0
+                sub = scene.cfl_number * h / float(max_vel(state.u, state.v))
+                while T < frame_dt:
+                    if T + sub > frame_dt:
+                        sub = frame_dt - T
+                    state = solver.step(state, jnp.float32(sub))
+                    T += sub
+                record(f, state)
+        else:
+            for f in range(1, last + 1):
+                state = solver.step(state, jnp.float32(scene.dt))
+                record(f, state)
+        res = dict(init_linf=init_err, curve=curve,
+                   seconds=time.time() - t0)
+        if levelset:
+            res["area_init"] = disk_area(ref0["rho"], h)
+        results[mode_name] = res
 
     out = dict(
         example=args.example,
@@ -140,11 +286,11 @@ def main():
         frames=args.frames,
         comparator="unmodified reference BimocqSolver2D binary "
                    "(scripts/refbaseline/main_dump.cpp)",
-        bar=1e-3,
         results=results,
     )
-    path = os.path.join(os.path.dirname(HERE),
-                        f"FIDELITY_REF2D_r{args.round}.json")
+    path = os.path.join(
+        os.path.dirname(HERE),
+        f"FIDELITY_REF2D_EX{args.example}_r{args.round}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}", flush=True)
