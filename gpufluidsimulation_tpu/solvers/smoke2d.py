@@ -402,7 +402,11 @@ def _step_flip(cfg, g, ctx, s, dt):
     """advanceFLIP (cpp:1476-1584)."""
     cfldt = g.h / max_vel(s.u, s.v)
     p = _advect_particles(g, s.particles, s.u, s.v, cfldt, dt)
-    u, v, rho, T = part.p2g_flip(g, p)
+    # one bin sort per frame: every splat below becomes a sort-free
+    # sorted segment_sum, and the sorted order persists in the state so
+    # G2P gathers read with spatial locality (particles.bin_sort)
+    p = part.bin_sort(g, p)
+    u, v, rho, T = part.p2g_flip(g, p, sorted_bins=True)
     u_save, v_save, rho_save, T_save = u, v, rho, T
     u, v, iters, res = _buoyancy_project(cfg, g, ctx, s, u, v, rho, T, dt)
     du_g, dv_g = u - u_save, v - v_save
@@ -426,7 +430,8 @@ def _step_polypic(cfg, g, ctx, s, dt, order):
     """advancePolyPIC — also serves APIC (cpp:1592-1715)."""
     cfldt = g.h / max_vel(s.u, s.v)
     p = _advect_particles(g, s.particles, s.u, s.v, cfldt, dt)
-    u, v, rho, T = part.p2g_poly(g, p, order)
+    p = part.bin_sort(g, p)  # see _step_flip
+    u, v, rho, T = part.p2g_poly(g, p, order, sorted_bins=True)
     u, v, iters, res = _buoyancy_project(cfg, g, ctx, s, u, v, rho, T, dt)
     pu, pv, prho, pT = part.g2p_sample(g, u, v, rho, T, p.pos)
     p = p.replace(vel=jnp.stack([pu, pv], -1), rho=prho, T=pT)
