@@ -27,6 +27,7 @@ Documented deviations from the reference (intent preserved):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -90,7 +91,8 @@ def _substepped(step_fn, cfldt, dt, pos):
 
 
 def trace_3d(u, v, w, h, cfldt, dt, px, py, pz, packed=None,
-             from_identity=False):
+             from_identity=False, gate_nx=None, k1=None,
+             node_off=(0.0, 0.0, 0.0)):
     # pack the MAC triplet once for the whole substep loop (up to 9
     # window-sampler calls share it); callers tracing several fields in the
     # same velocity pass their own pack
@@ -112,8 +114,9 @@ def trace_3d(u, v, w, h, cfldt, dt, px, py, pz, packed=None,
         # positions arrays never materialize for it.
         from gpufluidsimulation_tpu.ops import interp_fast
 
-        k1 = None
-        if from_identity:
+        if from_identity and k1 is None:
+            # cell-lattice stage-1 velocity (the map-march case); staggered
+            # identity starts pass their kind's k1 via mac_at_nodes_3d
             k1 = jnp.stack([
                 0.5 * (u[:-1] + u[1:]),
                 0.5 * (v[:, :-1] + v[:, 1:]),
@@ -123,7 +126,8 @@ def trace_3d(u, v, w, h, cfldt, dt, px, py, pz, packed=None,
         return interp_fast.trace_rk3_fused(
             packed, px, py, pz, h, cfldt, dt, interp._MAC_OFFS, (ni, nj, nk),
             Rr=_cfg.interp_rr(), interpret=_cfg.interp_interpret(),
-            from_identity=from_identity, k1=k1,
+            from_identity=from_identity, k1=k1, gate_nx=gate_nx,
+            node_off=node_off,
         )
 
     def step(sdt, p):
@@ -147,12 +151,22 @@ def trace_2d(u, v, h, cfldt, dt, px, py):
 def _cropped_positions(grid, kind):
     """Node positions of `kind` cropped to the cell-block lattice.
 
-    The staggered axis's LAST face plane sits outside every update band
-    (semilag_kernel guard `i < buffer-2-dim`, GPU_kernel.cu:222), so
+    The staggered axis's LAST face plane sits outside the semilag update
+    band (semilag_kernel guard `i < buffer-2-dim`, GPU_kernel.cu:222), so
     tracing and sampling it is dead work — and on the z axis the extra
     plane forces the padded tiers from 256 to 384 lanes (+50% blocks in
     every w-kind trace launch). Returns (px, py, pz, ax): positions
-    cropped along the staggered axis `ax` (None for cell kinds)."""
+    cropped along the staggered axis `ax` (None for cell kinds).
+
+    Known single-plane deviation: the reference's clamp_extrema_kernel has
+    NO such band guard — it runs over the full staggered buffer
+    (BimocqGPUSolver.cpp:277-279 passes CellNumberX+1 etc.;
+    GPU_kernel.cu:899). maccormack_multi_3d therefore keeps `src` at that
+    last face plane where the reference would clamp it. The plane is
+    overwritten by the subsequent boundary enforcement in every solver
+    step, so the deviation is not observable in stepped fields; it is
+    documented here rather than 'fixed' because clamping it would force
+    the 384-lane padded tier back onto every staggered trace launch."""
     px, py, pz = grid.node_coords(kind)
     dim = grid.dim_of(kind)
     if not any(dim):
@@ -183,14 +197,66 @@ def semilag_3d(grid, kind, field_src, u, v, w, cfldt, dt, packed=None):
                             packed)[0]
 
 
+def mac_at_nodes_3d(grid, kind, u, v, w):
+    """Stage-1 MAC velocity AT the cropped node lattice of `kind` — the
+    identity-peel k1 for the semilag-family traces (which always start
+    from the lattice). Exact field values where a node coincides with a
+    component's own lattice (e.g. the u component at u nodes), 2/4-point
+    staggered averages elsewhere (edge-clamped at the domain boundary —
+    boundary nodes are outside the semilag update band anyway). Returns
+    a stacked (3, ni, nj, nk) array."""
+    ni, nj, nk = grid.ni, grid.nj, grid.nk
+    dim = grid.dim_of(kind)
+
+    def comp(f, fdim):
+        x = f
+        for axis in range(3):
+            n_t = (ni, nj, nk)[axis]
+            node_half = dim[axis] == 1   # kind node at -0.5 on this axis
+            f_half = fdim == axis        # component node at -0.5 here
+            sl0 = [slice(None)] * 3
+            sl1 = [slice(None)] * 3
+            sl0[axis] = slice(0, n_t)
+            sl1[axis] = slice(1, n_t + 1)
+            if node_half == f_half:      # aligned lattices: exact value
+                x = x[tuple(sl0)]
+            elif f_half:                 # node integer, field at -0.5
+                x = 0.5 * (x[tuple(sl0)] + x[tuple(sl1)])
+            else:                        # node at -0.5, field integer
+                pads = [(0, 0)] * 3
+                pads[axis] = (1, 0)
+                xp = jnp.pad(x, pads, mode="edge")
+                x = 0.5 * (xp[tuple(sl0)] + xp[tuple(sl1)])
+        return x
+
+    return jnp.stack([comp(u, 0), comp(v, 1), comp(w, 2)])
+
+
 def semilag_multi_3d(grid, kind, fields, u, v, w, cfldt, dt, packed=None):
     """semilag_3d over several same-kind fields with ONE shared
     CFL-substepped trace (the positions depend only on `kind`, not the
     field): rho and T in the MacCormack/reflection/semilag steps used to
     trace the identical cell lattice once per field — the trace loop is
-    ~20x the cost of the per-field sample launch it feeds."""
+    ~20x the cost of the per-field sample launch it feeds.
+
+    The trace always starts AT the lattice, so on the fast path its first
+    substep rides the identity-peel kernel (static window origins, no
+    origins prepass, no position arrays; stage-1 velocity precomputed by
+    mac_at_nodes_3d) — the same peel the BiMocq forward march uses under
+    per-frame reinit, now for every kind (r5)."""
+    from gpufluidsimulation_tpu import config as _cfg
+
     px, py, pz, ax = _cropped_positions(grid, kind)
-    bx, by, bz = trace_3d(u, v, w, grid.h, cfldt, dt, px, py, pz, packed)
+    ident_kw = {}
+    if (_SEMILAG_PEEL and px.ndim == 3 and _cfg.use_fast_interp()
+            and _cfg.interp_rr() <= 2):
+        ident_kw = dict(
+            from_identity=True,
+            k1=mac_at_nodes_3d(grid, kind, u, v, w),
+            node_off=tuple(-0.5 * d for d in grid.dim_of(kind)),
+        )
+    bx, by, bz = trace_3d(u, v, w, grid.h, cfldt, dt, px, py, pz, packed,
+                          **ident_kw)
     off = grid.off_of(kind)
     mask = grid.interior_mask(kind, lo=2, hi=3, hi_add_dim=True)
     return [
@@ -222,8 +288,16 @@ def maccormack_multi_3d(grid, kind, srcs, u, v, w, cfldt, dt, packed=None):
     off = grid.off_of(kind)
     crop = tuple(slice(0, s) for s in px.shape)
     # shared two-stage midpoint backtrace (clamp_extrema_kernel,
-    # GPU_kernel.cu:900-911)
-    u1, v1, w1 = interp.mac_velocity_3d(u, v, w, px, py, pz, h, packed)
+    # GPU_kernel.cu:900-911). Stage 1 samples AT the kind lattice, where
+    # the MAC bilinear degenerates to the exact staggered average — on
+    # the fast path that is mac_at_nodes_3d (an XLA stencil, no window
+    # launch); the exact path keeps the gather sampler byte-stable
+    # against the oracles.
+    if _cfg.use_fast_interp():
+        k1c = mac_at_nodes_3d(grid, kind, u, v, w)
+        u1, v1, w1 = k1c[0], k1c[1], k1c[2]
+    else:
+        u1, v1, w1 = interp.mac_velocity_3d(u, v, w, px, py, pz, h, packed)
     mx_, my_, mz_ = px - 0.5 * dt * u1, py - 0.5 * dt * v1, pz - 0.5 * dt * w1
     u2, v2, w2 = interp.mac_velocity_3d(u, v, w, mx_, my_, mz_, h, packed)
     bx, by, bz = px - dt * u2, py - dt * v2, pz - dt * w2
@@ -250,6 +324,169 @@ def maccormack_multi_3d(grid, kind, srcs, u, v, w, cfldt, dt, packed=None):
                                           values=True)
         clamped = jnp.where((dst < mn) | (dst > mx), fallback, dst)
         outs.append(_pad_plane(clamped, src, ax))
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# Multi-kind fused traces (round-5): after _cropped_positions every kind's
+# lattice shares the cell-block shape (ni, nj, nk), so the backtraces of
+# several kinds concatenate along x into ONE fused-RK3 launch — one
+# while_loop, one origins prepass and one rim pad per substep instead of
+# one per kind. Positions are absolute world coordinates, so the window
+# kernel needs no notion of which section a block belongs to; sections are
+# individually padded to the BX block multiple (edge-replicated rows trace
+# real in-domain positions and are sliced away).
+#
+# MEASURED NEGATIVE (r5, 256^3, CFL 2.4): the concatenated launch saves
+# nothing — 4x per-kind traces 248.3 ms vs 1x concat 250.8 ms; full
+# semilag stage 267.6 vs 273.6 (the concat/slice materializations cost
+# more than the launches save). The fused RK3 kernel is COMPUTE-bound
+# (~20 ms per kind-substep of tap FMAs), so launch-count fusion has no
+# lever arm. The concat path is therefore OFF by default
+# (GFS_MULTIKIND=1 to enable); the grouped API below stays because it
+# reads better at call sites and keeps the measured experiment pinned by
+# tests/test_multikind.py.
+# ---------------------------------------------------------------------------
+
+_MULTIKIND = os.environ.get("GFS_MULTIKIND", "0") not in ("0", "")
+
+# identity-peel for the semilag-family traces (they always start AT the
+# lattice): substep 1 rides the static-origin peel kernel with a per-kind
+# precomputed stage-1 velocity (mac_at_nodes_3d). Default on;
+# GFS_SEMILAG_PEEL=0 restores the r4 all-substeps-prepass form. The
+# concat (multikind) path cannot peel — its sections carry different
+# node offsets — so peel-vs-concat comparisons disable this knob.
+_SEMILAG_PEEL = os.environ.get("GFS_SEMILAG_PEEL", "1") not in ("0", "")
+
+
+def _concat_kind_positions(grid, kinds):
+    from gpufluidsimulation_tpu.ops import interp_fast
+
+    pos, axes = [], []
+    for kind in kinds:
+        px, py, pz, ax = _cropped_positions(grid, kind)
+        pos.append((px, py, pz))
+        axes.append(ax)
+    ni = pos[0][0].shape[0]
+    sec = interp_fast._ceil(ni, interp_fast.BX)
+    pads = ((0, sec - ni), (0, 0), (0, 0))
+
+    def cat(i):
+        parts = [jnp.pad(p[i], pads, mode="edge") if sec != ni else p[i]
+                 for p in pos]
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    return (cat(0), cat(1), cat(2)), axes, sec, ni
+
+
+def _kinds_fast(grid, groups):
+    from gpufluidsimulation_tpu import config as _cfg
+
+    return (_MULTIKIND and len(groups) > 1 and _cfg.use_fast_interp()
+            and _cfg.interp_rr() <= 2)
+
+
+def _union_pack(grid, u, v, w):
+    return interp.mac_pack_3d(
+        u, v, w, (grid.ni + 1, grid.nj + 1, grid.nk + 1))
+
+
+def semilag_kinds_3d(grid, groups, u, v, w, cfldt, dt, packed=None):
+    """semilag_multi_3d over several (kind, [fields]) groups with ONE
+    fused multi-kind trace serving every kind's backtrace (see the
+    section comment above). Returns one field list per group. Off the
+    fast path (or single group) this is exactly the per-kind form."""
+    if not _kinds_fast(grid, groups):
+        return [semilag_multi_3d(grid, k, fs, u, v, w, cfldt, dt, packed)
+                for k, fs in groups]
+    if packed is None:
+        packed = _union_pack(grid, u, v, w)
+    kinds = [k for k, _ in groups]
+    (cx, cy, cz), axes, sec, ni = _concat_kind_positions(grid, kinds)
+    bx, by, bz = trace_3d(u, v, w, grid.h, cfldt, dt, cx, cy, cz, packed,
+                          gate_nx=sec)
+    outs = []
+    for g_idx, ((kind, fields), ax) in enumerate(zip(groups, axes)):
+        sl = slice(g_idx * sec, g_idx * sec + ni)
+        kbx, kby, kbz = bx[sl], by[sl], bz[sl]
+        off = grid.off_of(kind)
+        mask = grid.interior_mask(kind, lo=2, hi=3, hi_add_dim=True)
+        outs.append([
+            jnp.where(mask,
+                      _pad_plane(
+                          interp.sample3_lattice(f, kbx, kby, kbz, grid.h,
+                                                 off, values=True), f, ax),
+                      f)
+            for f in fields
+        ])
+    return outs
+
+
+def maccormack_kinds_3d(grid, groups, u, v, w, cfldt, dt, packed=None):
+    """maccormack_multi_3d over several (kind, [fields], clamp) groups with
+    the forward and backward semilag stages each running as ONE fused
+    multi-kind trace. `clamp` selects the reference's two clamp variants:
+    'trace' = backtraced-corner min/max with semilag fallback (the scalar
+    clamp, clamp_extrema_kernel); 'neighborhood' = 27-point neighborhood
+    clamp (the velocity clamp, clampExtrema_kernel)."""
+    from gpufluidsimulation_tpu import config as _cfg
+
+    sgroups = [(k, fs) for k, fs, _ in groups]
+    if not _kinds_fast(grid, sgroups):
+        outs = []
+        for kind, fields, cl in groups:
+            if cl == "trace":
+                outs.append(maccormack_multi_3d(grid, kind, fields, u, v, w,
+                                                cfldt, dt, packed))
+            else:
+                fw = semilag_multi_3d(grid, kind, fields, u, v, w, cfldt,
+                                      -dt, packed)
+                bk = semilag_multi_3d(grid, kind, fw, u, v, w, cfldt, dt,
+                                      packed)
+                outs.append([
+                    clamp_extrema_neighborhood(s, f + 0.5 * (s - b))
+                    for s, f, b in zip(fields, fw, bk)
+                ])
+        return outs
+    if packed is None:
+        packed = _union_pack(grid, u, v, w)
+    fwds = semilag_kinds_3d(grid, sgroups, u, v, w, cfldt, -dt, packed)
+    backs = semilag_kinds_3d(grid, [(k, fw) for (k, _), fw
+                                    in zip(sgroups, fwds)],
+                             u, v, w, cfldt, dt, packed)
+    h = grid.h
+    outs = []
+    for (kind, srcs, cl), fwd_g, back_g in zip(groups, fwds, backs):
+        if cl == "neighborhood":
+            outs.append([
+                clamp_extrema_neighborhood(s, f + 0.5 * (s - b))
+                for s, f, b in zip(srcs, fwd_g, back_g)
+            ])
+            continue
+        # trace clamp: shared two-stage midpoint backtrace per kind
+        px, py, pz, ax = _cropped_positions(grid, kind)
+        off = grid.off_of(kind)
+        crop = tuple(slice(0, s) for s in px.shape)
+        u1, v1, w1 = interp.mac_velocity_3d(u, v, w, px, py, pz, h, packed)
+        mx_, my_, mz_ = (px - 0.5 * dt * u1, py - 0.5 * dt * v1,
+                         pz - 0.5 * dt * w1)
+        u2, v2, w2 = interp.mac_velocity_3d(u, v, w, mx_, my_, mz_, h,
+                                            packed)
+        bx, by, bz = px - dt * u2, py - dt * v2, pz - dt * w2
+        kouts = []
+        for src, fwd, back in zip(srcs, fwd_g, back_g):
+            dst = (fwd + 0.5 * (src - back))[crop]
+            from gpufluidsimulation_tpu.ops import interp_fast
+
+            mn, mx = interp_fast.minmax3_fast(
+                src, bx, by, bz, h, off, Rr=_cfg.interp_rr(),
+                interpret=_cfg.interp_interpret(),
+            )
+            fallback = interp.sample3_lattice(src, bx, by, bz, h, off,
+                                              values=True)
+            clamped = jnp.where((dst < mn) | (dst > mx), fallback, dst)
+            kouts.append(_pad_plane(clamped, src, ax))
+        outs.append(kouts)
     return outs
 
 

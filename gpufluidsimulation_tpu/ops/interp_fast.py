@@ -93,6 +93,15 @@ _BZ_ENV = os.environ.get("GFS_INTERP_BZ", "auto")
 # trips a handful of samples per frame at CFL ~2.6+, which the strict
 # CLI mode would then retry on the exact path every frame)
 _RK3_XNT = int(os.environ.get("GFS_RK3_XNT", "7"))
+# Two-tier static-x-tap mode (r5): the per-block live width (prepass stats
+# + clip shift, margin included) selects between a LO tap loop (default 5
+# — covers 86-100% of blocks on the developed 256^3 bench flow, measured
+# histogram: entry widths 4 for all blocks, after 2 substeps <=5 for 96%,
+# after 3 for 86%) and the full XNT loop, ONE predicate per block over the
+# whole stage body (the per-channel predication that loses — see
+# _sample_mac_stage's docstring — has 18 small regions; this has 2 large
+# ones). 0 disables the split.
+_RK3_XNT_LO = int(os.environ.get("GFS_RK3_XNT_LO", "5"))
 # The same narrowing in the fused DMC kernel's map gather (5 static taps)
 # measured ~1.5 ms at 256^3 — NOT worth tightening that kernel's
 # documented |d| <= Rr+0.5 displacement contract (a 2.24-cell legal
@@ -205,7 +214,8 @@ def _overflow_count(stats, Rr):
 
 def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
              dspan=((0.0, 0.0), (0.0, 0.0), (0.0, 0.0)),
-             want_count=False, x_taps=None, x_margin=0, count_x=True):
+             want_count=False, x_taps=None, x_margin=0, count_x=True,
+             want_x_widths=False):
     """Per-block scalars [ox, oy, sy_slack, ozw, g0, ylo, nyt, zlo, nzt].
 
     ox: x window origin (arbitrary); oy: y origin (floor-8, slack absorbed
@@ -291,7 +301,12 @@ def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
             jnp.floor(mxx + q_x + dspan[0][1]).astype(jnp.int32) + 1
             + x_margin, 0, W - 1)
         count_x_taps = jnp.sum(xhi_i - xlo_i + 1 > x_taps, dtype=jnp.int32)
-        ox = jnp.clip(ox + xlo_i, 0, fs_xy[0] - (BX + x_taps - 1))
+        ox_intended = ox + xlo_i
+        ox = jnp.clip(ox_intended, 0, fs_xy[0] - (BX + x_taps - 1))
+        # effective per-block live x width for the two-tier kernel: the
+        # raw live range plus any origin-clip shift (a clipped origin
+        # slides every element's taps by the clip distance)
+        x_widths = (xhi_i - xlo_i + 1) + jnp.abs(ox_intended - ox)
 
     if not want_count:
         count = None
@@ -312,7 +327,12 @@ def _origins(gx, gy, gz, fs_xy, *, Rr, P, nb,
          for v in (ox, oy, slack, ozw, g0, ylo, nyt, zlo, nzt)],
         axis=-1,
     ).reshape(-1)
-    return (packed, count) if want_count else packed
+    out = (packed,)
+    if want_count:
+        out = out + (count,)
+    if want_x_widths:
+        out = out + (jnp.broadcast_to(x_widths, shape3).reshape(-1),)
+    return out if len(out) > 1 else packed
 
 
 def _origins_union(pos_sets, fs_xy, *, Rr, P, nb):
@@ -1610,7 +1630,7 @@ def _sample_mac_stage(win_all, lx, ly, lz, deltas, block, Rr, x_static=None,
 
 def _kernel_rk3(origin_ref, gx_ref, gy_ref, gz_ref, sh_ref, fields_hbm,
                 out_ref, cnt_ref, win_ref, sem, *, Rr, block, win_shape,
-                deltas, clamp, x_taps=None):
+                deltas, clamp, x_taps=None, widths_ref=None, x_taps_lo=0):
     blk, slot = _pipeline_window(origin_ref, fields_hbm, win_ref, sem,
                                  win_shape)
     ox, oy, sy, ozw, g0 = _block_scalars(origin_ref, blk)
@@ -1618,21 +1638,6 @@ def _kernel_rk3(origin_ref, gx_ref, gy_ref, gz_ref, sh_ref, fields_hbm,
     win_all = _rebased_window(win_ref.at[slot], sy, g0 - ozw, 2)
     sh = sh_ref[0, 0]  # signed substep dt / h (world velocity -> grid disp)
 
-    xs = None if x_taps is None else (0, x_taps)
-    wv = x_taps is not None
-    (u1, v1, w1), x_v1 = _sample_mac_stage(
-        win_all, lx, ly, lz, deltas, block, Rr, x_static=xs,
-        want_x_viol=True)
-    a = 0.5 * sh
-    (u2, v2, w2), x_v2 = _sample_mac_stage(
-        win_all, lx + a * u1, ly + a * v1, lz + a * w1, deltas, block, Rr,
-        x_static=xs, want_x_viol=True,
-    )
-    b = 0.75 * sh
-    (u3, v3, w3), x_v3 = _sample_mac_stage(
-        win_all, lx + b * u2, ly + b * v2, lz + b * w2, deltas, block, Rr,
-        x_static=xs, want_x_viol=True,
-    )
     # EXACT static-x-tap truncation count (not the prepass's conservative
     # worst-case-drift bound): accumulated over the sequential grid like
     # the DMC kernel's in-kernel contract monitor
@@ -1640,29 +1645,77 @@ def _kernel_rk3(origin_ref, gx_ref, gy_ref, gz_ref, sh_ref, fields_hbm,
     def _():
         cnt_ref[0, 0] = 0
 
-    if wv:
-        viol = x_v1 | x_v2 | x_v3
-        cnt_ref[0, 0] += jnp.sum(viol.astype(jnp.int32))
-    c1 = (2.0 / 9.0) * sh
-    c2 = (3.0 / 9.0) * sh
-    c3 = (4.0 / 9.0) * sh
-    out_ref[0] = jnp.clip(
-        gx_ref[...] + c1 * u1 + c2 * u2 + c3 * u3, clamp[0], clamp[1]
-    )
-    out_ref[1] = jnp.clip(
-        gy_ref[...] + c1 * v1 + c2 * v2 + c3 * v3, clamp[2], clamp[3]
-    )
-    out_ref[2] = jnp.clip(
-        gz_ref[...] + c1 * w1 + c2 * w2 + c3 * w3, clamp[4], clamp[5]
-    )
+    def stages(nx_taps):
+        xs = None if nx_taps is None else (0, nx_taps)
+        wv = nx_taps is not None
+        (u1, v1, w1), x_v1 = _sample_mac_stage(
+            win_all, lx, ly, lz, deltas, block, Rr, x_static=xs,
+            want_x_viol=True)
+        a = 0.5 * sh
+        (u2, v2, w2), x_v2 = _sample_mac_stage(
+            win_all, lx + a * u1, ly + a * v1, lz + a * w1, deltas, block,
+            Rr, x_static=xs, want_x_viol=True,
+        )
+        b = 0.75 * sh
+        (u3, v3, w3), x_v3 = _sample_mac_stage(
+            win_all, lx + b * u2, ly + b * v2, lz + b * w2, deltas, block,
+            Rr, x_static=xs, want_x_viol=True,
+        )
+        if wv:
+            viol = x_v1 | x_v2 | x_v3
+            cnt_ref[0, 0] += jnp.sum(viol.astype(jnp.int32))
+        c1 = (2.0 / 9.0) * sh
+        c2 = (3.0 / 9.0) * sh
+        c3 = (4.0 / 9.0) * sh
+        out_ref[0] = jnp.clip(
+            gx_ref[...] + c1 * u1 + c2 * u2 + c3 * u3, clamp[0], clamp[1]
+        )
+        out_ref[1] = jnp.clip(
+            gy_ref[...] + c1 * v1 + c2 * v2 + c3 * v3, clamp[2], clamp[3]
+        )
+        out_ref[2] = jnp.clip(
+            gz_ref[...] + c1 * w1 + c2 * w2 + c3 * w3, clamp[4], clamp[5]
+        )
+
+    if widths_ref is None or not x_taps or not x_taps_lo \
+            or x_taps_lo >= x_taps:
+        stages(x_taps)
+        return
+
+    # two-tier x taps: ONE whole-body predicate per block — blocks whose
+    # live width (prepass stats + clip shift, margin included) fits the
+    # LO range loop x_taps_lo static taps, the rest the full x_taps.
+    # Identical semantics: a LO block's taps fit its range by
+    # construction (stage drift < 0.75 cell is inside the +-1 margin),
+    # and any escapee is clamped + counted exactly like the HI loop's.
+    wx_blk = widths_ref[blk]
+
+    @pl.when(wx_blk <= x_taps_lo)
+    def _():
+        stages(x_taps_lo)
+
+    @pl.when(wx_blk > x_taps_lo)
+    def _():
+        stages(x_taps)
+
+
+def _kernel_rk3_twotier(origin_ref, widths_ref, gx_ref, gy_ref, gz_ref,
+                        sh_ref, fields_hbm, out_ref, cnt_ref, win_ref, sem,
+                        **kw):
+    """_kernel_rk3 with the per-block live-width prefetch vector as a
+    second scalar-prefetch argument (two-tier static x taps)."""
+    return _kernel_rk3(origin_ref, gx_ref, gy_ref, gz_ref, sh_ref,
+                       fields_hbm, out_ref, cnt_ref, win_ref, sem,
+                       widths_ref=widths_ref, **kw)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Rr", "P", "interpret", "deltas", "clamp", "x_taps"),
+    static_argnames=("Rr", "P", "interpret", "deltas", "clamp", "x_taps",
+                     "gate_nx"),
 )
 def _rk3_padded(fields_padded, gx, gy, gz, sh, *, Rr, P, interpret, deltas,
-                clamp, x_taps=None):
+                clamp, x_taps=None, gate_nx=None):
     """One fused RK3 substep over padded-coord position lattices; returns
     (stacked (3, ...) new positions in the same padded channel-0 coords,
     contract-violation count of this launch's origins prepass)."""
@@ -1680,8 +1733,10 @@ def _rk3_padded(fields_padded, gx, gy, gz, sh, *, Rr, P, interpret, deltas,
     # one 16-wide block spans most of the domain, whole-domain velocity
     # variation lands in a single block and the cap would clip real taps.
     # nb_x >= 4 keeps every small-grid parity test bit-exact and enables
-    # the narrowing everywhere production runs (>= 64^3).
-    if x_taps and nx // BX < 4:
+    # the narrowing everywhere production runs (>= 64^3). Multi-kind
+    # concatenated launches pass gate_nx = their per-kind SECTION extent
+    # so the gate fires exactly where the per-kind launches' would.
+    if x_taps and (gate_nx if gate_nx is not None else nx) // BX < 4:
         x_taps = None
     if x_taps:
         # static-x-tap mode: per-block origins sit at the live-tap start
@@ -1695,46 +1750,65 @@ def _rk3_padded(fields_padded, gx, gy, gz, sh, *, Rr, P, interpret, deltas,
         # in-kernel per-stage count below feeds the frame overflow
         # monitor -> step_checked's exact-path retry.
         Wx = BX + x_taps - 1
+        two_tier = 0 < _RK3_XNT_LO < x_taps
         # y/z window-fit violations counted in the prepass; x truncation
         # counted EXACTLY in-kernel per stage (count_x=False drops the
         # prepass's conservative worst-case-drift x bound)
-        origins, cnt = _origins(gx, gy, gz, fs, Rr=Rk, P=P, nb=nb,
-                                want_count=True, x_taps=x_taps, x_margin=1,
-                                count_x=False)
+        res = _origins(gx, gy, gz, fs, Rr=Rk, P=P, nb=nb,
+                       want_count=True, x_taps=x_taps, x_margin=1,
+                       count_x=False, want_x_widths=two_tier)
+        if two_tier:
+            origins, cnt, widths = res
+        else:
+            origins, cnt = res
+            widths = None
     else:
         Wx = BX + 2 * Rk + 2
         origins = _origins(gx, gy, gz, fs, Rr=Rk, P=P, nb=nb)
         cnt = jnp.int32(0)
+        widths = None
     win_shape = (C, Wx, WY_WIN, _wz_win(bz))
 
+    nsp = 1 if widths is None else 2
+    osl = (lambda i, j, k, o: (i, j, k)) if nsp == 1 else \
+        (lambda i, j, k, o, w_: (i, j, k))
+    osl0 = (lambda i, j, k, o: (0, i, j, k)) if nsp == 1 else \
+        (lambda i, j, k, o, w_: (0, i, j, k))
+    osl1 = (lambda i, j, k, o: (0, 0)) if nsp == 1 else \
+        (lambda i, j, k, o, w_: (0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=nsp,
         grid=nb,
         in_specs=[
-            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(block, lambda i, j, k, o: (i, j, k),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, osl, memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, osl, memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, osl, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((C,) + block, lambda i, j, k, o: (0, i, j, k),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j, k, o: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((C,) + block, osl0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), osl1, memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((2,) + win_shape, fields_padded.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(
-        _kernel_rk3, Rr=Rk, block=block, win_shape=win_shape, deltas=deltas,
-        clamp=clamp, x_taps=x_taps or None,
-    )
+    if widths is None:
+        kernel = functools.partial(
+            _kernel_rk3, Rr=Rk, block=block, win_shape=win_shape,
+            deltas=deltas, clamp=clamp, x_taps=x_taps or None,
+        )
+        args = (origins, gx, gy, gz, sh.reshape(1, 1), fields_padded)
+    else:
+        kernel = functools.partial(
+            _kernel_rk3_twotier, Rr=Rk, block=block, win_shape=win_shape,
+            deltas=deltas, clamp=clamp, x_taps=x_taps,
+            x_taps_lo=_RK3_XNT_LO,
+        )
+        args = (origins, widths, gx, gy, gz, sh.reshape(1, 1),
+                fields_padded)
     out, kcnt = pl.pallas_call(
         kernel,
         out_shape=(
@@ -1746,17 +1820,25 @@ def _rk3_padded(fields_padded, gx, gy, gz, sh, *, Rr, P, interpret, deltas,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(origins, gx, gy, gz, sh.reshape(1, 1), fields_padded)
+    )(*args)
     return out, cnt + jnp.sum(kcnt)
 
 
 def _kernel_rk3_ident(sh_ref, k1_ref, fields_hbm, out_ref, win_ref, sem, *,
-                      Rr, block, win_shape, fs, P, deltas, clamp, off0):
+                      Rr, block, win_shape, fs, P, deltas, clamp, off0,
+                      node_off=(0.0, 0.0, 0.0)):
     """The identity-start RK3 substep: positions are the node lattice, so
     window origins are STATIC (no prepass, 3-tile z window as in the fused
-    DMC kernel) and the stage-1 velocity is the precomputed cell-centered
-    MAC average `k1` (a plain block input) — only stages 2 and 3 sample
-    the velocity windows. `Rr` here is the widened reach Rk = Rr + 1."""
+    DMC kernel) and the stage-1 velocity is the precomputed MAC average
+    `k1` AT the node lattice (a plain block input) — only stages 2 and 3
+    sample the velocity windows. `Rr` here is the widened reach Rk = Rr+1.
+
+    `node_off` is the lattice kind's per-axis node offset in cells (0 for
+    the map/cell lattice, -0.5 on the staggered axis of u/v/w cropped
+    lattices — node_coords convention (i - 0.5*dim)*h). The static 5-tap
+    x band still holds: rel = Rk+1 + node_off + delta_ch + drift with
+    |node_off| <= 0.5, |delta_ch| <= 0.5, drift < 0.75 -> taps within
+    [Rk-1, Rk+3]."""
     nb1 = pl.num_programs(1)
     nb2 = pl.num_programs(2)
     bi = pl.program_id(0)
@@ -1795,13 +1877,16 @@ def _kernel_rk3_ident(sh_ref, k1_ref, fields_hbm, out_ref, win_ref, sem, *,
     win_all = _rebased_window(win_ref.at[slot], sy, relz, 2, out_z=oz)
 
     # identity positions, replicating the array path's float ops exactly:
-    # px = i*h (the identity map), gx = px/h - off0 + P
+    # px = (i + node_off)*h (node_coords), gx = px/h - off0 + P
     a = jax.lax.broadcasted_iota(jnp.int32, block, 0)
     b = jax.lax.broadcasted_iota(jnp.int32, block, 1)
     c = jax.lax.broadcasted_iota(jnp.int32, block, 2)
-    gx = ((bi * BX + a).astype(jnp.float32) * h) / h - off0[0] + P
-    gy = ((bj * BY + b).astype(jnp.float32) * h) / h - off0[1] + P
-    gz = ((bk * block[2] + c).astype(jnp.float32) * h) / h - off0[2] + FRONT_Z
+    gx = (((bi * BX + a).astype(jnp.float32) + node_off[0]) * h) / h \
+        - off0[0] + P
+    gy = (((bj * BY + b).astype(jnp.float32) + node_off[1]) * h) / h \
+        - off0[1] + P
+    gz = (((bk * block[2] + c).astype(jnp.float32) + node_off[2]) * h) / h \
+        - off0[2] + FRONT_Z
     lx = gx - ox.astype(jnp.float32)
     ly = gy - (oy + sy).astype(jnp.float32)
     lz = gz - (ozw + relz).astype(jnp.float32)
@@ -1836,10 +1921,11 @@ def _kernel_rk3_ident(sh_ref, k1_ref, fields_hbm, out_ref, win_ref, sem, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("Rr", "P", "interpret", "deltas", "clamp", "off0"),
+    static_argnames=("Rr", "P", "interpret", "deltas", "clamp", "off0",
+                     "node_off"),
 )
 def _rk3_padded_ident(fields_padded, k1, sh, h, *, Rr, P, interpret, deltas,
-                      clamp, off0):
+                      clamp, off0, node_off=(0.0, 0.0, 0.0)):
     """The peeled identity-start RK3 substep (static origins, no position
     inputs). `k1` is the stacked (3, nx, ny, Z) cell-centered MAC average
     on the block lattice; returns new positions in padded channel-0 coords
@@ -1856,7 +1942,7 @@ def _rk3_padded_ident(fields_padded, k1, sh, h, *, Rr, P, interpret, deltas,
     win_shape = (C, Wx, WY_WIN, _wz_win(bz, static=True))
     kernel = functools.partial(
         _kernel_rk3_ident, Rr=Rk, block=block, win_shape=win_shape, fs=fs,
-        P=P, deltas=deltas, clamp=clamp, off0=off0,
+        P=P, deltas=deltas, clamp=clamp, off0=off0, node_off=node_off,
     )
     scalars = jnp.stack([sh, h]).astype(jnp.float32).reshape(1, 2)
     return pl.pallas_call(
@@ -1884,7 +1970,8 @@ def _rk3_padded_ident(fields_padded, k1, sh, h, *, Rr, P, interpret, deltas,
 
 def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
                     lo=1.0, hi=1.0, Rr=2, interpret=False,
-                    from_identity=False, k1=None):
+                    from_identity=False, k1=None, gate_nx=None,
+                    node_off=(0.0, 0.0, 0.0)):
     """CFL-substepped RK3 characteristic trace with each substep's three MAC
     velocity stages fused into ONE window kernel (the trace loop of
     GPU_kernel.cu:92-125). Positions stay in padded block-multiple grid
@@ -1955,7 +2042,7 @@ def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
         g2, c2 = _rk3_padded(
             packed, g[0], g[1], g[2], (sign * sub / h).astype(jnp.float32),
             Rr=Rr, P=P, interpret=interpret, deltas=deltas, clamp=clamp,
-            x_taps=x_taps,
+            x_taps=x_taps, gate_nx=gate_nx,
         )
         if has_rim:
             g2 = _rerim(g2)
@@ -1977,6 +2064,7 @@ def trace_rk3_fused(packed, px, py, pz, h, cfldt, dt, offs, grid_n, *,
             jnp.float32(h), Rr=Rr, P=P, interpret=interpret, deltas=deltas,
             clamp=clamp,
             off0=(float(off0[0]), float(off0[1]), float(off0[2])),
+            node_off=tuple(float(o) for o in node_off),
         )
         if has_rim:
             g0_ = _rerim(g0_)

@@ -493,28 +493,29 @@ def _vel_pack(g, u, v, w):
 
 
 def _semilag_vel(g, u, v, w, au, av, aw, cfldt, dt, packed=None):
-    """Advect the (au,av,aw) staggered triplet by tracing in (u,v,w)."""
+    """Advect the (au,av,aw) staggered triplet by tracing in (u,v,w) —
+    one fused multi-kind trace for all three lattices
+    (advect.semilag_kinds_3d)."""
     if packed is None:
         packed = _vel_pack(g, u, v, w)
-    nu = advect.semilag_3d(g, "u", au, u, v, w, cfldt, dt, packed)
-    nv = advect.semilag_3d(g, "v", av, u, v, w, cfldt, dt, packed)
-    nw = advect.semilag_3d(g, "w", aw, u, v, w, cfldt, dt, packed)
+    (nu,), (nv,), (nw,) = advect.semilag_kinds_3d(
+        g, [("u", [au]), ("v", [av]), ("w", [aw])],
+        u, v, w, cfldt, dt, packed)
     return nu, nv, nw
 
 
 def _maccormack_vel(g, u, v, w, au, av, aw, cfldt, dt, packed=None):
     """MacCormack of the staggered triplet (fields == tracing velocity is the
-    common case; reflection's second half advects the reflected field)."""
+    common case; reflection's second half advects the reflected field).
+    Forward and backward semilag stages each run as one fused multi-kind
+    trace; the clamp is the velocity variant (27-pt neighborhood,
+    clampExtrema_kernel GPU_kernel.cu:146-167)."""
     if packed is None:
         packed = _vel_pack(g, u, v, w)
-    fu, fv, fw = _semilag_vel(g, u, v, w, au, av, aw, cfldt, -dt, packed)
-    bu, bv, bw = _semilag_vel(g, u, v, w, fu, fv, fw, cfldt, dt, packed)
-    cu = fu + 0.5 * (au - bu)
-    cv = fv + 0.5 * (av - bv)
-    cw = fw + 0.5 * (aw - bw)
-    cu = advect.clamp_extrema_neighborhood(au, cu)
-    cv = advect.clamp_extrema_neighborhood(av, cv)
-    cw = advect.clamp_extrema_neighborhood(aw, cw)
+    (cu,), (cv,), (cw,) = advect.maccormack_kinds_3d(
+        g, [("u", [au], "neighborhood"), ("v", [av], "neighborhood"),
+            ("w", [aw], "neighborhood")],
+        u, v, w, cfldt, dt, packed)
     return cu, cv, cw
 
 
@@ -527,9 +528,11 @@ def _step_semilag(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     dt = cfg.dt
     cfldt = g.h / _max_velocity(s.u, s.v, s.w)
     packed = _vel_pack(g, s.u, s.v, s.w)
-    rho, T = advect.semilag_multi_3d(
-        g, "c", [s.rho, s.T], s.u, s.v, s.w, cfldt, -dt, packed)
-    u, v, w = _semilag_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, -dt, packed)
+    # all four lattice kinds share ONE fused multi-kind backtrace per
+    # substep (advect.semilag_kinds_3d)
+    (rho, T), (u,), (v,), (w,) = advect.semilag_kinds_3d(
+        g, [("c", [s.rho, s.T]), ("u", [s.u]), ("v", [s.v]), ("w", [s.w])],
+        s.u, s.v, s.w, cfldt, -dt, packed)
     u, v, w, rho, T = _forces_and_project(cfg, g, ctx, u, v, w, rho, T, s.frame, dt)
     bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
     rho = _clear_boundary(bnd, rho)
@@ -545,10 +548,12 @@ def _step_maccormack(cfg, g, ctx, s: Smoke3DState) -> Smoke3DState:
     dt = cfg.dt
     cfldt = g.h / _max_velocity(s.u, s.v, s.w)
     packed = _vel_pack(g, s.u, s.v, s.w)  # one pack for every trace below
-    rho, T = advect.maccormack_multi_3d(
-        g, "c", [s.rho, s.T], s.u, s.v, s.w, cfldt, dt, packed)
-    u, v, w = _maccormack_vel(g, s.u, s.v, s.w, s.u, s.v, s.w, cfldt, dt,
-                              packed)
+    # one fused 4-kind trace per semilag stage (forward AND backward);
+    # scalars keep the trace clamp, velocities the neighborhood clamp
+    (rho, T), (u,), (v,), (w,) = advect.maccormack_kinds_3d(
+        g, [("c", [s.rho, s.T], "trace"), ("u", [s.u], "neighborhood"),
+            ("v", [s.v], "neighborhood"), ("w", [s.w], "neighborhood")],
+        s.u, s.v, s.w, cfldt, dt, packed)
     u, v, w, rho, T = _forces_and_project(cfg, g, ctx, u, v, w, rho, T, s.frame, dt)
     bnd = _update_boundary(cfg, g, s.frame, dt) if cfg.boundaries else None
     rho = _clear_boundary(bnd, rho)
