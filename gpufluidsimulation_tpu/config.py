@@ -44,6 +44,7 @@ class EngineMode:
     spectral_poisson: bool | None = None
     pallas_diffuse: bool | None = None
     interp_interpret: bool | None = None
+    particle_dense: bool | None = None
     sharded_sampling: tuple | None = None
 
     def __hash__(self):  # mesh objects in sharded_sampling aren't hashable
@@ -52,7 +53,7 @@ class EngineMode:
                      self.rbgs,
                      self.interp_bf16,
                      self.spectral_poisson, self.pallas_diffuse,
-                     self.interp_interpret,
+                     self.interp_interpret, self.particle_dense,
                      self.sharded_sampling is not None
                      and len(self.sharded_sampling)))
 
@@ -330,6 +331,77 @@ def set_sharded_sampling(mesh, halo: int = 8) -> None:
     (extent divisible by mesh.size, halo <= local slab)."""
     global _SHARDED_SAMPLING
     _SHARDED_SAMPLING = None if mesh is None else (mesh, int(halo))
+
+
+_PDENSE_ENV = os.environ.get("GFS_PARTICLE_DENSE")
+_PDENSE: bool | None = (
+    None if _PDENSE_ENV is None else _PDENSE_ENV not in ("0", "false")
+)
+_PARTICLE_K = int(os.environ.get("GFS_PARTICLE_K", "0"))
+_PARTICLE_R = int(os.environ.get("GFS_PARTICLE_R", "3"))
+
+
+def particle_dense() -> bool:
+    """Route the FLIP/APIC/PolyPIC steps through the dense-binned transfer
+    path (solvers/particles_dense.py): particles packed per home cell into
+    K slots, every P2G/G2P/trace a static-shift window op — no 1M-index
+    gathers/scatters (XLA serializes those at ~10 ms each on TPU; they
+    were ~95% of the flat path's frame time). Default: on for TPU
+    backends, off elsewhere (tests compare both). Bin overflow (>K per
+    cell) and window escapes (stage displacement > R cells) are counted
+    into interp_overflow; step_checked retries through the flat path."""
+    m = _mode_field("particle_dense")
+    if m is not None:
+        return m
+    if _PDENSE is not None:
+        return _PDENSE
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
+def set_particle_dense(value: bool | None) -> None:
+    global _PDENSE
+    _PDENSE = value
+
+
+def particle_k(ppc: int) -> int:
+    """Dense-bin slot capacity K. Default 2x the seeded per-cell count
+    (incompressible scenes hold occupancy near the seeded density; the
+    overflow counter guards the tail). GFS_PARTICLE_K overrides."""
+    if _PARTICLE_K > 0:
+        return _PARTICLE_K
+    return 2 * ppc
+
+
+def set_particle_k(value: int) -> None:
+    """Process-wide K override (0 restores the 2x-seeded default)."""
+    global _PARTICLE_K
+    _PARTICLE_K = int(value)
+
+
+def particle_r() -> int:
+    """Dense-path trace window radius R in cells (must cover the frame's
+    total CFL + 1; escapes are counted when it doesn't).
+    GFS_PARTICLE_R overrides (default 3)."""
+    return _PARTICLE_R
+
+
+_PARTICLE_SIDE = int(os.environ.get("GFS_PARTICLE_SIDE", "8192"))
+
+
+def particle_side() -> int:
+    """Sidecar budget: overflow particles (>K per cell — the boundary-ring
+    pile-up the reference's domain clamp creates) handled EXACTLY through
+    the flat scatter/gather path, which is sub-ms at this size. Only the
+    tail beyond the budget trips the overflow contract.
+    GFS_PARTICLE_SIDE overrides (default 8192; 0 disables)."""
+    return _PARTICLE_SIDE
+
+
+def set_particle_side(value: int) -> None:
+    global _PARTICLE_SIDE
+    _PARTICLE_SIDE = int(value)
 
 
 _INTERPRET = os.environ.get("GFS_INTERP_INTERPRET", "0") not in ("0", "false")

@@ -398,8 +398,202 @@ def _advect_particles(g, p, u, v, cfldt, dt):
     return p.replace(pos=jnp.stack([px, py], axis=-1))
 
 
+def _dense_advect_phase(cfg, g, s, dt):
+    """Shared dense-path advection: bin by current positions, trace dense
+    (window R), trace the sidecar overflow exactly through the flat RK3,
+    and return (pos_new, esc, meta0_overflow). The sidecar covers the
+    boundary-ring pile-up the reference's domain clamp creates; only the
+    tail beyond its budget keeps old positions (and is counted)."""
+    from gpufluidsimulation_tpu.solvers import particles_dense as pdense
+
+    K = config_mod.particle_k(cfg.particles_per_cell_axis ** 2)
+    R = config_mod.particle_r()
+    B = config_mod.particle_side()
+    cfldt = g.h / max_vel(s.u, s.v)
+    p = s.particles
+    trash = g.ni * g.nj * K
+
+    meta0 = pdense.BinMeta(g, p.pos, K, side=B)
+    pxd, pyd = meta0.pack([p.pos[:, 0], p.pos[:, 1]])
+    pxd, pyd = pdense.home_center_fill(g, pxd, pyd, meta0.valid)
+    nxd, nyd, esc = pdense.advect_dense(g, s.u, s.v, cfldt, dt, pxd, pyd, R)
+    npx, npy = meta0.unpack([nxd, nyd])
+    keep0 = meta0.slot_take < trash
+    npx = jnp.where(keep0, npx, p.pos[:, 0])
+    npy = jnp.where(keep0, npy, p.pos[:, 1])
+    if meta0.side:
+        sp = jnp.take(p.pos, meta0.side_idx, axis=0)
+        sx, sy = advect.trace_2d(s.u, s.v, g.h, cfldt, dt,
+                                 sp[:, 0], sp[:, 1])
+        sx = jnp.clip(sx, g.h, (g.ni - 1) * g.h)
+        sy = jnp.clip(sy, g.h, (g.nj - 1) * g.h)
+        sv = meta0.side_valid
+        npx = npx.at[meta0.side_idx].set(
+            jnp.where(sv, sx, jnp.take(npx, meta0.side_idx)))
+        npy = npy.at[meta0.side_idx].set(
+            jnp.where(sv, sy, jnp.take(npy, meta0.side_idx)))
+    return jnp.stack([npx, npy], axis=-1), esc, meta0.overflow
+
+
+def _merge_side(flat_cols, side_cols, side_idx, side_valid):
+    """Overwrite sidecar particles' rows with their exactly-computed
+    values (B-sized scatter: cheap)."""
+    out = []
+    for col, scol in zip(flat_cols, side_cols):
+        cur = jnp.take(col, side_idx, axis=0)
+        if col.ndim == 1:
+            out.append(col.at[side_idx].set(
+                jnp.where(side_valid, scol, cur)))
+        else:
+            out.append(col.at[side_idx].set(
+                jnp.where(side_valid[:, None], scol, cur)))
+    return out
+
+
+def _step_flip_dense(cfg, g, ctx, s, dt):
+    """advanceFLIP through the dense-binned transfer path
+    (solvers/particles_dense.py): same formulas as _step_flip, zero
+    large gather/scatter ops. Bin overflow beyond the sidecar budget +
+    trace-window escapes are counted into interp_overflow (step_checked
+    retries via the flat path)."""
+    from gpufluidsimulation_tpu.solvers import particles_dense as pdense
+
+    K = config_mod.particle_k(cfg.particles_per_cell_axis ** 2)
+    B = config_mod.particle_side()
+    p = s.particles
+    trash = g.ni * g.nj * K
+
+    pos_new, esc, over0 = _dense_advect_phase(cfg, g, s, dt)
+
+    meta1 = pdense.BinMeta(g, pos_new, K, side=B)
+    pxd, pyd, vud, vvd, rhod, Td = meta1.pack(
+        [pos_new[:, 0], pos_new[:, 1], p.vel[:, 0], p.vel[:, 1],
+         p.rho, p.T])
+    pxd, pyd = pdense.home_center_fill(g, pxd, pyd, meta1.valid)
+    side = None
+    if meta1.side:
+        spos = jnp.take(pos_new, meta1.side_idx, axis=0)
+        side = (spos,
+                jnp.take(p.vel[:, 0], meta1.side_idx),
+                jnp.take(p.vel[:, 1], meta1.side_idx),
+                jnp.take(p.rho, meta1.side_idx),
+                jnp.take(p.T, meta1.side_idx),
+                meta1.side_valid)
+    u, v, rho, T = pdense.p2g_flip_dense(g, pxd, pyd, vud, vvd, rhod, Td,
+                                         meta1.valid, side=side)
+    u_save, v_save, rho_save, T_save = u, v, rho, T
+    u, v, iters, res = _buoyancy_project(cfg, g, ctx, s, u, v, rho, T, dt)
+    (us, dus), (vs, dvs), (rs, Ts, drs, dTs) = pdense.g2p_dense(
+        g, pxd, pyd, [u, u - u_save], [v, v - v_save],
+        [rho, T, rho - rho_save, T - T_save])
+    fl = cfg.flip_ratio
+    nvu = fl * (vud + dus) + (1 - fl) * us
+    nvv = fl * (vvd + dvs) + (1 - fl) * vs
+    nrho = fl * (rhod + drs) + (1 - fl) * rs
+    nT = fl * (Td + dTs) + (1 - fl) * Ts
+    fvu, fvv, frho, fT = meta1.unpack([nvu, nvv, nrho, nT])
+    keep1 = meta1.slot_take < trash
+    fvu = jnp.where(keep1, fvu, p.vel[:, 0])
+    fvv = jnp.where(keep1, fvv, p.vel[:, 1])
+    frho = jnp.where(keep1, frho, p.rho)
+    fT = jnp.where(keep1, fT, p.T)
+    if meta1.side:
+        spx, spy = spos[:, 0], spos[:, 1]
+        sug, svg, srg, sTg = part.g2p_sample(g, u, v, rho, T, spos)
+        sdu, sdv, sdr, sdT = part.g2p_sample(
+            g, u - u_save, v - v_save, rho - rho_save, T - T_save, spos)
+        ovu = jnp.take(p.vel[:, 0], meta1.side_idx)
+        ovv = jnp.take(p.vel[:, 1], meta1.side_idx)
+        orh = jnp.take(p.rho, meta1.side_idx)
+        oT = jnp.take(p.T, meta1.side_idx)
+        fvu, fvv, frho, fT = _merge_side(
+            [fvu, fvv, frho, fT],
+            [fl * (ovu + sdu) + (1 - fl) * sug,
+             fl * (ovv + sdv) + (1 - fl) * svg,
+             fl * (orh + sdr) + (1 - fl) * srg,
+             fl * (oT + sdT) + (1 - fl) * sTg],
+            meta1.side_idx, meta1.side_valid)
+    p = p.replace(pos=pos_new,
+                  vel=jnp.stack([fvu, fvv], axis=-1), rho=frho, T=fT)
+    overflow = (over0 + meta1.overflow + esc).astype(jnp.int32)
+    return s.replace(u=u, v=v, rho=rho, T=T, particles=p, frame=s.frame + 1,
+                     cfl=max_vel(s.u, s.v) * dt / g.h,
+                     proj_iters=iters, proj_res=res,
+                     interp_overflow=overflow)
+
+
+def _step_polypic_dense(cfg, g, ctx, s, dt, order):
+    """advancePolyPIC/advanceAPIC through the dense-binned path (see
+    _step_flip_dense)."""
+    from gpufluidsimulation_tpu.solvers import particles_dense as pdense
+
+    K = config_mod.particle_k(cfg.particles_per_cell_axis ** 2)
+    B = config_mod.particle_side()
+    p = s.particles
+    trash = g.ni * g.nj * K
+
+    pos_new, esc, over0 = _dense_advect_phase(cfg, g, s, dt)
+
+    meta1 = pdense.BinMeta(g, pos_new, K, side=B)
+    pxd, pyd, Cxd, Cyd, Crd, CTd = meta1.pack(
+        [pos_new[:, 0], pos_new[:, 1], p.C_x, p.C_y, p.C_rho, p.C_T])
+    pxd, pyd = pdense.home_center_fill(g, pxd, pyd, meta1.valid)
+    side = None
+    if meta1.side:
+        spos = jnp.take(pos_new, meta1.side_idx, axis=0)
+        side = (spos,
+                jnp.take(p.C_x, meta1.side_idx, axis=0),
+                jnp.take(p.C_y, meta1.side_idx, axis=0),
+                jnp.take(p.C_rho, meta1.side_idx, axis=0),
+                jnp.take(p.C_T, meta1.side_idx, axis=0),
+                meta1.side_valid)
+    u, v, rho, T = pdense.p2g_poly_dense(g, pxd, pyd, Cxd, Cyd, Crd, CTd,
+                                         order, meta1.valid, side=side)
+    u, v, iters, res = _buoyancy_project(cfg, g, ctx, s, u, v, rho, T, dt)
+    (us,), (vs,), (rs, Ts) = pdense.g2p_dense(
+        g, pxd, pyd, [u], [v], [rho, T])
+    nCx, nCy, nCr, nCT = pdense.update_cp_dense(g, pxd, pyd, u, v, rho, T)
+    fvu, fvv, frho, fT, fCx, fCy, fCr, fCT = meta1.unpack(
+        [us, vs, rs, Ts, nCx, nCy, nCr, nCT])
+    keep1 = meta1.slot_take < trash
+    k4 = keep1[:, None]
+    fvu = jnp.where(keep1, fvu, p.vel[:, 0])
+    fvv = jnp.where(keep1, fvv, p.vel[:, 1])
+    frho = jnp.where(keep1, frho, p.rho)
+    fT = jnp.where(keep1, fT, p.T)
+    fCx = jnp.where(k4, fCx, p.C_x)
+    fCy = jnp.where(k4, fCy, p.C_y)
+    fCr = jnp.where(k4, fCr, p.C_rho)
+    fCT = jnp.where(k4, fCT, p.C_T)
+    if meta1.side:
+        sug, svg, srg, sTg = part.g2p_sample(g, u, v, rho, T, spos)
+        sC = part.update_cp_all(
+            g, part.ParticleState(
+                pos=spos, vel=jnp.zeros_like(spos),
+                rho=srg, T=sTg, C_x=side[1], C_y=side[2],
+                C_rho=side[3], C_T=side[4]),
+            u, v, rho, T)
+        fvu, fvv, frho, fT = _merge_side(
+            [fvu, fvv, frho, fT], [sug, svg, srg, sTg],
+            meta1.side_idx, meta1.side_valid)
+        fCx, fCy, fCr, fCT = _merge_side(
+            [fCx, fCy, fCr, fCT],
+            [sC.C_x, sC.C_y, sC.C_rho, sC.C_T],
+            meta1.side_idx, meta1.side_valid)
+    p = p.replace(pos=pos_new,
+                  vel=jnp.stack([fvu, fvv], axis=-1), rho=frho, T=fT,
+                  C_x=fCx, C_y=fCy, C_rho=fCr, C_T=fCT)
+    overflow = (over0 + meta1.overflow + esc).astype(jnp.int32)
+    return s.replace(u=u, v=v, rho=rho, T=T, particles=p, frame=s.frame + 1,
+                     cfl=max_vel(s.u, s.v) * dt / g.h,
+                     proj_iters=iters, proj_res=res,
+                     interp_overflow=overflow)
+
+
 def _step_flip(cfg, g, ctx, s, dt):
     """advanceFLIP (cpp:1476-1584)."""
+    if config_mod.particle_dense():
+        return _step_flip_dense(cfg, g, ctx, s, dt)
     cfldt = g.h / max_vel(s.u, s.v)
     p = _advect_particles(g, s.particles, s.u, s.v, cfldt, dt)
     # one bin sort per frame: every splat below becomes a sort-free
@@ -428,6 +622,8 @@ def _step_flip(cfg, g, ctx, s, dt):
 
 def _step_polypic(cfg, g, ctx, s, dt, order):
     """advancePolyPIC — also serves APIC (cpp:1592-1715)."""
+    if config_mod.particle_dense():
+        return _step_polypic_dense(cfg, g, ctx, s, dt, order)
     cfldt = g.h / max_vel(s.u, s.v)
     p = _advect_particles(g, s.particles, s.u, s.v, cfldt, dt)
     p = part.bin_sort(g, p)  # see _step_flip
@@ -491,7 +687,7 @@ class Smoke2D:
             if self._fallback_step is None:
                 mode = dataclasses.replace(
                     self.cfg.engine_mode or config_mod.EngineMode(),
-                    fast_interp=False)
+                    fast_interp=False, particle_dense=False)
 
                 def _scoped_fb(st, dt_):
                     with config_mod.engine_mode_scope(mode):
