@@ -76,9 +76,10 @@ class BinMeta:
         bi = jnp.clip(jnp.floor(pos[:, 0] / h).astype(jnp.int32), 0, ni - 1)
         bj = jnp.clip(jnp.floor(pos[:, 1] / h).astype(jnp.int32), 0, nj - 1)
         key = bi * nj + bj
-        order = jnp.argsort(key)
-        ks = jnp.take(key, order)
         iota = jnp.arange(P, dtype=jnp.int32)
+        # one sort yields both the sorted keys and the order (an argsort +
+        # separate take re-reads the 1M keys for ~3 ms extra)
+        ks, order = lax.sort_key_val(key, iota)
         newseg = jnp.concatenate(
             [jnp.ones((1,), bool), ks[1:] != ks[:-1]])
         rank = iota - lax.cummax(jnp.where(newseg, iota, 0))
