@@ -102,6 +102,10 @@ _RK3_XNT = int(os.environ.get("GFS_RK3_XNT", "7"))
 # _sample_mac_stage's docstring — has 18 small regions; this has 2 large
 # ones). 0 disables the split.
 _RK3_XNT_LO = int(os.environ.get("GFS_RK3_XNT_LO", "5"))
+# Third tier (r5): blocks whose live width fits 4 taps — the measured
+# histogram's "entry widths 4 for ALL blocks" after the first windowed
+# substep — run a 4-tap loop. 0 disables (falls back to two-tier).
+_RK3_XNT_LO2 = int(os.environ.get("GFS_RK3_XNT_LO2", "4"))
 # The same narrowing in the fused DMC kernel's map gather (5 static taps)
 # measured ~1.5 ms at 256^3 — NOT worth tightening that kernel's
 # documented |d| <= Rr+0.5 displacement contract (a 2.24-cell legal
@@ -1595,6 +1599,10 @@ def _sample_mac_stage(win_all, lx, ly, lz, deltas, block, Rr, x_static=None,
                       want_x_viol=False):
     """The 3 MAC channels at window-local coords (lx,ly,lz) + channel deltas.
 
+    `x_static` is (x0, nxt) shared by the channels, or a per-channel list
+    of such tuples (the ident kernel derives a tighter static band per
+    channel from its compile-time delta, see _ident_x_bands).
+
     Stays on the roll-per-tap adaptive form: routing these stages through
     _trilerp_when (writing each channel via a VMEM stage scratch so the
     predicated branches have a ref destination) measured +69 ms on the
@@ -1605,27 +1613,49 @@ def _sample_mac_stage(win_all, lx, ly, lz, deltas, block, Rr, x_static=None,
     a = jax.lax.broadcasted_iota(jnp.int32, block, 0).astype(jnp.float32)
     b = jax.lax.broadcasted_iota(jnp.int32, block, 1).astype(jnp.float32)
     c = jax.lax.broadcasted_iota(jnp.int32, block, 2).astype(jnp.float32)
+    per_ch = x_static is not None and not isinstance(x_static[0], int)
     outs = []
     viol = None
     for ch, (dxo, dyo, dzo) in enumerate(deltas):
+        xs = x_static[ch] if per_ch else x_static
         lxc, lyc, lzc = lx + dxo, ly + dyo, lz + dzo
         ylo, nyt = _live_taps(lyc - b, W)
         zlo, nzt = _live_taps(lzc - c, W)
-        if want_x_viol and x_static is not None:
+        if want_x_viol and xs is not None:
             # EXACT truncation test: element taps {floor(rel), floor+1}
             # fit the static range [x0, x0+xn) iff rel in [x0, x0+xn-1)
             relx = lxc - a
-            v = (relx < x_static[0]) | (relx >= x_static[0] + x_static[1] - 1)
+            v = (relx < xs[0]) | (relx >= xs[0] + xs[1] - 1)
             viol = v if viol is None else (viol | v)
         outs.append(
             _trilerp_sum_adaptive(
                 win_all[ch], lxc, lyc, lzc, (ylo, nyt, zlo, nzt), block, Rr,
-                x_static=x_static,
+                x_static=xs,
             )
         )
     if want_x_viol:
         return outs, viol
     return outs
+
+
+def _ident_x_bands(Rr, base_x, deltas, drift):
+    """Per-channel STATIC x-tap bands for the identity-start kernel: the
+    stage position's x rel-coord is Rr+1 + (node_off - off0) + delta_ch +
+    drift with the per-axis stage drift bounded by the CFL substep
+    (|0.5*sh*u| <= 0.5 cell at stage 2, |0.75*sh*u| <= 0.75 at stage 3 —
+    interpolated velocity is bounded by the field max that set cfldt).
+    Element taps {floor(rel), floor+1} then span 3 taps at stage 2 and
+    3-4 at stage 3 per channel, vs the 5 of the drift<1 channel-union
+    band. `base_x` = node_off[0] - off0[0]."""
+    import math
+
+    bands = []
+    for (dxo, _, _) in deltas:
+        q = base_x + dxo
+        lo = math.floor(Rr + 1 + q - drift)
+        hi = math.floor(Rr + 1 + q + drift) + 1
+        bands.append((lo, hi - lo + 1))
+    return bands
 
 
 def _kernel_rk3(origin_ref, gx_ref, gy_ref, gz_ref, sh_ref, fields_hbm,
@@ -1682,17 +1712,27 @@ def _kernel_rk3(origin_ref, gx_ref, gy_ref, gz_ref, sh_ref, fields_hbm,
         stages(x_taps)
         return
 
-    # two-tier x taps: ONE whole-body predicate per block — blocks whose
+    # tiered x taps: ONE whole-body predicate per block — blocks whose
     # live width (prepass stats + clip shift, margin included) fits the
-    # LO range loop x_taps_lo static taps, the rest the full x_taps.
-    # Identical semantics: a LO block's taps fit its range by
+    # LO2 range loop 4 static taps, the LO range 5, the rest the full
+    # x_taps. Identical semantics: a LO block's taps fit its range by
     # construction (stage drift < 0.75 cell is inside the +-1 margin),
     # and any escapee is clamped + counted exactly like the HI loop's.
     wx_blk = widths_ref[blk]
+    lo2 = _RK3_XNT_LO2 if 0 < _RK3_XNT_LO2 < x_taps_lo else 0
 
-    @pl.when(wx_blk <= x_taps_lo)
-    def _():
-        stages(x_taps_lo)
+    if lo2:
+        @pl.when(wx_blk <= lo2)
+        def _():
+            stages(lo2)
+
+        @pl.when((wx_blk > lo2) & (wx_blk <= x_taps_lo))
+        def _():
+            stages(x_taps_lo)
+    else:
+        @pl.when(wx_blk <= x_taps_lo)
+        def _():
+            stages(x_taps_lo)
 
     @pl.when(wx_blk > x_taps_lo)
     def _():
@@ -1895,18 +1935,23 @@ def _kernel_rk3_ident(sh_ref, k1_ref, fields_hbm, out_ref, win_ref, sem, *,
     v1 = k1_ref[1]
     w1 = k1_ref[2]
     # identity positions make the live x taps STATIC by construction:
-    # rel = Rr+1 - off_ch + drift with |off_ch| <= 0.5 and stage drift
-    # < 0.75 cells (CFL substep bound) -> taps [Rr-1, Rr+3], 5 of 2Rr+3
-    xs = (Rr - 1, 5) if _RK3_XNT else None
+    # rel = Rr+1 + (node_off - off0) + delta_ch + drift, and the per-axis
+    # stage drift is bounded by the CFL substep (|0.5*sh*u| <= 0.5 cell
+    # at stage 2, |0.75*sh*u| <= 0.75 at stage 3) — so each channel's
+    # band is 3 taps at stage 2 and 3-4 at stage 3, vs 5 for the old
+    # channel-union drift<1 band (r5: ~35% fewer x-tap rolls per peel)
+    base_x = node_off[0] - off0[0]
+    xs2 = _ident_x_bands(Rr, base_x, deltas, 0.5) if _RK3_XNT else None
+    xs3 = _ident_x_bands(Rr, base_x, deltas, 0.75) if _RK3_XNT else None
     aa = 0.5 * sh
     u2, v2, w2 = _sample_mac_stage(
         win_all, lx + aa * u1, ly + aa * v1, lz + aa * w1, deltas, block, Rr,
-        x_static=xs,
+        x_static=xs2,
     )
     bb = 0.75 * sh
     u3, v3, w3 = _sample_mac_stage(
         win_all, lx + bb * u2, ly + bb * v2, lz + bb * w2, deltas, block, Rr,
-        x_static=xs,
+        x_static=xs3,
     )
     c1 = (2.0 / 9.0) * sh
     c2 = (3.0 / 9.0) * sh
