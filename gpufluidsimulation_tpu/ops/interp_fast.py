@@ -106,6 +106,9 @@ _RK3_XNT_LO = int(os.environ.get("GFS_RK3_XNT_LO", "5"))
 # histogram's "entry widths 4 for ALL blocks" after the first windowed
 # substep — run a 4-tap loop. 0 disables (falls back to two-tier).
 _RK3_XNT_LO2 = int(os.environ.get("GFS_RK3_XNT_LO2", "4"))
+# Per-channel static x bands in the peel kernel (see _ident_x_bands);
+# 0 restores the shared 5-tap channel-union band.
+_IDENT_BANDS = os.environ.get("GFS_IDENT_BANDS", "1") not in ("0", "false")
 # The same narrowing in the fused DMC kernel's map gather (5 static taps)
 # measured ~1.5 ms at 256^3 — NOT worth tightening that kernel's
 # documented |d| <= Rr+0.5 displacement contract (a 2.24-cell legal
@@ -1941,8 +1944,13 @@ def _kernel_rk3_ident(sh_ref, k1_ref, fields_hbm, out_ref, win_ref, sem, *,
     # band is 3 taps at stage 2 and 3-4 at stage 3, vs 5 for the old
     # channel-union drift<1 band (r5: ~35% fewer x-tap rolls per peel)
     base_x = node_off[0] - off0[0]
-    xs2 = _ident_x_bands(Rr, base_x, deltas, 0.5) if _RK3_XNT else None
-    xs3 = _ident_x_bands(Rr, base_x, deltas, 0.75) if _RK3_XNT else None
+    if not _RK3_XNT:
+        xs2 = xs3 = None
+    elif _IDENT_BANDS:
+        xs2 = _ident_x_bands(Rr, base_x, deltas, 0.5)
+        xs3 = _ident_x_bands(Rr, base_x, deltas, 0.75)
+    else:
+        xs2 = xs3 = (Rr - 1, 5)
     aa = 0.5 * sh
     u2, v2, w2 = _sample_mac_stage(
         win_all, lx + aa * u1, ly + aa * v1, lz + aa * w1, deltas, block, Rr,
